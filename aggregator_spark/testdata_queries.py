@@ -1,0 +1,151 @@
+"""Driver-facing query catalog over the TESTDATA tables.
+
+Each entry maps a SURVEY.md §2 operator (or a beyond-reference operator)
+onto the synthetic corpus (TESTDATA.md: region nation customer supplier
+part orders lineitem events documents embeddings). The `events` table
+plays the role of the reference's `logentry` scan log (ts→date,
+user_id→ip, event_type→risk-ish key); `customer` plays a dimension to
+repair against.
+
+Every query here has a DuckDB oracle in ``oracles.py`` with IDENTICAL
+column aliases; floating-point aggregates go through an exact
+decimal-sum → double cast on BOTH sides so results are bit-deterministic
+regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aggregator_spark.operators.calendar import derive_dim_date
+from aggregator_spark.schemas import load_testdata
+
+# inline "dim_risk" analog for the amplification join (Q9); 'error' is
+# deliberately unmatched to exercise UPDATE-FROM keep-old-value semantics
+AMPLIFICATION = [
+    ("click", 1.5),
+    ("view", 1.0),
+    ("purchase", 41.0),
+    ("signup", 556.9),
+]
+
+HAVING_THRESHOLD = 3  # strict > , reference main.py:64-69 (default 100)
+
+
+def _events_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog: DISTINCT (user, day, type) — reference main.py:211."""
+    events = load_testdata(spark, sf_dir, "events")
+    return events.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+
+
+def q_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: dedup → group-count → HAVING → order (reference main.py:206-215)."""
+    return (
+        _events_daily_distinct(spark, sf_dir)
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(HAVING_THRESHOLD))
+        .orderBy(F.col("day").desc(), "event_type")
+    )
+
+
+def q_amplified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: broadcast equi-join update, keep-0-on-no-match
+    (reference main.py:219-229)."""
+    dim = spark.createDataFrame(AMPLIFICATION, "event_type string, factor double")
+    agg = q_daily_counts(spark, sf_dir)
+    return (
+        agg.join(F.broadcast(dim), "event_type", "left")
+        .select(
+            "day",
+            "event_type",
+            "cnt",
+            F.coalesce(
+                F.col("cnt") * F.col("factor"), F.lit(0.0)
+            ).alias("cnt_amplified"),
+        )
+    )
+
+
+def _cube(spark: SparkSession, sf_dir: str, granularity: str) -> DataFrame:
+    """B3: CUBE + SUM + sentinel rewrite (reference main.py:379-421)."""
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "__period", F.date_trunc(granularity, "ts").cast("date")
+        )
+        .cube("__period", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("__period"), F.lit("1970-01-01").cast("date")).alias(
+                "period"
+            ),
+            F.coalesce(F.col("event_type"), F.lit("T")).alias("event_type"),
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def make_cube_query(granularity: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _cube(spark, sf_dir, granularity)
+
+    q.__name__ = f"q_cube_{granularity}"
+    return q
+
+
+def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: calendar derivation Q10-Q12 (reference main.py:390-401)."""
+    events = load_testdata(spark, sf_dir, "events")
+    days = events.select(F.date_trunc("day", "ts").alias("date"))
+    return derive_dim_date(days)
+
+
+def q_missing_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4a: NOT EXISTS anti-join (reference main.py:432-437)."""
+    events, customer = load_testdata(spark, sf_dir, "events", "customer")
+    return (
+        events.select("user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .join(
+            F.broadcast(customer.select("c_custkey")),
+            F.col("user_id") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4b: union-append placeholder rows (reference main.py:446-452)."""
+    customer = load_testdata(spark, sf_dir, "customer")
+    missing = q_missing_users(spark, sf_dir).select(
+        F.col("user_id").alias("id"), F.lit("unknown").alias("name")
+    )
+    return customer.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    ).unionByName(missing)
+
+
+def queries():
+    qs = {
+        "daily_counts": q_daily_counts,
+        "amplified_counts": q_amplified_counts,
+        "dim_date": q_dim_date,
+        "missing_users": q_missing_users,
+        "repaired_user_dim": q_repaired_user_dim,
+    }
+    for g in ("week", "month", "quarter", "year"):
+        qs[f"cube_{g}"] = make_cube_query(g)
+    return qs
