@@ -40,13 +40,15 @@ def missing_countries(fact: DataFrame, dim_country: DataFrame) -> DataFrame:
 
 
 def repair_dim_country(fact: DataFrame, dim_country: DataFrame) -> DataFrame:
-    """U2 (reference main.py:446-452): append ('XX','unknown',... ) rows."""
+    """U2 (reference main.py:446-452): append ('XX','unknown',...) rows —
+    'unknown' in every non-key column of whatever dim schema is given."""
     missing = missing_countries(fact, dim_country).select(
         F.col("country").alias("id"),
-        F.lit("unknown").alias("name"),
-        F.lit("unknown").alias("slug"),
-        F.lit("unknown").alias("region"),
-        F.lit("unknown").alias("continent"),
+        *[
+            F.lit("unknown").cast(f.dataType).alias(f.name)
+            for f in dim_country.schema.fields
+            if f.name != "id"
+        ],
     )
     return dim_country.unionByName(missing)
 
