@@ -1,0 +1,242 @@
+"""Analytics query pack over the TPC-H-ish TESTDATA tables.
+
+These widen the engine surface beyond the reference's own operator set
+(SURVEY.md §2.9: window functions, rollup/grouping sets, set ops, top-k,
+multi-way joins) — each expressed Spark-first and paired with a DuckDB
+oracle in ``oracles_analytics.py``.
+
+Determinism rules shared with the oracles:
+- double SUMs go through decimal(30,6) then one cast back to double
+  (partial-agg order independent);
+- AVG = exact decimal SUM / COUNT, one double division;
+- every top-k has a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aggregator_spark.schemas import load_testdata
+
+
+def _dsum(col, alias):
+    return F.sum(col.cast("decimal(30,6)")).cast("double").alias(alias)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → 2-key groupBy with 8 aggregates."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, group, top-10 by revenue (total order)."""
+    customer, orders, li = load_testdata(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    cutoff = F.lit("1996-03-15")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join → revenue per nation (one region,
+    one year). Dims broadcast; the fact never repartitions until the
+    final group."""
+    customer, orders, li, nation, region = load_testdata(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation", "region"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum (predicate pushdown showcase)."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+def q_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 most active users per event type
+    (row_number with total tiebreak)."""
+    events = load_testdata(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "user_id", "cnt", "rank")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + cumulative-sum over gaps > 30 min → session
+    count and mean session length per user (all-window, no shuffle beyond
+    the user partition)."""
+    events = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    with_gap = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    with_session = with_gap.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    per_session = with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, priority): hierarchical subtotals (SURVEY.md §2.9 —
+    the reference only has full CUBE; rollup comes free)."""
+    orders = load_testdata(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("year", F.year("o_orderdate"))
+        .rollup("year", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .select(
+            F.coalesce(F.col("year"), F.lit(-1)).alias("year"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias(
+                "o_orderpriority"
+            ),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: users who both clicked and purchased, minus
+    users who ever errored."""
+    events = load_testdata(spark, sf_dir, "events")
+
+    def users(t):
+        return events.filter(F.col("event_type") == t).select("user_id")
+
+    return (
+        users("click")
+        .intersect(users("purchase"))
+        .exceptAll(users("error").distinct())
+        .orderBy("user_id")
+    )
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per day × type → one column per type."""
+    events = load_testdata(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (the Q2+Q4 fusion, SURVEY.md §2.4)."""
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day")
+    )
+
+
+ANALYTICS_QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "top_events_per_type": q_top_events_per_type,
+    "sessionize": q_sessionize,
+    "rollup_orders": q_rollup_orders,
+    "set_ops_users": q_set_ops,
+    "pivot_daily": q_pivot_daily,
+    "distinct_users_daily": q_distinct_users_daily,
+}

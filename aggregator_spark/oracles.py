@@ -82,4 +82,8 @@ def oracle_sql() -> dict[str, str]:
     }
     for g in ("week", "month", "quarter", "year"):
         oracles[f"cube_{g}"] = _cube_sql(g)
+
+    from aggregator_spark.oracles_analytics import ANALYTICS_ORACLES
+
+    oracles.update(ANALYTICS_ORACLES)
     return oracles

@@ -139,6 +139,8 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries():
+    from aggregator_spark.analytics_queries import ANALYTICS_QUERIES
+
     qs = {
         "daily_counts": q_daily_counts,
         "amplified_counts": q_amplified_counts,
@@ -148,4 +150,5 @@ def queries():
     }
     for g in ("week", "month", "quarter", "year"):
         qs[f"cube_{g}"] = make_cube_query(g)
+    qs.update(ANALYTICS_QUERIES)
     return qs
