@@ -1,0 +1,108 @@
+"""LLM-training-data pipeline query catalog over documents/embeddings
+(the beyond-reference operator surface: dedup, similarity search, text
+analysis — BASELINE.json north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aggregator_spark.operators import dedup as D
+from aggregator_spark.operators import similarity as S
+from aggregator_spark.operators import text as X
+from aggregator_spark.schemas import load_testdata
+
+ANN_QUERY_IDS = list(range(8))
+ANN_K = 3
+JACCARD_THRESHOLD = 0.5
+EMB_DUP_THRESHOLD = 0.4
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.round(X.avg_token_len(F.col("text")), 6).alias("avg_token_len"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.exact_dup_clusters(docs)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(docs)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.simhash64(docs)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.ann_topk_bruteforce(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate scale path — rows-only check (no SQL oracle: candidate
+    # set depends on the LSH bucketing, not expressible as plain SQL
+    # without reimplementing the planes; the exact baseline above IS
+    # oracle-checked)
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=EMB_DUP_THRESHOLD)
+
+
+LLM_QUERIES = {
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash64": q_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
+}

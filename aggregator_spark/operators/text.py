@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7
+step 8): tokenization, token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All of these are pure JVM-side column expressions (whole-stage codegen,
+no Python in the hot path) — at 100 TB they run at parquet-scan speed.
+The shared constants (stopword/marker lists) also feed the DuckDB oracle
+SQL generators so both engines compute literally the same function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# small English-ish stopword list for quality scoring (the synthetic
+# documents corpus is lowercase words; the list is a parameter)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# per-language marker tokens for the n-gram/lexicon heuristic; checked in
+# this order, first max wins (deterministic tiebreak)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "des", "et"),
+    "es": ("el", "los", "las", "y"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (mirrors regexp_split on '\\s+')."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def normalized_text(col: Column) -> Column:
+    """Whitespace-collapse + lowercase + trim — canonical form for
+    fingerprinting and exact dedup."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact-dup document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(col).cast("binary"))
+
+
+def _in_list(x: Column, values: tuple[str, ...]) -> Column:
+    return x.isin(*values)
+
+
+def stopword_count(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(
+        F.filter(tokens(col), lambda x: _in_list(x, stopwords))
+    ).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return stopword_count(col, stopwords) / token_count(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length = chars-excluding-spaces / token count."""
+    return F.length(F.regexp_replace(F.trim(col), r"\s+", "")) / token_count(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: length band + stopword
+    presence + token-length band. Deterministic double arithmetic (fixed
+    expression tree — identical in the oracle SQL)."""
+    n_tok = token_count(col)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.0)
+    sw = stopword_ratio(col)
+    sw_ok = F.when((sw >= 0.05) & (sw <= 0.6), 1.0).otherwise(0.0)
+    atl = avg_token_len(col)
+    atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.0)
+    return (0.4 * length_ok + 0.3 * sw_ok + 0.3 * atl_ok).alias("quality")
+
+
+def _marker_filter(markers: tuple[str, ...]):
+    # single-argument lambda on purpose: F.filter passes the element
+    # index to two-argument callables (would clobber a default arg)
+    return lambda x: _in_list(x, markers)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, _marker_filter(markers))).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of marker-token counts; ties resolve in LANG_MARKERS order;
+    all-zero → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[l] for l in langs])
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(langs):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr

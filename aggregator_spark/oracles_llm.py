@@ -1,0 +1,221 @@
+"""DuckDB oracles for the LLM-pipeline catalog. Generated from the SAME
+constants as the Spark operators (stopwords, language markers, shingle
+width, hash seeds) so both engines evaluate literally the same function.
+
+Escaping note: DuckDB regexp_replace needs the 'g' flag to replace all
+occurrences (Spark's replaces all by default).
+"""
+
+from __future__ import annotations
+
+from aggregator_spark.llm_queries import (
+    ANN_K,
+    ANN_QUERY_IDS,
+    EMB_DUP_THRESHOLD,
+    JACCARD_THRESHOLD,
+)
+from aggregator_spark.operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_MINHASHES,
+    DEFAULT_SHINGLE,
+)
+from aggregator_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+TOKS = r"string_split_regex(trim(text), '\s+')"
+NOSPACE_LEN = r"length(regexp_replace(trim(text), '\s+', '', 'g'))"
+
+
+def _in_list(values) -> str:
+    return ", ".join(f"'{v}'" for v in values)
+
+
+N = DEFAULT_SHINGLE
+# shingle CTEs shared by jaccard/minhash/lsh (word n-grams over
+# normalized text, distinct per doc, empty when fewer than N tokens)
+_SHINGLES = f"""
+    words AS (
+      SELECT doc_id, string_split_regex({NORM}, '\\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < {N} THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct(list_transform(
+                         range(1, len(w) - {N - 2}),
+                         i -> array_to_string(w[i:i+{N - 1}], ' ')))
+             END AS shingles
+      FROM words
+    )
+"""
+
+_MH_COLS = ",\n             ".join(
+    f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS mh_{i}"
+    for i in range(DEFAULT_MINHASHES)
+)
+
+_ROWS_PER_BAND = DEFAULT_MINHASHES // DEFAULT_BANDS
+_BAND_SELECTS = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sigs".format(
+        b=b,
+        cols=", ".join(
+            f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(DEFAULT_BANDS)
+)
+
+
+def _simhash_votes() -> str:
+    votes = []
+    for p in range(16):
+        nib = f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1)"
+        for b in range(4):
+            i = p * 4 + b
+            votes.append(
+                f"SUM((((({nib} >> {b}) & 1) * 2) - 1) * cnt) AS v_{i}"
+            )
+    return ",\n             ".join(votes)
+
+
+_SIMHASH_BITS = " || ".join(
+    f"(CASE WHEN v_{i} >= 0 THEN '1' ELSE '0' END)" for i in range(64)
+)
+
+_LANG_SCORES = ",\n             ".join(
+    f"len(list_filter({TOKS}, x -> x IN ({_in_list(m)}))) AS c_{lang}"
+    for lang, m in LANG_MARKERS.items()
+)
+_LANG_BEST = "greatest(" + ", ".join(f"c_{l}" for l in LANG_MARKERS) + ")"
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN c_{l} > 0 AND c_{l} = {_LANG_BEST} THEN '{l}'"
+        for l in LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+
+_COSINE = (
+    "round(list_dot_product(qvec, vec)"
+    " / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))), 6)"
+)
+
+_D1 = "CAST(1.0 AS DOUBLE)"
+_D0 = "CAST(0.0 AS DOUBLE)"
+# every literal cast to DOUBLE: DuckDB would otherwise run the arithmetic
+# in DECIMAL (exact 0.70) while Spark runs doubles (0.7000000000000001)
+_QUALITY = f"""
+    SELECT doc_id,
+           round(sw / n_tok, 6) AS stopword_ratio,
+           CAST(0.4 AS DOUBLE) * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN {_D1} ELSE {_D0} END)
+         + CAST(0.3 AS DOUBLE) * (CASE WHEN sw / n_tok >= 0.05 AND sw / n_tok <= 0.6 THEN {_D1} ELSE {_D0} END)
+         + CAST(0.3 AS DOUBLE) * (CASE WHEN atl >= 2.0 AND atl <= 12.0 THEN {_D1} ELSE {_D0} END)
+           AS quality
+    FROM (
+      SELECT doc_id,
+             len({TOKS}) AS n_tok,
+             len(list_filter({TOKS}, x -> x IN ({_in_list(STOPWORDS)}))) AS sw,
+             {NOSPACE_LEN} / len({TOKS}) AS atl
+      FROM documents)
+"""
+
+LLM_ORACLES: dict[str, str] = {
+    "token_stats": f"""
+        SELECT doc_id,
+               len({TOKS}) AS n_tokens,
+               length(text) AS len_chars,
+               round({NOSPACE_LEN} / len({TOKS}), 6) AS avg_token_len
+        FROM documents
+    """,
+    "text_quality": _QUALITY,
+    "lang_id": f"""
+        SELECT doc_id, {_LANG_CASE} AS lang_pred
+        FROM (SELECT doc_id, {_LANG_SCORES} FROM documents)
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id, md5({NORM}) AS fingerprint FROM documents
+    """,
+    "dedup_exact": f"""
+        SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+        FROM (SELECT doc_id, md5({NORM}) AS fingerprint FROM documents)
+        GROUP BY fingerprint
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES},
+        ps AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ps GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM ps a JOIN ps b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_signatures": f"""
+        WITH {_SHINGLES}
+        SELECT doc_id,
+             {_MH_COLS}
+        FROM sh
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_SHINGLES},
+        sigs AS (
+          SELECT doc_id,
+             {_MH_COLS}
+          FROM sh),
+        buckets AS (
+{_BAND_SELECTS}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+    """,
+    "simhash64": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split_regex({NORM}, '\\s+')) AS token
+          FROM documents),
+        cnt AS (
+          SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        hashed AS (
+          SELECT doc_id, cnt, md5(token) AS h FROM cnt),
+        votes AS (
+          SELECT doc_id,
+             {_simhash_votes()}
+          FROM hashed GROUP BY doc_id)
+        SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM votes
+    """,
+    "ann_topk": f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, vec AS qvec FROM base
+          WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+        scored AS (
+          SELECT query_id, b.vec_id AS neighbor_id, {_COSINE} AS cosine
+          FROM base b CROSS JOIN q
+          WHERE b.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored)
+        WHERE rank <= {ANN_K}
+    """,
+    "embedding_near_dup": f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        SELECT id_a, id_b, cosine FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.vec, b.vec)
+                   / (sqrt(list_dot_product(a.vec, a.vec))
+                      * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+          FROM base a JOIN base b ON a.vec_id < b.vec_id)
+        WHERE cosine >= {EMB_DUP_THRESHOLD}
+    """,
+}

@@ -140,6 +140,7 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries():
     from aggregator_spark.analytics_queries import ANALYTICS_QUERIES
+    from aggregator_spark.llm_queries import LLM_QUERIES
 
     qs = {
         "daily_counts": q_daily_counts,
@@ -151,4 +152,5 @@ def queries():
     for g in ("week", "month", "quarter", "year"):
         qs[f"cube_{g}"] = make_cube_query(g)
     qs.update(ANALYTICS_QUERIES)
+    qs.update(LLM_QUERIES)
     return qs
