@@ -1,0 +1,121 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (MEDIA schema in ``aggregator_spark.schemas``).
+
+The Spark-side plumbing is real and tested: Arrow-batched
+``mapInPandas`` operators with explicit output schemas, partition-count
+preserved, constant memory per batch. The actual codec calls are STUBS —
+the image/audio libraries are not in this container — clearly marked and
+swappable: ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic md5-derived fake decode
+stands in so the pipeline shape is exercisable end-to-end.
+
+At scale: binary payloads ride the same parquet scans as everything else
+(no separate object fetch per row when media is inlined; for
+pointer-style payloads swap the decode UDF for a fetch+decode UDF and
+raise ``spark.sql.files.maxPartitionBytes`` awareness — batches stay
+bounded by Arrow batch size either way).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+FEATURE_DIM = 16
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real image decode: md5 of the bytes
+    → (width, height, FEATURE_DIM unit-scale floats). STUB — replace
+    with PIL/libvips in a real deployment."""
+    h = hashlib.md5(payload or b"").digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    feats = [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
+    return width, height, feats
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media (kind='image') → (media_id, width, height, features[16]).
+
+    Arrow-batched mapInPandas: one pandas batch in, one out — no per-row
+    Python call overhead beyond the batch loop.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decoding needs PIL/libvips (not in this container);"
+            " call with fake=True for the deterministic stub"
+        )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "features": [d[2] for d in decoded],
+                }
+            )
+
+    return df.filter(df.kind == "image").mapInPandas(
+        fn, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, fake: bool = False
+) -> DataFrame:
+    """media (kind='video') → one row per sampled frame. The fake path
+    fabricates frame payloads as md5(payload || frame_index) so row
+    explosion, schema, and batch shape are real."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling needs ffmpeg/pyav (not in this container);"
+            " call with fake=True for the deterministic stub"
+        )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "frame_ts_ms": [],
+                   "frame_payload": []}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = max(1, int((dur or 0) // every_ms))
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame_payload"].append(
+                        hashlib.md5((payload or b"") + bytes([i % 256])).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.filter(df.kind == "video").mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
