@@ -23,9 +23,12 @@ formula), no RNG state.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from aggregator_spark.operators.text import fingerprint, normalized_text, tokens
+from aggregator_spark.operators.util import scatter
 
 DEFAULT_SHINGLE = 3
 DEFAULT_MINHASHES = 8
@@ -65,6 +68,41 @@ def shingle_expr(text_col, n: int = DEFAULT_SHINGLE):
     )
 
 
+# Java \s (used by the JVM-side expressions and the DuckDB oracle's \s)
+# is exactly this ASCII class; Python's re \s would also match unicode
+# whitespace, so spell it out for cross-engine parity
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _shingle_batches(n: int):
+    """mapInPandas worker: (doc_id, text) batches → distinct word
+    n-gram (doc_id, shingle) rows. Same function as ``shingle_expr``
+    (normalize → whitespace tokens → sliding n-grams, distinct,
+    first-occurrence order irrelevant downstream)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids: list = []
+            out_sh: list = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = _WS.sub(" ", text or "").strip().lower()
+                toks = norm.split(" ")
+                if len(toks) < n:
+                    continue
+                seen = set()
+                for i in range(len(toks) - n + 1):
+                    s = " ".join(toks[i : i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        out_ids.append(did)
+                        out_sh.append(s)
+            yield pd.DataFrame({"doc_id": out_ids, "shingle": out_sh})
+
+    return fn
+
+
 def doc_shingles(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -74,10 +112,18 @@ def doc_shingles(
 ) -> DataFrame:
     """Exploded (doc_id, shingle) pairs, distinct per doc; optionally
     drops shingles whose document frequency exceeds ``max_df`` (skew cap
-    for the similarity join)."""
-    pairs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingle_expr(F.col(text_col), n)).alias("shingle"),
+    for the similarity join).
+
+    Arrow-batched Pandas path rather than ``explode(shingle_expr(...))``:
+    the nested higher-order-function expressions (transform + slice +
+    concat_ws per element) evaluate interpreted, outside whole-stage
+    codegen, and measured ~10× slower than one vectorized Python pass
+    (13 s vs <1 s for 260k shingles at sf0.1). Input is ``scatter``-ed
+    so the Python stage runs on every core."""
+    pairs = scatter(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        _shingle_batches(n), "doc_id long, shingle string"
     )
     if max_df is not None:
         freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -132,21 +178,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def _seeded_md5(i: int):
-    # NB: the returned lambda must take exactly ONE argument —
-    # F.transform passes the array index to two-argument callables,
-    # which would silently clobber a default-argument seed
-    return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")).cast("binary"))
-
-
-def _minhash_cols(text_col, k: int, n: int):
-    sh = shingle_expr(text_col, n)
-    return [
-        F.array_min(F.transform(sh, _seeded_md5(i))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
-
-
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -155,9 +186,30 @@ def minhash_signatures(
     n: int = DEFAULT_SHINGLE,
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}) deterministic MinHash signature; each
-    mh_i is the lexicographic min of md5(shingle || '#i')."""
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       *_minhash_cols(F.col(text_col), k, n))
+    mh_i is the lexicographic min of md5(shingle || '#i').
+
+    Plan shape: shingle ONCE (Pandas-vectorized, see doc_shingles) →
+    one HashAggregate computing all k MINs (min over md5 hex = the same
+    lexicographic min as array_min). The per-column
+    ``array_min(transform(shingles, md5))`` formulation re-evaluated the
+    whole shingling pipeline k times per row (lambda expressions sit
+    outside whole-stage codegen's subexpression elimination), k× more
+    expensive and pinned to the scan's (possibly single) input
+    partition. Zero-shingle docs are restored by the left join with
+    NULL signatures, matching ``list_min([]) = NULL`` on the oracle
+    side.
+    """
+    exploded = doc_shingles(docs, id_col, text_col, n)
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")).cast("binary"))
+            ).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(mins, "doc_id", "left")
 
 
 def lsh_candidate_pairs(
@@ -212,6 +264,40 @@ def lsh_candidate_pairs(
     )
 
 
+def _simhash_batches():
+    """mapInPandas worker: per doc, token counts → md5-bit votes →
+    64-char '0'/'1' simhash. Same function as the previous pure-SQL
+    formulation (explode → 64 conditional SUMs), which spent more time
+    JIT-compiling its 64-expression aggregate than computing; per-doc
+    Python is shuffle-free and embarrassingly parallel."""
+
+    def fn(batches):
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = _WS.sub(" ", text or "").strip().lower()
+                votes = [0] * 64
+                for token, cnt in Counter(norm.split(" ")).items():
+                    h = hashlib.md5(token.encode()).hexdigest()
+                    for p in range(16):
+                        nib = int(h[p], 16)
+                        for b in range(4):
+                            bit = (nib >> b) & 1
+                            votes[p * 4 + b] += (bit * 2 - 1) * cnt
+                ids.append(did)
+                hashes.append(
+                    "".join("1" if v >= 0 else "0" for v in votes)
+                )
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    return fn
+
+
 def simhash64(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -219,29 +305,9 @@ def simhash64(
     representation). Per token: md5 → first 16 hex nibbles → 4 bits
     each; each bit votes ±(token count); bit = 1 iff vote sum >= 0.
 
-    Plan shape: explode tokens → (doc, token) counts → 64 conditional
-    SUMs in ONE hash aggregate → concat. Two shuffles total, no UDF.
+    One scattered Arrow-batched Python pass per document — no shuffle,
+    no wide aggregate (the oracle runs the same formula in SQL).
     """
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(normalized_text(F.col(text_col)))).alias("token"),
-    )
-    counted = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    with_hash = counted.withColumn("h", F.md5(F.col("token").cast("binary")))
-    # nibble p (0-based) → integer value of hex char p
-    votes = []
-    for p in range(16):
-        nib = F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10).cast("int")
-        for b in range(4):
-            bit = F.shiftright(nib, b).bitwiseAND(F.lit(1))
-            votes.append(
-                F.sum((bit * 2 - 1) * F.col("cnt")).alias(f"v_{p * 4 + b}")
-            )
-    voted = with_hash.groupBy("doc_id").agg(*votes)
-    bits = [
-        F.when(F.col(f"v_{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(64)
-    ]
-    return voted.select("doc_id", F.concat(*bits).alias("simhash"))
+    return scatter(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(_simhash_batches(), "doc_id long, simhash string")

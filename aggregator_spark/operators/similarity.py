@@ -5,15 +5,32 @@
   corpus, one window per query for the top-k cut.
 - ``ann_topk_lsh``: random-hyperplane LSH scale path — deterministic
   pseudo-planes derived from md5 (no RNG state), bucket on sign
-  signature, exact re-rank within bucket ∪ probe-adjacent buckets.
+  signature, exact re-rank within bucket.
+
+Scale/plan notes:
+- Vector norms are computed ONCE per row as a column before any join;
+  recomputing ``sqrt(dot(v,v))`` inside the pair-scoring expression
+  would redo the fold for every candidate pair (O(pairs·dim) extra).
+- The corpus side is ``scatter``-ed: similarity scoring is CPU-bound,
+  and a small parquet arrives as one input split — without the
+  rebalance the whole cross/bucket join runs on a single core.
+- Plane weights are plain Python constants (hashlib.md5 of the
+  (plane, dim) pair) shipped as array literals; deriving them with md5
+  *expressions* built a 512-node tree that Catalyst re-evaluated per
+  row outside codegen.
 
 Cosines are rounded to 6 decimals BEFORE ranking so rank order (and the
-DuckDB oracle comparison) is independent of float summation order.
+DuckDB oracle comparison) is independent of float summation order; the
+fold accumulates sequentially, matching DuckDB's list_dot_product order.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
+
+from aggregator_spark.operators.util import scatter
 
 
 def _as_double(arr):
@@ -37,6 +54,13 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_vec_norm(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    )
+    return base.withColumn("vnorm", norm(F.col("vec")))
+
+
 def ann_topk_bruteforce(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
@@ -49,19 +73,30 @@ def ann_topk_bruteforce(
     Returns (query_id, neighbor_id, cosine, rank); ties break on
     neighbor_id so the result is a deterministic set.
     """
-    base = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
-    )
+    base = _with_vec_norm(embeddings, id_col, vec_col)
     queries = base
     if query_ids is not None:
         queries = base.filter(F.col(id_col).isin(query_ids))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col("vec").alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
     )
-    c = base.select(F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cvec"))
+    c = scatter(base).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("vnorm").alias("cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -73,25 +108,29 @@ def ann_topk_bruteforce(
     )
 
 
-def _plane_weight(plane: int, dim: int):
+def _plane_weight(plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-0.5, 0.5): md5 of the
-    (plane, dim) pair → first 6 hex digits → uniform fraction."""
-    h = F.md5(F.lit(f"plane{plane}_dim{dim}").cast("binary"))
-    return (
-        F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / F.lit(16777216.0)
-        - 0.5
-    )
+    (plane, dim) pair → first 6 hex digits → uniform fraction. Computed
+    in Python (constants), identical to the previous SQL-side formula
+    ``conv(substring(md5(...),1,6),16,10)/16777216 - 0.5``."""
+    h = hashlib.md5(f"plane{plane}_dim{dim}".encode()).hexdigest()
+    return int(h[:6], 16) / 16777216.0 - 0.5
 
 
 def lsh_signature(vec, n_planes: int, n_dims: int):
     """Sign-bit signature string of projections onto n_planes
-    deterministic hyperplanes."""
+    deterministic hyperplanes (weights are array literals; one
+    sequential fold per plane)."""
     bits = []
     for p in range(n_planes):
-        proj = None
-        for d in range(n_dims):
-            term = vec[d] * _plane_weight(p, d)
-            proj = term if proj is None else proj + term
+        weights = F.array(
+            *[F.lit(_plane_weight(p, d)) for d in range(n_dims)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -109,8 +148,8 @@ def ann_topk_lsh(
     bucket with the query (single-probe), exact cosine re-rank inside.
     At scale the bucket join replaces the full cross product — shuffle
     O(n) instead of O(n·q)."""
-    base = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    base = scatter(
+        _with_vec_norm(embeddings, id_col, vec_col)
     ).withColumn("sig", lsh_signature(F.col("vec"), n_planes, n_dims))
     queries = base
     if query_ids is not None:
@@ -118,12 +157,20 @@ def ann_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
         F.col("sig").alias("qsig"),
     )
     scored = (
         base.join(F.broadcast(q), F.col("sig") == F.col("qsig"))
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnorm") * F.col("vnorm")),
+                6,
+            ),
+        )
         .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -142,16 +189,28 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
-    Brute-force form; the LSH signature is the scale path (bucket first,
-    then exact check within buckets)."""
-    base = embeddings.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    Brute-force form (BroadcastNestedLoopJoin with the streamed side
+    scattered across cores); the LSH signature is the scale path —
+    bucket first, then exact check within buckets."""
+    base = _with_vec_norm(embeddings, id_col, vec_col)
+    a = scatter(base).select(
+        F.col(id_col).alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"),
     )
-    a = base.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"))
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"),
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

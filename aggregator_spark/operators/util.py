@@ -1,0 +1,20 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    CPU-bound operators (shingling, hashing, vector math) must not
+    inherit the scan's partitioning: a small parquet file arrives as ONE
+    input split, which would serialize the whole computation on one
+    core. At 100 TB the scan already yields thousands of splits and this
+    repartition is a cheap rebalance; on small inputs it is the
+    difference between 1× and N× parallelism. The shuffle it introduces
+    is negligible next to the per-row work these operators do.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

@@ -84,8 +84,10 @@ def oracle_sql() -> dict[str, str]:
         oracles[f"cube_{g}"] = _cube_sql(g)
 
     from aggregator_spark.oracles_analytics import ANALYTICS_ORACLES
+    from aggregator_spark.oracles_analytics2 import ANALYTICS2_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
 
     oracles.update(ANALYTICS_ORACLES)
+    oracles.update(ANALYTICS2_ORACLES)
     oracles.update(LLM_ORACLES)
     return oracles

@@ -172,8 +172,13 @@ def _read_one(spark, sf_dir: str, name: str):
     # as epoch-nanos LongType — convert back to a session-TZ timestamp.
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # integer `div`, NOT `/`: float division of epoch-nanos
+            # exceeds double's 53-bit integer precision and rounds the
+            # microsecond up, while DuckDB (and parquet ns→µs generally)
+            # truncates — a 1µs disagreement that breaks value hashes on
+            # any query exposing raw ts
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
     return df
 

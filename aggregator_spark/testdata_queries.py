@@ -140,6 +140,7 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries():
     from aggregator_spark.analytics_queries import ANALYTICS_QUERIES
+    from aggregator_spark.analytics_queries2 import ANALYTICS2_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
     qs = {
@@ -152,5 +153,6 @@ def queries():
     for g in ("week", "month", "quarter", "year"):
         qs[f"cube_{g}"] = make_cube_query(g)
     qs.update(ANALYTICS_QUERIES)
+    qs.update(ANALYTICS2_QUERIES)
     qs.update(LLM_QUERIES)
     return qs
