@@ -119,3 +119,87 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return df.filter(df.kind == "video").mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("mfcc", T.ArrayType(T.FloatType())),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media (kind='audio') → (media_id, duration_ms, rms, mfcc[16]).
+    STUB decode: deterministic md5-derived pseudo-features; the Arrow
+    batch plumbing, schema, and filter-pushdown on `kind` are real."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding needs librosa/soundfile (not in this"
+            " container); call with fake=True for the deterministic stub"
+        )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rms, mfcc = [], []
+            for payload in pdf["payload"]:
+                h = hashlib.md5(payload or b"").digest()
+                rms.append(round(h[2] / 255.0, 6))
+                mfcc.append([round(b / 255.0, 6) for b in h[:FEATURE_DIM]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "duration_ms": pdf["duration_ms"].values,
+                    "rms": rms,
+                    "mfcc": mfcc,
+                }
+            )
+
+    return df.filter(df.kind == "audio").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """media (kind='image') → fixed-size payloads. STUB resize: payload
+    is md5(payload || 'WxH') so bytes are deterministic and size-stable;
+    swap for PIL `Image.resize` in a real deployment."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resizing needs PIL/libvips (not in this container);"
+            " call with fake=True for the deterministic stub"
+        )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                hashlib.md5(
+                    (p or b"") + f"{width}x{height}".encode()
+                ).digest()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    return df.filter(df.kind == "image").mapInPandas(fn, RESIZE_SCHEMA)

@@ -1,0 +1,110 @@
+"""Physical-plan regression tests — pins the properties that make the
+queries scale (100 TB story): predicate pushdown reaching the parquet
+scan, column pruning in ReadSchema, broadcast joins on dim tables,
+map-side partial aggregation, and no accidental sort-merge joins or
+cartesian products where a broadcast is intended.
+
+These catch silent plan regressions (e.g. a cast blocking pushdown, a
+dropped broadcast hint falling back to SMJ) that row-level correctness
+tests can never see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = entry_mod.queries()
+
+    def explain(name: str) -> str:
+        df = qs[name](spark, SF)
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    return explain
+
+
+def test_q6_pushdown_and_pruning(plans):
+    p = plans("tpch_q6")
+    # all five predicates reach the scan
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    # only the 4 referenced columns are read (of 11)
+    assert "Output [4]" in p
+    # map-side partial aggregation before the single-partition exchange
+    assert "partial_sum" in p
+
+
+def test_q1_column_pruning(plans):
+    p = plans("tpch_q1")
+    assert "PushedFilters" in p and "LessThanOrEqual(l_shipdate" in p
+    # 7 of 11 lineitem columns read
+    assert "Output [7]" in p
+    assert "partial_sum" in p
+
+
+def test_q5_broadcasts_dims(plans):
+    p = plans("tpch_q5")
+    # customer/nation/region broadcast; only lineitem⋈orders may shuffle
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    # region filter pushed into its scan
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_amplified_counts_broadcast_join(plans):
+    p = plans("amplified_counts")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_missing_users_anti_join_broadcast(plans):
+    p = plans("missing_users")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_semi_join_is_semi(plans):
+    p = plans("tpch_q4_semi")
+    assert "LeftSemi" in p
+    # orders date range pushed to scan
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_band_join_is_bnlj_broadcast(plans):
+    # non-equi band join must be a broadcast nested-loop, never a
+    # cartesian shuffle
+    p = plans("value_bands")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cube_uses_expand(plans):
+    p = plans("cube_month")
+    assert "Expand" in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_daily_counts_two_exchanges(plans):
+    # dedup (5-col distinct) + group-count + total-order sort: exactly
+    # three exchanges (hash, hash, range) — anything more is a
+    # regression
+    p = plans("daily_counts")
+    assert p.count("+- Exchange") + p.count(":- Exchange") <= 3
+    assert "rangepartitioning" in p or "RangePartitioning" in p
+
+
+def test_q19_keeps_hash_join(plans):
+    # disjunctive predicates share the partkey equi-condition — Catalyst
+    # must still pick a broadcast HASH join, not nested-loop
+    p = plans("tpch_q19_disjunctive")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p

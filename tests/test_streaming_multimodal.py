@@ -136,3 +136,31 @@ def test_sample_video_frames_fake(spark):
     ]
     assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]
     assert all(isinstance(r["frame_payload"], (bytes, bytearray)) for r in out)
+
+
+def test_extract_audio_features_fake(spark):
+    from aggregator_spark.operators.multimodal import extract_audio_features
+
+    out = extract_audio_features(_media_df(spark), fake=True).collect()
+    assert [r["media_id"] for r in out] == [4]
+    r = out[0]
+    assert r["duration_ms"] == 2000
+    assert 0.0 <= r["rms"] <= 1.0
+    assert len(r["mfcc"]) == 16
+    with pytest.raises(NotImplementedError, match="fake=True"):
+        extract_audio_features(_media_df(spark))
+
+
+def test_resize_images_fake(spark):
+    from aggregator_spark.operators.multimodal import resize_images
+
+    out = resize_images(_media_df(spark), width=64, height=32, fake=True).collect()
+    assert {r["media_id"] for r in out} == {1, 2}
+    for r in out:
+        assert (r["width"], r["height"]) == (64, 32)
+        assert len(r["payload"]) == 16  # md5 digest stub
+    # deterministic across runs
+    again = resize_images(_media_df(spark), width=64, height=32, fake=True).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    with pytest.raises(NotImplementedError, match="fake=True"):
+        resize_images(_media_df(spark))
