@@ -368,7 +368,20 @@ def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-stage aggregation (operators/skew.py): results
+    identical to a direct groupBy — the oracle IS the direct form —
+    while hot keys spread over 16 reducers."""
+    from aggregator_spark.operators.skew import salted_group_count
+
+    events = load_testdata(spark, sf_dir, "events")
+    return salted_group_count(
+        events, ["event_type"], salt_col="user_id"
+    ).orderBy("event_type")
+
+
 ANALYTICS2_QUERIES = {
+    "salted_type_counts": q_salted_type_counts,
     "tpch_q4_semi": q_tpch_q4_semi,
     "tpch_q7_nation_pairs": q_tpch_q7_nation_pairs,
     "tpch_q10_returns": q_tpch_q10_returns,

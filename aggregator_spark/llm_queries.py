@@ -87,6 +87,13 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_lsh(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF scale path — rows-only check (candidate set depends on the
+    # coarse quantization; ann_topk is the oracle-checked exact twin)
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.ann_topk_ivf(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_testdata(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(emb, threshold=EMB_DUP_THRESHOLD)
@@ -104,5 +111,6 @@ LLM_QUERIES = {
     "simhash64": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
 }

@@ -182,6 +182,102 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantization by an existing
+    cluster assignment (``cluster_col``; a k-means step would produce
+    one offline at scale), per-cluster mean centroids, queries probe the
+    ``nprobe`` nearest centroids and re-rank exactly inside those
+    clusters only.
+
+    Scale shape: centroids are O(n_clusters × dim) — broadcastable at
+    any corpus size; the candidate join touches ~nprobe/n_clusters of
+    the corpus instead of all of it, and the corpus side never
+    shuffles (cluster routing rides the broadcast join).
+    """
+    base = scatter(
+        embeddings.select(
+            F.col(id_col),
+            F.col(cluster_col).alias("cluster"),
+            _as_double(F.col(vec_col)).alias("vec"),
+        )
+    ).withColumn("vnorm", norm(F.col("vec")))
+
+    # centroid per cluster: element-wise mean via posexplode → avg →
+    # re-assemble ordered by position (tiny result, broadcast later)
+    exploded = base.select(
+        "cluster", F.posexplode("vec").alias("pos", "x")
+    )
+    centroids = (
+        exploded.groupBy("cluster", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm")
+        )
+        .select(
+            F.col("cluster").alias("c_cluster"),
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+        )
+        .withColumn("c_norm", norm(F.col("cvec")))
+    )
+
+    queries = base
+    if query_ids is not None:
+        queries = base.filter(F.col(id_col).isin(query_ids))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
+    )
+
+    # route each query to its nprobe nearest centroids
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("c_cosine").desc(), F.col("c_cluster")
+    )
+    probed = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "c_cosine",
+            dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("c_norm")),
+        )
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "qnorm", F.col("c_cluster").alias("cluster"))
+    )
+
+    scored = (
+        base.join(F.broadcast(probed), "cluster")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnorm") * F.col("vnorm")),
+                6,
+            ),
+        )
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

@@ -174,5 +174,9 @@ ANALYTICS2_ORACLES: dict[str, str] = {
               FROM events)
         GROUP BY GROUPING SETS ((day), (event_type))
     """,
+    "salted_type_counts": """
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events GROUP BY event_type
+    """,
     # approx_distinct_daily: no oracle — HLL estimates are engine-specific
 }
