@@ -141,6 +141,7 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries():
     from aggregator_spark.analytics_queries import ANALYTICS_QUERIES
     from aggregator_spark.analytics_queries2 import ANALYTICS2_QUERIES
+    from aggregator_spark.analytics_queries3 import ANALYTICS3_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
     qs = {
@@ -154,5 +155,6 @@ def queries():
         qs[f"cube_{g}"] = make_cube_query(g)
     qs.update(ANALYTICS_QUERIES)
     qs.update(ANALYTICS2_QUERIES)
+    qs.update(ANALYTICS3_QUERIES)
     qs.update(LLM_QUERIES)
     return qs

@@ -108,3 +108,19 @@ def test_q19_keeps_hash_join(plans):
     p = plans("tpch_q19_disjunctive")
     assert "BroadcastHashJoin" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q13_outer_join_broadcast(plans):
+    # customer ⋈ orders LEFT OUTER: the filtered orders side is the
+    # build side; histogram = two hash aggregates
+    p = plans("tpch_q13_custdist")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "LeftOuter" in p
+    assert "partial_count" in p
+
+
+def test_q21_no_cartesian(plans):
+    # the decorrelated multi-EXISTS must stay equi-join based
+    p = plans("tpch_q21_waiting")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
