@@ -1,0 +1,125 @@
+"""Analytics query pack 4 — function-surface coverage: event-time
+windows in batch (tumbling + sliding via ``F.window``), min_by/max_by
+aggregates, array building (collect_set), deterministic hash sampling,
+and ranking analytics (percent_rank/ntile/cume_dist).
+
+Determinism: sliding windows are epoch-aligned on both engines; ranking
+windows carry total tiebreak orders; the sample predicate is md5-based
+(identical bytes on both engines), never RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aggregator_spark.schemas import load_testdata
+
+
+def _dsum(col, alias):
+    return F.sum(col.cast("decimal(30,6)")).cast("double").alias(alias)
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows in batch — same ``F.window``
+    operator the streaming ingest uses (epoch-aligned → equals
+    date_trunc('hour'))."""
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum(F.col("value"), "total_value"),
+        )
+        .select(F.col("win.start").alias("ws"), "cnt", "total_value")
+        .orderBy("ws")
+    )
+
+
+def q_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min hop): every event lands in
+    exactly two windows; Spark's Expand-based window assignment vs the
+    oracle's explicit two-bucket UNION ALL."""
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("ws"), "cnt")
+        .orderBy("ws")
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by aggregates: each user's latest and earliest event
+    (ties broken by event_id via struct comparison)."""
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(event_id, struct(ts, event_id))"
+            ).alias("last_event_id"),
+            F.expr(
+                "min_by(event_type, struct(ts, event_id))"
+            ).alias("first_type"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_user_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted distinct event-type array per user +
+    its cardinality (collect_set → array_sort, all JVM-side)."""
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id", "types", F.size("types").cast("long").alias("n_types")
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample: md5(doc_id) prefix < '20' (hex).
+    Hash-based sampling is reproducible across engines and retries —
+    the property RNG-based ``df.sample`` lacks — and at scale keeps a
+    consistent cohort across tables sharing the key."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (
+        docs.filter(F.substring(h, 1, 2) < "20")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / ntile / cume_dist over per-user activity within
+    each event type (total tiebreak order; fractions rounded)."""
+    events = load_testdata(spark, sf_dir, "events")
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    return counts.select(
+        "event_type",
+        "user_id",
+        "cnt",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ANALYTICS4_QUERIES = {
+    "tumbling_hourly": q_tumbling_hourly,
+    "sliding_halfhour": q_sliding_halfhour,
+    "latest_event_per_user": q_latest_event_per_user,
+    "user_type_arrays": q_user_type_arrays,
+    "deterministic_sample": q_deterministic_sample,
+    "rank_analytics": q_rank_analytics,
+}

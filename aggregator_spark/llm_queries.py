@@ -68,6 +68,17 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(docs)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative connected-components dedup resolution over the
+    MinHash-LSH candidate pairs (operators/components.py); oracle is a
+    recursive-CTE fixpoint over the same pairs."""
+    from aggregator_spark.operators.components import dedup_clusters
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs)
+    return dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     return D.simhash64(docs)
@@ -108,6 +119,7 @@ LLM_QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_components": q_dedup_components,
     "simhash64": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,

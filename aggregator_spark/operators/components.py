@@ -1,0 +1,98 @@
+"""Connected components over candidate duplicate pairs — the iterative
+resolution step that turns pairwise near-dup evidence (MinHash-LSH,
+embedding cosine, ...) into dedup clusters: every document gets the min
+doc_id of its component as cluster label.
+
+Algorithm: iterative min-label propagation as pure DataFrame ops —
+each round every node takes the min of its own label and its
+neighbors' labels; converged when no label changes. Rounds needed =
+graph diameter (near-dup graphs are shallow: mostly stars and short
+chains), each round is one shuffle on node id. This is the standard
+large-graph CC shape (cf. GraphFrames' label propagation) without any
+graph library dependency, and the driver only ever sees the
+changed-row COUNT, never the data.
+
+The DuckDB oracle computes the same labels with a recursive CTE
+(transitive closure → min reachable id), cross-checking the iterative
+dataflow against a declarative fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, component) with
+    component = min doc_id reachable. Only nodes appearing in ``pairs``
+    are returned (callers union in singletons if needed)."""
+    edges = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.persist()
+
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+
+    for _ in range(max_iterations):
+        # every node's candidate label = min over neighbors' labels
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    sym.unpersist()
+    return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+) -> DataFrame:
+    """Full dedup resolution: every document labeled with its component
+    (singletons label themselves). Downstream keeps one doc per
+    component (e.g. min id = the component label itself)."""
+    comp = connected_components(pairs, left_col, right_col)
+    return docs.select(F.col(id_col).alias("doc_id")).join(
+        comp, "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )

@@ -1,0 +1,62 @@
+"""DuckDB oracles for analytics pack 4."""
+
+from __future__ import annotations
+
+
+def _dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) AS {alias}"
+
+
+ANALYTICS4_ORACLES: dict[str, str] = {
+    "tumbling_hourly": f"""
+        SELECT date_trunc('hour', ts) AS ws,
+               COUNT(*) AS cnt,
+               {_dsum('value', 'total_value')}
+        FROM events GROUP BY ws
+    """,
+    "sliding_halfhour": """
+        SELECT ws, COUNT(*) AS cnt FROM (
+          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
+                 AT TIME ZONE 'UTC' AS ws
+          FROM events
+          UNION ALL
+          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                              - 1800) AT TIME ZONE 'UTC'
+          FROM events)
+        GROUP BY ws
+    """,
+    "latest_event_per_user": """
+        WITH ranked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn_last,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn_first
+          FROM events)
+        SELECT user_id,
+               MAX(CASE WHEN rn_last = 1 THEN event_id END) AS last_event_id,
+               MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_type,
+               MAX(ts) AS last_ts
+        FROM ranked GROUP BY user_id
+    """,
+    "user_type_arrays": """
+        SELECT user_id,
+               list_sort(list(DISTINCT event_type)) AS types,
+               CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
+        FROM events GROUP BY user_id
+    """,
+    "deterministic_sample": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+    """,
+    "rank_analytics": """
+        SELECT event_type, user_id, cnt,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               round(CUME_DIST() OVER w, 6) AS cume
+        FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+              FROM events GROUP BY event_type, user_id)
+        WINDOW w AS (PARTITION BY event_type ORDER BY cnt, user_id)
+    """,
+}

@@ -177,6 +177,32 @@ LLM_ORACLES: dict[str, str] = {
         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
         WHERE a.doc_id < b.doc_id
     """,
+    "dedup_components": f"""
+        WITH RECURSIVE {_SHINGLES},
+        sigs AS (
+          SELECT doc_id,
+             {_MH_COLS}
+          FROM sh),
+        buckets AS (
+{_BAND_SELECTS}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM buckets a
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.doc_id < b.doc_id),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM cand
+          UNION
+          SELECT doc_b, doc_a FROM cand),
+        reach(node, lab) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+        comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
     "simhash64": f"""
         WITH tok AS (
           SELECT doc_id, unnest(string_split_regex({NORM}, '\\s+')) AS token

@@ -142,6 +142,7 @@ def queries():
     from aggregator_spark.analytics_queries import ANALYTICS_QUERIES
     from aggregator_spark.analytics_queries2 import ANALYTICS2_QUERIES
     from aggregator_spark.analytics_queries3 import ANALYTICS3_QUERIES
+    from aggregator_spark.analytics_queries4 import ANALYTICS4_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
     qs = {
@@ -156,5 +157,6 @@ def queries():
     qs.update(ANALYTICS_QUERIES)
     qs.update(ANALYTICS2_QUERIES)
     qs.update(ANALYTICS3_QUERIES)
+    qs.update(ANALYTICS4_QUERIES)
     qs.update(LLM_QUERIES)
     return qs
