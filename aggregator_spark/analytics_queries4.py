@@ -115,7 +115,30 @@ def q_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: one scan → row count, per-column null
+    counts, exact distinct cardinalities, value bounds. The shape every
+    ingestion pipeline runs before trusting a new drop of data; all
+    aggregates fuse into a single HashAggregate over one scan."""
+    events = load_testdata(spark, sf_dir, "events")
+    return events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_value"),
+    )
+
+
 ANALYTICS4_QUERIES = {
+    "profile_events": q_profile_events,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_halfhour": q_sliding_halfhour,
     "latest_event_per_user": q_latest_event_per_user,

@@ -8,6 +8,19 @@ def _dsum(expr: str, alias: str) -> str:
 
 
 ANALYTICS4_ORACLES: dict[str, str] = {
+    "profile_events": """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 AS null_user_id,
+               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_types,
+               MIN(ts) AS min_ts,
+               MAX(ts) AS max_ts,
+               round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_value
+        FROM events
+    """,
     "tumbling_hourly": f"""
         SELECT date_trunc('hour', ts) AS ws,
                COUNT(*) AS cnt,

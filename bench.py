@@ -38,6 +38,11 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         load_testdata(spark, sf_dir, t).count()
+    # one throwaway noop write warms the write path + codegen pipeline
+    # so the alphabetically-first timed query doesn't absorb it
+    load_testdata(spark, sf_dir, "region").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     total = 0.0
