@@ -1,0 +1,64 @@
+"""Streaming sinks beyond the built-ins: idempotent foreachBatch
+patterns.
+
+Structured Streaming's file sink is append-only; real pipelines need
+(a) upsert semantics into a keyed store and (b) exactly-once file
+output under retries. Both ride ``foreachBatch``: the function receives
+(micro-batch DataFrame, batch_id), and *idempotence on batch_id* is
+what turns at-least-once execution into exactly-once output — a
+retried batch overwrites its own directory / re-runs its own
+transactional write instead of duplicating rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def batch_partitioned_parquet_sink(base_path: str):
+    """foreachBatch writer: each micro-batch lands in
+    ``{base}/batch_id=N`` with overwrite — a retry of batch N replaces
+    its own output (idempotent), never duplicates. Readers see the
+    whole dataset via ``spark.read.parquet(base)`` (batch_id becomes a
+    partition column)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{base_path}/batch_id={batch_id}"
+        )
+
+    return write
+
+
+def upsert_parquet_sink(target_path: str, key_cols: list[str]):
+    """foreachBatch keyed upsert into a parquet table: existing rows
+    whose key appears in the micro-batch are replaced (left_anti +
+    union), everything else kept. The rewrite goes through an overwrite
+    of the target — on a real deployment this is the exact shape you
+    hand to Delta/Iceberg ``MERGE INTO`` instead (file-level rewrite of
+    a plain parquet dir is the dependency-free stand-in)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(key_cols)
+        try:
+            current = spark.read.parquet(target_path)
+            merged = current.join(
+                batch.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(batch)
+        except Exception:
+            merged = batch
+        # never overwrite the path being lazily read: write the merged
+        # result to a temp dir (fully distributed, no collect), then
+        # swap via filesystem rename
+        tmp = f"{target_path}__tmp_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        target = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs.delete(target, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), target)
+
+    return write

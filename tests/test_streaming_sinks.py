@@ -1,0 +1,79 @@
+"""foreachBatch sinks: batch-partitioned idempotent output and keyed
+parquet upsert."""
+
+from __future__ import annotations
+
+import datetime
+
+from aggregator_spark.schemas import EVENTS
+from aggregator_spark.streaming.sinks import (
+    batch_partitioned_parquet_sink,
+    upsert_parquet_sink,
+)
+
+T0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _mk(event_id, minutes, user_id, etype="click", value=1.0):
+    return (
+        event_id,
+        T0 + datetime.timedelta(minutes=minutes),
+        user_id,
+        etype,
+        value,
+        "{}",
+    )
+
+
+def test_batch_partitioned_sink(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame([_mk(1, 0, 7), _mk(2, 5, 8)], EVENTS).coalesce(
+        1
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(batch_partitioned_parquet_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    result = spark.read.parquet(out)
+    assert result.count() == 2
+    assert "batch_id" in result.columns
+
+
+def test_upsert_sink(spark, tmp_path):
+    src = str(tmp_path / "src_u")
+    target = str(tmp_path / "target_u")
+    # batch 1: two users
+    spark.createDataFrame(
+        [_mk(1, 0, 7, value=1.0), _mk(2, 5, 8, value=2.0)], EVENTS
+    ).coalesce(1).write.parquet(src)
+
+    sink = upsert_parquet_sink(target, ["user_id"])
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_u"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: update user 7, add user 9
+        spark.createDataFrame(
+            [_mk(3, 10, 7, value=5.0), _mk(4, 12, 9, value=3.0)], EVENTS
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {
+        r["user_id"]: r["value"] for r in spark.read.parquet(target).collect()
+    }
+    assert final == {7: 5.0, 8: 2.0, 9: 3.0}
