@@ -34,15 +34,24 @@ def connected_components(
     edges = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    sym = sym.persist()
+    # localCheckpoint, NOT persist: an iterative loop whose next plan
+    # references the previous one twice doubles the logical plan every
+    # round — by iteration ~25 the planner itself OOMs. Checkpointing
+    # truncates lineage so each round plans against a materialized
+    # leaf. (Found the hard way on a 50k-doc / 55k-pair stress run.)
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
-        sym.select(F.col("src").alias("node")).distinct()
+        sym.select(F.col("src").alias("node"))
+        .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):
@@ -60,7 +69,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -68,16 +77,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
 
-    out = labels.select(
+    return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
-    sym.unpersist()
-    return out
 
 
 def dedup_clusters(
