@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis): the distributed implementations
+must equal straightforward single-process reference computations on
+arbitrary small inputs — catching edge cases fixed datasets miss
+(empty groups, ties, singletons, all-duplicates)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from aggregator_spark.operators.asof import asof_join
+from aggregator_spark.operators.components import connected_components
+from aggregator_spark.operators.skew import salted_group_count
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from aggregator_spark.session import get_spark
+
+        _spark = get_spark(app_name="property-tests", shuffle_partitions=4)
+    return _spark
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 5)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_salted_count_equals_direct(rows):
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: r["cnt"]
+        for r in salted_group_count(df, ["k"], salt_col="v", buckets=4).collect()
+    }
+    want: dict[str, int] = {}
+    for k, _ in rows:
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_components_equal_union_find(edges):
+    spark = _get_spark()
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # normalize: min node per root
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    want = {n: min(ms) for r, ms in members.items() for n in ms}
+    assert got == want
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@SET
+def test_asof_join_equals_reference(lefts, rights):
+    spark = _get_spark()
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    # right side must be unique per (key, time) — dedup keeping max id
+    rmap: dict[tuple[int, int], int] = {}
+    for i, (k, m) in enumerate(rights):
+        rmap[(k, m)] = max(rmap.get((k, m), -1), 1000 + i)
+    rrows = [(k, ts(m), rid) for (k, m), rid in rmap.items()]
+
+    lrows = [(k, ts(m), i) for i, (k, m) in enumerate(lefts)]
+    left = spark.createDataFrame(
+        lrows, "k long, lt timestamp, lid long"
+    )
+    right = spark.createDataFrame(
+        rrows, "k long, rt timestamp, rid long"
+    ) if rrows else spark.createDataFrame([], "k long, rt timestamp, rid long")
+
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["rid", "rt"],
+    ).collect()
+    got = {r["lid"]: r["asof_rid"] for r in out}
+
+    want = {}
+    for k, m, lid in [(k, m, i) for i, (k, m) in enumerate(lefts)]:
+        best = None
+        for (rk, rm), rid in rmap.items():
+            if rk == k and rm <= m and (best is None or rm > best[0]):
+                best = (rm, rid)
+        want[lid] = best[1] if best else None
+    assert got == want
