@@ -115,6 +115,23 @@ def q_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json structured parsing (schema-typed, vs json_props'
+    path extraction): props → struct<k:int> → typed arithmetic."""
+    events = load_testdata(spark, sf_dir, "events")
+    parsed = events.select(
+        F.from_json("props", "k int").alias("p"), F.col("value")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 5).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            _dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling pass: one scan → row count, per-column null
     counts, exact distinct cardinalities, value bounds. The shape every
@@ -137,8 +154,29 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on driver data: documents recast as binary
+    media payloads → Arrow-batched fake decode (rows-only check; the
+    decode stub is deterministic, see operators/multimodal.py)."""
+    from aggregator_spark.operators.multimodal import decode_image_features
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return decode_image_features(media, fake=True).orderBy("media_id")
+
+
 ANALYTICS4_QUERIES = {
     "profile_events": q_profile_events,
+    "json_struct": q_json_struct,
+    "media_features": q_media_features,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_halfhour": q_sliding_halfhour,
     "latest_event_per_user": q_latest_event_per_user,

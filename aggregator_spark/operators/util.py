@@ -17,4 +17,10 @@ def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
     is negligible next to the per-row work these operators do.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # already at least as parallel as the session? Don't pay a full
+    # shuffle of the payload for nothing — at 100 TB the scan arrives
+    # as thousands of splits and this must be a no-op. (getNumPartitions
+    # plans the RDD lineage but runs no job.)
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

@@ -21,6 +21,14 @@ ANALYTICS4_ORACLES: dict[str, str] = {
                      / COUNT(*), 6) AS avg_value
         FROM events
     """,
+    "json_struct": f"""
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,
+               COUNT(*) AS cnt,
+               {_dsum('value', 'total_value')}
+        FROM events GROUP BY k_mod
+    """,
+    # media_features: rows-only — binary payload round-trip through the
+    # fake decode isn't SQL-expressible without byte-level md5 unpacking
     "tumbling_hourly": f"""
         SELECT date_trunc('hour', ts) AS ws,
                COUNT(*) AS cnt,
