@@ -154,6 +154,25 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (explode/LATERAL) + global top-k: corpus-wide token
+    frequencies, top 20 with total tiebreak. The explode feeds a
+    partial-aggregated group-count, so the shuffle carries (token,
+    partial_count), never raw token rows."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on driver data: documents recast as binary
     media payloads → Arrow-batched fake decode (rows-only check; the
@@ -176,6 +195,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYTICS4_QUERIES = {
     "profile_events": q_profile_events,
     "json_struct": q_json_struct,
+    "top_tokens": q_top_tokens,
     "media_features": q_media_features,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_halfhour": q_sliding_halfhour,

@@ -61,23 +61,23 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the previous label through the projection so convergence
+        # is a filter on the checkpointed result, not an extra join
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.dst, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("prev_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(
+            F.col("label") != F.col("prev_label")
+        ).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
 

@@ -27,6 +27,14 @@ ANALYTICS4_ORACLES: dict[str, str] = {
                {_dsum('value', 'total_value')}
         FROM events GROUP BY k_mod
     """,
+    "top_tokens": r"""
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+                AS token FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 20
+    """,
     # media_features: rows-only — binary payload round-trip through the
     # fake decode isn't SQL-expressible without byte-level md5 unpacking
     "tumbling_hourly": f"""
