@@ -173,6 +173,20 @@ def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped-agg Pandas UDAF (operators/udfs.py): per-type
+    geometric-style mean exp(mean(log1p(v)))-1, rounded — the oracle
+    computes the same closed form in SQL."""
+    from aggregator_spark.operators.udfs import geometric_mean
+
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(geometric_mean("value"), 6).alias("geo_value"))
+        .orderBy("event_type")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on driver data: documents recast as binary
     media payloads → Arrow-batched fake decode (rows-only check; the
@@ -196,6 +210,7 @@ ANALYTICS4_QUERIES = {
     "profile_events": q_profile_events,
     "json_struct": q_json_struct,
     "top_tokens": q_top_tokens,
+    "geomean_value": q_geomean_value,
     "media_features": q_media_features,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_halfhour": q_sliding_halfhour,

@@ -35,6 +35,11 @@ ANALYTICS4_ORACLES: dict[str, str] = {
         ORDER BY cnt DESC, token
         LIMIT 20
     """,
+    "geomean_value": """
+        SELECT event_type,
+               round(exp(avg(ln(value + 1))) - 1, 6) AS geo_value
+        FROM events GROUP BY event_type
+    """,
     # media_features: rows-only — binary payload round-trip through the
     # fake decode isn't SQL-expressible without byte-level md5 unpacking
     "tumbling_hourly": f"""
