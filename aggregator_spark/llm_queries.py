@@ -15,6 +15,7 @@ ANN_QUERY_IDS = list(range(8))
 ANN_K = 3
 JACCARD_THRESHOLD = 0.5
 EMB_DUP_THRESHOLD = 0.4
+MAX_DF = 5  # skew cap for the capped jaccard variant
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,6 +57,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-capped variant: shingles seen in more than MAX_DF docs
+    are dropped BEFORE the self-join — the kill switch for hot-shingle
+    quadratic blowup at scale (operators/dedup.py doc_shingles)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, threshold=JACCARD_THRESHOLD, max_df=MAX_DF
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +128,7 @@ LLM_QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_components": q_dedup_components,

@@ -13,6 +13,7 @@ from aggregator_spark.llm_queries import (
     ANN_QUERY_IDS,
     EMB_DUP_THRESHOLD,
     JACCARD_THRESHOLD,
+    MAX_DF,
 )
 from aggregator_spark.operators.dedup import (
     DEFAULT_BANDS,
@@ -143,6 +144,27 @@ LLM_ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": f"""
         WITH {_SHINGLES},
         ps AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM ps GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM ps a JOIN ps b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b)
+        WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "ngram_jaccard_capped": f"""
+        WITH {_SHINGLES},
+        ps0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM ps0 GROUP BY shingle),
+        ps AS (SELECT doc_id, ps0.shingle FROM ps0
+               JOIN freq ON ps0.shingle = freq.shingle
+               WHERE df <= {MAX_DF}),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM ps GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

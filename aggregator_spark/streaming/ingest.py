@@ -44,6 +44,23 @@ def streaming_daily_counts(
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    ts_col: str = "date",
+    key_cols: tuple[str, ...] = ("ip", "risk", "asn", "country"),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: unlike
+    plain ``dropDuplicates`` (whose state lives forever unless the
+    event-time column is part of the key), state here is evicted as the
+    watermark passes — the right primitive when "duplicate" means
+    "same key within the delay horizon" rather than "ever seen".
+    Emits the surviving raw rows (first arrival wins)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def streaming_dedup_counts(
     stream: DataFrame,
     ts_col: str = "date",

@@ -164,3 +164,32 @@ def test_resize_images_fake(spark):
     assert sorted(map(str, out)) == sorted(map(str, again))
     with pytest.raises(NotImplementedError, match="fake=True"):
         resize_images(_media_df(spark))
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from aggregator_spark.streaming.ingest import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "scans_ddw")
+    _write_scan_parquet(spark, src)  # has a duplicate ip on day 1
+    stream = spark.readStream.schema(LOGENTRY).parquet(src)
+    out = streaming_dedup_within_watermark(stream, watermark="2 days")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddw_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ddw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM ddw_out").collect()
+    # 4 input rows: the duplicate (ip,risk,asn,country) within the
+    # horizon collapses -> first arrival survives; day-2 row is a
+    # duplicate KEY within the watermark window too
+    keys = [(r["ip"], r["risk"], r["asn"], r["country"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert len(rows) == 2  # (.1) and (.2): day-2 .1 dropped within horizon
