@@ -22,6 +22,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _persistent_ids(spark) -> set[int]:
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_ids(spark, ids: set[int]) -> None:
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "doc_a",
@@ -39,6 +55,8 @@ def connected_components(
     # round — by iteration ~25 the planner itself OOMs. Checkpointing
     # truncates lineage so each round plans against a materialized
     # leaf. (Found the hard way on a 50k-doc / 55k-pair stress run.)
+    spark = pairs.sparkSession
+    before_sym = _persistent_ids(spark)
     sym = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -46,13 +64,16 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    sym_ids = _persistent_ids(spark) - before_sym
 
+    before = _persistent_ids(spark)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt_ids = _persistent_ids(spark) - before
 
     for _ in range(max_iterations):
         # every node's candidate label = min over neighbors' labels
@@ -63,6 +84,7 @@ def connected_components(
         )
         # carry the previous label through the projection so convergence
         # is a filter on the checkpointed result, not an extra join
+        before = _persistent_ids(spark)
         stepped = (
             labels.join(nbr_min, labels.node == nbr_min.dst, "left")
             .select(
@@ -74,6 +96,13 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        # the previous round's checkpoint blocks are now unreachable —
+        # release them eagerly instead of leaving them to occupy the
+        # block manager for the rest of the session (they degraded
+        # queries run AFTER this operator in the same session)
+        new_ids = _persistent_ids(spark) - before
+        _unpersist_ids(spark, prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
         changed = stepped.filter(
             F.col("label") != F.col("prev_label")
         ).count()
@@ -81,6 +110,9 @@ def connected_components(
         if changed == 0:
             break
 
+    # the edge table is no longer referenced by the returned plan
+    # (labels is checkpointed) — free it too
+    _unpersist_ids(spark, sym_ids)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
