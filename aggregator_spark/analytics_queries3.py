@@ -252,7 +252,28 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value vs a scalar fraction of the
+    global total (HAVING against a broadcast scalar aggregate)."""
+    li = load_testdata(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_quantity"), "part_value")
+    )
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.002) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
 ANALYTICS3_QUERIES = {
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
     "tpch_q2_min_supp": q_tpch_q2_min_supp,
     "tpch_q8_market_share": q_tpch_q8_market_share,
     "tpch_q9_profit": q_tpch_q9_profit,

@@ -10,6 +10,21 @@ def _dsum(expr: str, alias: str) -> str:
 
 
 ANALYTICS3_ORACLES: dict[str, str] = {
+    "tpch_q11_important_stock": """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_extendedprice * l_quantity
+                       AS DECIMAL(30,6))) AS DOUBLE) AS part_value
+          FROM lineitem GROUP BY l_partkey),
+        total AS (
+          SELECT CAST(SUM(CAST(part_value AS DECIMAL(30,6))) AS DOUBLE)
+                 AS total_value
+          FROM per_part)
+        SELECT l_partkey, part_value
+        FROM per_part, total
+        WHERE part_value > 0.002 * total_value
+        ORDER BY part_value DESC, l_partkey
+    """,
     "tpch_q2_min_supp": """
         WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
         SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal FROM (
