@@ -49,6 +49,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleanup pass: deterministic regexp chain (operators/text.py
+    clean_text) with post-clean length."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    cleaned = X.clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cleaned.alias("clean"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     return D.exact_dup_clusters(docs)
@@ -126,6 +138,7 @@ LLM_QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
+    "clean_text": q_clean_text,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,

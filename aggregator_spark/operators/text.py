@@ -79,6 +79,17 @@ def quality_score(col: Column) -> Column:
     return (0.4 * length_ok + 0.3 * sw_ok + 0.3 * atl_ok).alias("quality")
 
 
+def clean_text(col: Column) -> Column:
+    """Training-corpus text cleanup: strip non-alphanumeric-punctuation
+    control chars, collapse repeated punctuation, normalize whitespace,
+    lowercase. A fixed regexp_replace chain (JVM-side, identical
+    expression in the oracle SQL)."""
+    out = F.regexp_replace(col, r"[^ -~]", " ")  # non-printable-ASCII
+    out = F.regexp_replace(out, r"([!?.,;:])\1+", r"$1")  # !!! -> !
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.lower(F.trim(out))
+
+
 def _marker_filter(markers: tuple[str, ...]):
     # single-argument lambda on purpose: F.filter passes the element
     # index to two-argument callables (would clobber a default arg)

@@ -136,6 +136,16 @@ LLM_ORACLES: dict[str, str] = {
     "doc_fingerprint": f"""
         SELECT doc_id, md5({NORM}) AS fingerprint FROM documents
     """,
+    "clean_text": r"""
+        SELECT doc_id, clean, length(clean) AS clean_len FROM (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '[^ -~]', ' ', 'g'),
+                     '([!?.,;:])\1+', '\1', 'g'),
+                   '\s+', ' ', 'g'))) AS clean
+          FROM documents)
+    """,
     "dedup_exact": f"""
         SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
         FROM (SELECT doc_id, md5({NORM}) AS fingerprint FROM documents)
