@@ -99,7 +99,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_testdata(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs)
-    return dedup_clusters(docs, pairs).orderBy("doc_id")
+    return dedup_clusters(docs, pairs, algorithm="propagate").orderBy("doc_id")
+
+
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dedup resolution as ``dedup_components`` but via the
+    alternating large-star/small-star algorithm (O(log²) rounds vs
+    O(diameter) — the deep-chain scale path). Identical output, same
+    recursive-CTE oracle."""
+    from aggregator_spark.operators.components import dedup_clusters
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs)
+    return dedup_clusters(docs, pairs, algorithm="star").orderBy("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,6 +157,7 @@ LLM_QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "simhash64": q_simhash,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,

@@ -277,3 +277,7 @@ LLM_ORACLES: dict[str, str] = {
         WHERE cosine >= {EMB_DUP_THRESHOLD}
     """,
 }
+
+# The star-algorithm variant computes the exact same labels as the
+# propagation variant — one oracle, two implementations under test.
+LLM_ORACLES["dedup_components_star"] = LLM_ORACLES["dedup_components"]

@@ -10,7 +10,10 @@ import datetime
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from aggregator_spark.operators.asof import asof_join
-from aggregator_spark.operators.components import connected_components
+from aggregator_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
 from aggregator_spark.operators.skew import salted_group_count
 
 SET = settings(
@@ -92,6 +95,56 @@ def test_components_equal_union_find(edges):
         members.setdefault(find(n), []).append(n)
     want = {n: min(ms) for r, ms in members.items() for n in ms}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_star_components_equal_union_find(edges):
+    spark = _get_spark()
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict[int, list[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    want = {n: min(ms) for _, ms in members.items() for n in ms}
+    assert got == want
+
+
+def test_star_components_deep_chain():
+    """A 200-hop path — the propagation variant's worst case (one
+    shuffle round per hop, capped at max_iterations). The star variant
+    must resolve it fully within its default round budget."""
+    spark = _get_spark()
+    chain = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    rows = connected_components_star(df).collect()
+    assert len(rows) == 201
+    assert all(r["component"] == 0 for r in rows)
 
 
 @given(
