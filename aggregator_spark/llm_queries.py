@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from aggregator_spark.operators import corpus as C
 from aggregator_spark.operators import dedup as D
 from aggregator_spark.operators import similarity as S
 from aggregator_spark.operators import text as X
@@ -16,6 +17,10 @@ ANN_K = 3
 JACCARD_THRESHOLD = 0.5
 EMB_DUP_THRESHOLD = 0.4
 MAX_DF = 5  # skew cap for the capped jaccard variant
+
+# corpus-mixing rates (per-lang keep fraction, quantized to 1/256ths)
+MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.125}
+MIX_DEFAULT = 0.0625
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +64,53 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleaned.alias("clean"),
         F.length(cleaned).cast("long").alias("clean_len"),
     )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (64-token chunks, stride 48) —
+    the doc → training-sequence explode step (operators/corpus.py)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return C.doc_chunks(docs)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing of the chunk stream into
+    256-token training bins within deterministic pack groups — window
+    per group, never a global sort (operators/corpus.py)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return C.pack_sequences(C.doc_chunks(docs))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style word-shape quality filter signals + pass flag
+    (operators/text.py:gopher_metrics)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    m = X.gopher_metrics(F.col("text"))
+    return docs.select("doc_id", *[m[k].alias(k) for k in m])
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone masking with redaction counts
+    (operators/text.py:pii_redact) — scan-speed JVM regexes."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    r = X.pii_redact(F.col("text"))
+    return docs.select("doc_id", *[r[k].alias(k) for k in r])
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus mixing: md5-prefix thresholds
+    per stratum (operators/corpus.py:stratified_sample)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return C.stratified_sample(docs, MIX_RATES, MIX_DEFAULT).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram negative log-likelihood per document against the
+    corpus's own unigram distribution (operators/corpus.py)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return C.unigram_logprob(docs)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,6 +203,12 @@ LLM_QUERIES = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_fingerprint,
     "clean_text": q_clean_text,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "gopher_quality": q_gopher_quality,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
+    "unigram_logprob": q_unigram_logprob,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,

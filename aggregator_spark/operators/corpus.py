@@ -1,0 +1,195 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+document chunking, sequence packing, stratified corpus mixing, and
+corpus-statistics scoring (unigram log-prob).
+
+Beyond-reference surface (SURVEY.md §7 step 8); the reference has no
+document processing at all — these are the operations a 100 TB
+training-data pipeline needs between raw documents and a tokenized
+training set.
+
+Scale design:
+
+- **chunking** is embarrassingly parallel (one Arrow-batched Python
+  pass, no shuffle) — same mapInPandas pattern as shingling
+  (operators/dedup.py), which measured ~10× faster than nested
+  higher-order-function expressions for per-row text work.
+- **packing** shuffles once on a deterministic group key and runs one
+  window per group — no global window (a single-partition sort would
+  be the classic 100 TB bottleneck); group count scales with the
+  cluster, assignment stays reproducible run-to-run.
+- **stratified sampling** is a pure filter (md5-prefix per-stratum
+  thresholds) — pushdown-friendly, no shuffle, reproducible across
+  engines and retries, and consistent across tables sharing the key.
+- **unigram log-prob** joins token occurrences against the corpus
+  unigram table on the token key — a plain shuffle join that scales
+  with vocabulary (deliberately NOT a broadcast: real vocabularies
+  don't fit), then one aggregation per document.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# ASCII whitespace only — Java \s semantics, matching the JVM-side
+# expressions and DuckDB's \s (Python's \s would also match unicode)
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+DEFAULT_CHUNK_TOKENS = 64
+DEFAULT_CHUNK_STRIDE = 48  # 16-token overlap
+DEFAULT_PACK_BUDGET = 256
+DEFAULT_PACK_GROUPS = 32
+
+
+def _chunk_batches(chunk_size: int, stride: int):
+    """mapInPandas worker: (doc_id, text) batches → one row per chunk
+    (doc_id, chunk_id, chunk_text, n_tokens). Tokens are the
+    whitespace split of the trimmed text; chunk i covers tokens
+    [i*stride, i*stride + chunk_size); the tail chunk may be short.
+    Chunk starts run while start < n_tokens, so every token lands in
+    at least one chunk (and in chunk_size/stride chunks on average
+    with overlap)."""
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, cids, texts, ntoks = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _WS.split((text or "").strip())
+                for ci, s in enumerate(range(0, len(toks), stride)):
+                    piece = toks[s : s + chunk_size]
+                    ids.append(did)
+                    cids.append(ci)
+                    texts.append(" ".join(piece))
+                    ntoks.append(len(piece))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "chunk_id": cids,
+                    "chunk_text": texts,
+                    "n_tokens": ntoks,
+                }
+            )
+
+    return fn
+
+
+def doc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = DEFAULT_CHUNK_TOKENS,
+    stride: int = DEFAULT_CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window token chunking: (doc_id, chunk_id, chunk_text,
+    n_tokens), chunk_id 0-based in document order."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    from aggregator_spark.operators.util import scatter
+
+    return (
+        scatter(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .mapInPandas(
+            _chunk_batches(chunk_size, stride),
+            "doc_id long, chunk_id int, chunk_text string, n_tokens int",
+        )
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = DEFAULT_PACK_BUDGET,
+    groups: int = DEFAULT_PACK_GROUPS,
+) -> DataFrame:
+    """Greedy contiguous sequence packing: chunks are laid end-to-end
+    in (doc_id, chunk_id) order within a deterministic pack group
+    (doc_id % groups) and each chunk is assigned to the training
+    sequence (bin) its first token falls in: bin = floor(exclusive
+    running token count / budget). The concat-then-split packing used
+    for LM training — a bin may run over budget by at most one chunk's
+    tail, never under-fill except the last bin per group.
+
+    One shuffle (window partition) per group key; no global ordering.
+    Returns (doc_id, chunk_id, pack_group, seq_bin, n_tokens).
+    """
+    g = (F.col("doc_id") % groups).cast("int")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.withColumn("pack_group", g)
+        .withColumn(
+            "seq_bin",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+            ).cast("int"),
+        )
+        .select("doc_id", "chunk_id", "pack_group", "seq_bin", "n_tokens")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep a
+    document iff the first two hex chars of md5(doc_id) fall below the
+    stratum's threshold (rate quantized to 1/256ths). Reproducible
+    across engines/retries, consistent cohort across tables keyed by
+    doc_id, and a pure filter — no shuffle, no RNG state."""
+
+    def thr(rate: float) -> str:
+        return format(max(0, min(256, round(rate * 256))), "02x")
+
+    h2 = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2
+    )
+    cond = F.lit(thr(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        cond = F.when(F.col(stratum_col) == stratum, F.lit(thr(rate))).otherwise(
+            cond
+        )
+    return docs.filter(h2 < cond)
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-statistics quality score: mean unigram negative
+    log-likelihood per document, -avg(ln(count(token)/total_tokens))
+    over the document's token occurrences, against the corpus's own
+    unigram distribution (normalized lowercase tokens). Low = stereo-
+    typical text, high = rare-token-heavy; the classic cheap prior for
+    quality filtering and importance sampling.
+
+    Returns (doc_id, n_tokens, nll) with nll rounded to 6 decimals.
+    """
+    from aggregator_spark.operators.text import normalized_text
+
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("token"),
+    )
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    return (
+        occ.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("total"))), 6
+            ).alias("nll"),
+        )
+    )

@@ -126,11 +126,13 @@ def doc_shingles(
         _shingle_batches(n), "doc_id long, shingle string"
     )
     if max_df is not None:
+        # broadcast the BLOCKLIST (df > max_df), not the keep-set: the
+        # keep-set is ~the whole vocabulary (unbroadcastable at scale)
+        # while ultra-common shingles are few by definition — a
+        # broadcast left_anti join stays valid at any corpus size
         freq = pairs.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        pairs = pairs.join(
-            F.broadcast(freq.filter(F.col("df") <= max_df).select("shingle")),
-            "shingle",
-        )
+        hot = freq.filter(F.col("df") > max_df).select("shingle")
+        pairs = pairs.join(F.broadcast(hot), "shingle", "left_anti")
     return pairs
 
 

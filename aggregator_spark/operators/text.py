@@ -90,6 +90,71 @@ def clean_text(col: Column) -> Column:
     return F.lower(F.trim(out))
 
 
+# Gopher-style repetition/shape thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", appendix A1.1 — public paper): word
+# count band, mean word length band, minimum alpha-word fraction,
+# maximum symbol-to-word ratio
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_SYMBOLS = ("#", "...")
+
+
+def gopher_metrics(col: Column) -> dict[str, Column]:
+    """Word-level Gopher quality-filter signals as named columns:
+    n_words, mean_word_len, alpha_frac (words containing a letter),
+    symbol_ratio ('#'/'...' occurrences per word), and the pass flag
+    over the published thresholds. Pure JVM expressions."""
+    toks = tokens(col)
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.length(F.regexp_replace(F.trim(col), r"\s+", "")) / n_words
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("long")
+    alpha_frac = alpha / n_words
+    n_sym = sum(
+        (
+            (F.length(col) - F.length(F.replace(col, F.lit(s))))
+            / len(s)
+        ).cast("long")
+        for s in GOPHER_SYMBOLS
+    )
+    symbol_ratio = n_sym / n_words
+    passed = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_wl, 6),
+        "alpha_frac": F.round(alpha_frac, 6),
+        "symbol_ratio": F.round(symbol_ratio, 6),
+        "gopher_pass": passed,
+    }
+
+
+# PII patterns (shared with the oracle SQL verbatim)
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_redact(col: Column) -> dict[str, Column]:
+    """PII scrubbing for training corpora: mask emails/phone numbers
+    with typed placeholders and count the redactions. JVM-side regexes
+    only — runs at scan speed, no Python."""
+    n_email = F.regexp_count(col, F.lit(EMAIL_RE)).cast("long")
+    n_phone = F.regexp_count(col, F.lit(PHONE_RE)).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return {"redacted": redacted, "n_emails": n_email, "n_phones": n_phone}
+
+
 def _marker_filter(markers: tuple[str, ...]):
     # single-argument lambda on purpose: F.filter passes the element
     # index to two-argument callables (would clobber a default arg)

@@ -14,13 +14,32 @@ from aggregator_spark.llm_queries import (
     EMB_DUP_THRESHOLD,
     JACCARD_THRESHOLD,
     MAX_DF,
+    MIX_DEFAULT,
+    MIX_RATES,
+)
+from aggregator_spark.operators.corpus import (
+    DEFAULT_CHUNK_STRIDE,
+    DEFAULT_CHUNK_TOKENS,
+    DEFAULT_PACK_BUDGET,
+    DEFAULT_PACK_GROUPS,
 )
 from aggregator_spark.operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_MINHASHES,
     DEFAULT_SHINGLE,
 )
-from aggregator_spark.operators.text import LANG_MARKERS, STOPWORDS
+from aggregator_spark.operators.text import (
+    EMAIL_RE,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_WORDS,
+    LANG_MARKERS,
+    PHONE_RE,
+    STOPWORDS,
+)
 
 NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
 TOKS = r"string_split_regex(trim(text), '\s+')"
@@ -281,3 +300,103 @@ LLM_ORACLES: dict[str, str] = {
 # The star-algorithm variant computes the exact same labels as the
 # propagation variant — one oracle, two implementations under test.
 LLM_ORACLES["dedup_components_star"] = LLM_ORACLES["dedup_components"]
+
+
+# ---- corpus-preparation pack (operators/corpus.py + gopher/pii) ----
+
+_CK, _ST = DEFAULT_CHUNK_TOKENS, DEFAULT_CHUNK_STRIDE
+# chunk CTE: 1-based starts 1, 1+stride, ... ≤ len(w); inclusive slice
+# w[s : s+chunk-1]; mirrors the mapInPandas worker exactly
+_CHUNKS = f"""
+    words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) // {_ST} AS INT) AS chunk_id,
+             array_to_string(w[s : s + {_CK - 1}], ' ') AS chunk_text,
+             CAST(len(w[s : s + {_CK - 1}]) AS INT) AS n_tokens
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w), {_ST})) AS s
+            FROM words))
+"""
+
+LLM_ORACLES["doc_chunks"] = f"""
+    WITH {_CHUNKS}
+    SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunks
+"""
+
+LLM_ORACLES["pack_sequences"] = f"""
+    WITH {_CHUNKS}
+    SELECT doc_id, chunk_id, pack_group,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin,
+           n_tokens
+    FROM (SELECT doc_id, chunk_id, n_tokens,
+                 CAST(doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group
+          FROM chunks)
+"""
+
+LLM_ORACLES["gopher_quality"] = f"""
+    SELECT doc_id, n_words,
+           round(nosp / n_words, 6) AS mean_word_len,
+           round(alpha / n_words, 6) AS alpha_frac,
+           round(nsym / n_words, 6) AS symbol_ratio,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND nosp / n_words >= {GOPHER_MIN_MEAN_WORD_LEN}
+            AND nosp / n_words <= {GOPHER_MAX_MEAN_WORD_LEN}
+            AND alpha / n_words >= {GOPHER_MIN_ALPHA_FRAC}
+            AND nsym / n_words <= {GOPHER_MAX_SYMBOL_RATIO}) AS gopher_pass
+    FROM (
+      SELECT doc_id,
+             CAST(len({TOKS}) AS BIGINT) AS n_words,
+             {NOSPACE_LEN} AS nosp,
+             CAST(len(list_filter({TOKS},
+                  x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS nsym
+      FROM documents)
+"""
+
+LLM_ORACLES["pii_redact"] = f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM documents
+"""
+
+_MIX_CASE = (
+    "CASE "
+    + " ".join(
+        "WHEN lang = '{l}' THEN '{t:02x}'".format(
+            l=l, t=max(0, min(256, round(r * 256)))
+        )
+        for l, r in sorted(MIX_RATES.items())
+    )
+    + " ELSE '{t:02x}' END".format(t=max(0, min(256, round(MIX_DEFAULT * 256))))
+)
+
+LLM_ORACLES["stratified_sample"] = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_MIX_CASE}
+"""
+
+LLM_ORACLES["unigram_logprob"] = f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token
+      FROM documents),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM freq)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(-ln(cnt / total)), 6) AS nll
+    FROM occ JOIN freq USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+"""

@@ -81,3 +81,70 @@ def test_ann_lsh_subset_of_bruteforce_scores(spark, sf_dir):
         # LSH candidates score identically to the exact scorer
         if key in exact:
             assert exact[key] == r["cosine"]
+
+
+def test_pii_redact_masks_crafted_rows(spark):
+    from aggregator_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org one phone +123 456 7890"),
+        ],
+        "doc_id long, text string",
+    )
+    r = pii_redact(F.col("text"))
+    out = {
+        row["doc_id"]: row
+        for row in docs.select(
+            "doc_id", *[r[k].alias(k) for k in r]
+        ).collect()
+    }
+    assert out[1]["redacted"] == "contact <EMAIL> or <PHONE> now"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (1, 1)
+    assert out[2]["redacted"] == "no pii here at all"
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[3]["redacted"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (2, 1)
+
+
+def test_chunking_covers_and_packs_within_budget(spark):
+    from aggregator_spark.operators.corpus import doc_chunks, pack_sequences
+
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(7, words), (8, "short doc"), (9, "")],
+        "doc_id long, text string",
+    )
+    chunks = doc_chunks(docs, chunk_size=64, stride=48).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    # 150 tokens, stride 48 -> starts 0,48,96,144 -> 4 chunks
+    assert len(by_doc[7]) == 4
+    got = sorted((c["chunk_id"], c["n_tokens"]) for c in by_doc[7])
+    assert got == [(0, 64), (1, 64), (2, 54), (3, 6)]
+    # every token of doc 7 appears in some chunk
+    covered = set()
+    for c in by_doc[7]:
+        covered.update(c["chunk_text"].split(" "))
+    assert covered == set(words.split(" "))
+    assert len(by_doc[8]) == 1 and by_doc[8][0]["n_tokens"] == 2
+    # empty text tokenizes to [''] — one empty chunk, matching the oracle
+    assert len(by_doc[9]) == 1 and by_doc[9][0]["chunk_text"] == ""
+
+    packed = pack_sequences(
+        doc_chunks(docs, chunk_size=64, stride=48), budget=100, groups=4
+    ).collect()
+    # bins are contiguous: within a group, bin ids start at 0 and the
+    # exclusive cumsum of any chunk stays < its bin's upper bound
+    by_group = {}
+    for p in packed:
+        by_group.setdefault(p["pack_group"], []).append(p)
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: (r["doc_id"], r["chunk_id"]))
+        cum = 0
+        for r in rows:
+            assert r["seq_bin"] == cum // 100
+            cum += r["n_tokens"]
