@@ -171,6 +171,27 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(docs)
 
 
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-norm embeddings (operators/similarity.py:l2_normalize) —
+    pure array algebra, no shuffle."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.l2_normalize(emb)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with dequant scale
+    (operators/similarity.py:quantize_int8)."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in (label, dim, centroid) long form
+    (operators/similarity.py:label_centroids)."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.label_centroids(emb)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_testdata(spark, sf_dir, "embeddings")
     return S.ann_topk_bruteforce(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
@@ -209,6 +230,9 @@ LLM_QUERIES = {
     "pii_redact": q_pii_redact,
     "stratified_sample": q_stratified_sample,
     "unigram_logprob": q_unigram_logprob,
+    "embedding_normalize": q_embedding_normalize,
+    "embedding_quantize": q_embedding_quantize,
+    "label_centroids": q_label_centroids,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,

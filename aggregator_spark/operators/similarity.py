@@ -310,3 +310,55 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def l2_normalize(embeddings: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Unit-norm embeddings: v / ||v||, each component rounded to 6
+    decimals (cross-engine float safety). Zero vectors pass through
+    unchanged (guard against divide-by-zero NULLs). Pure column
+    algebra over the array — no Python, no shuffle."""
+    vec = _as_double(F.col(vec_col))
+    n = norm(vec)
+    unit = F.when(n == 0.0, vec).otherwise(
+        F.transform(vec, lambda x: F.round(x / n, 6))
+    )
+    return embeddings.select(F.col(id_col), unit.alias("unit_vec"))
+
+
+def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max(|x|),
+    q_i = floor(x_i*scale + 0.5) (round-half-up — identical in both
+    engines, unlike banker's-rounding `round`). Returns the int8 codes
+    and the dequantization scale — 4× memory cut for ANN at scale.
+    Zero vectors quantize to zeros with scale 0."""
+    vec = _as_double(F.col(vec_col))
+    amax = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(amax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
+    q = F.transform(vec, lambda x: F.floor(x * scale + 0.5).cast("int"))
+    return embeddings.select(
+        F.col(id_col),
+        q.alias("q_vec"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def label_centroids(embeddings: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid, one row per (label, dim): posexplode the
+    vectors and average per dimension. The long form shuffles
+    (label, dim) keyed partial sums — fully parallel in the dimension
+    axis too, and the natural shape for a downstream broadcast join
+    (assignment = join on dim, aggregate over dim)."""
+    return (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+    )

@@ -389,6 +389,43 @@ LLM_ORACLES["stratified_sample"] = f"""
     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_MIX_CASE}
 """
 
+LLM_ORACLES["embedding_normalize"] = """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+    SELECT vec_id,
+           CASE WHEN sqrt(list_dot_product(vec, vec)) = 0 THEN vec
+                ELSE list_transform(vec,
+                       x -> round(x / sqrt(list_dot_product(vec, vec)), 6))
+           END AS unit_vec
+    FROM base
+"""
+
+LLM_ORACLES["embedding_quantize"] = """
+    SELECT vec_id,
+           list_transform(vec,
+             x -> CAST(floor(x * scale + 0.5) AS INT)) AS q_vec,
+           round(scale, 6) AS scale
+    FROM (
+      SELECT vec_id, vec,
+             CASE WHEN amax = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE 127.0 / amax END AS scale
+      FROM (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) AS amax
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings)))
+"""
+
+LLM_ORACLES["label_centroids"] = """
+    SELECT label, CAST(dim AS INT) AS dim, round(AVG(x), 6) AS centroid
+    FROM (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings)
+    GROUP BY label, dim
+"""
+
 LLM_ORACLES["unigram_logprob"] = f"""
     WITH occ AS (
       SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token
