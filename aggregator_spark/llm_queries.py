@@ -192,6 +192,14 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(emb)
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd half-step: nearest-centroid reassignment against the
+    label partition's centroids (operators/similarity.py:kmeans_assign)
+    — broadcast centroids, corpus never shuffles."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.kmeans_assign(emb)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_testdata(spark, sf_dir, "embeddings")
     return S.ann_topk_bruteforce(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
@@ -233,6 +241,7 @@ LLM_QUERIES = {
     "embedding_normalize": q_embedding_normalize,
     "embedding_quantize": q_embedding_quantize,
     "label_centroids": q_label_centroids,
+    "kmeans_assign": q_kmeans_assign,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,

@@ -362,3 +362,53 @@ def label_centroids(embeddings: DataFrame, id_col: str = "vec_id",
         .groupBy("label", "dim")
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
     )
+
+
+def kmeans_assign(embeddings: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """Nearest-centroid (re)assignment — one Lloyd half-step, and the
+    oracle-checkable core of IVF routing: centroids from the current
+    ``label_col`` partition, every vector reassigned to the centroid
+    with the smallest Euclidean distance (ties → lowest label).
+
+    Scale shape: centroids are O(k × dim) — ALWAYS broadcast; the
+    corpus side never shuffles (the k-way fan-out rides the broadcast
+    nested-loop, one window per vec_id cuts the argmin). Distances are
+    rounded to 6 decimals BEFORE the argmin so the winner (and the
+    DuckDB oracle comparison) is independent of float summation order.
+    Composing assign → label_centroids = one full k-means iteration.
+    """
+    base = scatter(
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    )
+    cents = (
+        embeddings.select(
+            F.col(label_col).alias("c_label"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+        )
+        .groupBy("c_label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("c_label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("c_label", F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"))
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("c_label"), dist.alias("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("c_label").alias("assigned"), "dist")
+    )

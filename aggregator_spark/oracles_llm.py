@@ -426,6 +426,29 @@ LLM_ORACLES["label_centroids"] = """
     GROUP BY label, dim
 """
 
+LLM_ORACLES["kmeans_assign"] = """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    cent AS (
+      SELECT c_label, list(m ORDER BY dim) AS cvec FROM (
+        SELECT label AS c_label, dim, AVG(x) AS m
+        FROM (SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY label, dim)
+      GROUP BY c_label),
+    scored AS (
+      SELECT vec_id, c_label,
+             round(list_distance(vec, cvec), 6) AS dist
+      FROM base CROSS JOIN cent)
+    SELECT vec_id, c_label AS assigned, dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY dist, c_label) AS rn
+          FROM scored)
+    WHERE rn = 1
+"""
+
 LLM_ORACLES["unigram_logprob"] = f"""
     WITH occ AS (
       SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token

@@ -124,3 +124,24 @@ def test_q21_no_cartesian(plans):
     p = plans("tpch_q21_waiting")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kmeans_assign_broadcasts_centroids(plans):
+    # centroids are O(k x dim): must ride a broadcast (BNLJ from the
+    # crossJoin), never a shuffle of the corpus side
+    p = plans("kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_no_shuffle(plans):
+    # pure filter: no Exchange anywhere in the plan
+    p = plans("stratified_sample")
+    assert "Exchange" not in p
+
+
+def test_capped_shingles_blocklist_broadcast(plans):
+    # the df > max_df blocklist joins as a broadcast anti-join; the
+    # keep-set (~whole vocabulary) must NOT be the broadcast side
+    p = plans("ngram_jaccard_capped")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
