@@ -44,6 +44,15 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # SPARK_GRAFT_WARM=1: steady-state mode — run every query once
+    # untimed (pays per-shape codegen/JIT), then time the second pass.
+    # Default off: the driver's recorded number is the one-shot cost.
+    if os.environ.get("SPARK_GRAFT_WARM") == "1":
+        for name in sorted(qs):
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(qs):
