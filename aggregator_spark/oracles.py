@@ -44,6 +44,9 @@ def _cube_sql(granularity: str) -> str:
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "daily_counts": _DAILY_COUNTS,
+        # incremental maintenance must equal the full recompute — the
+        # oracle IS the from-scratch aggregate
+        "incremental_daily_counts": _DAILY_COUNTS,
         "amplified_counts": f"""
             WITH dim(event_type, factor) AS (VALUES {_DIM_VALUES}),
                  agg AS ({_DAILY_COUNTS})

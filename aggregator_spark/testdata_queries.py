@@ -71,6 +71,27 @@ def q_amplified_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# delta-maintenance split point: events on/after this day are "newly
+# arrived"; the incremental result must equal the full recompute
+INCREMENTAL_CUTOFF = "2024-01-28"
+
+
+def q_incremental_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta maintenance of the B1 aggregate: recompute only the days
+    the delta touches and splice into the prior aggregate
+    (operators/incremental.py). Oracle = full recompute — equality IS
+    the correctness contract of incremental maintenance."""
+    from aggregator_spark.operators.incremental import incremental_daily_counts
+
+    events = load_testdata(spark, sf_dir, "events")
+    cutoff = F.lit(INCREMENTAL_CUTOFF).cast("timestamp")
+    return incremental_daily_counts(
+        base=events.filter(F.col("ts") < cutoff),
+        delta=events.filter(F.col("ts") >= cutoff),
+        having_threshold=HAVING_THRESHOLD,
+    )
+
+
 def _cube(spark: SparkSession, sf_dir: str, granularity: str) -> DataFrame:
     """B3: CUBE + SUM + sentinel rewrite (reference main.py:379-421)."""
     events = load_testdata(spark, sf_dir, "events")
@@ -148,6 +169,7 @@ def queries():
     qs = {
         "daily_counts": q_daily_counts,
         "amplified_counts": q_amplified_counts,
+        "incremental_daily_counts": q_incremental_daily_counts,
         "dim_date": q_dim_date,
         "missing_users": q_missing_users,
         "repaired_user_dim": q_repaired_user_dim,

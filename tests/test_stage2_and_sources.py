@@ -258,3 +258,45 @@ def test_single_file_csv_sink(spark, tmp_path):
     # overwrite path (ALLOWOVERWRITE, main.py:240)
     write_single_csv(df.limit(1), target)
     assert open(target).read().splitlines() == ["1,a"]
+
+
+def test_publish_parquet_partition_pruning(spark, fact, tmp_path):
+    """The fact publishes partitioned by date (the reference's leading
+    index, main.py:530-552, becomes partition pruning): a date-filtered
+    read must list ONLY the matching partition directory — at 100 TB
+    that is the difference between a point query and a full scan."""
+    from aggregator_spark.plans.stage2 import publish_parquet, run_stage2
+    from aggregator_spark.schemas import DIM_ASN, DIM_COUNTRY, DIM_RISK
+
+    risk = spark.createDataFrame(
+        [(0, "slug", "t", False, "tax", "u", 30.8, "")], DIM_RISK
+    )
+    country = spark.createDataFrame(
+        [("AA", "A", "a", "r", "c"), ("ZZ", "Z", "z", "r", "c")], DIM_COUNTRY
+    )
+    asn = spark.createDataFrame(
+        [(111111, "a", "AA"), (999999, "z", "ZZ")], DIM_ASN
+    )
+    res = run_stage2(spark, fact, risk, country, asn, collect_missing_logs=False)
+    publish_parquet(res, str(tmp_path))
+
+    back = spark.read.parquet(str(tmp_path / "fact_count"))
+    q = back.filter(back["date"] == datetime.date(2016, 9, 3))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    # the date predicate must land in PartitionFilters (metadata-only
+    # pruning), NOT PushedFilters (data-level filtering)
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "2016-09-03" in pf_line or "date" in pf_line
+    assert q.count() == 1
+    # physical layout: one directory per distinct date
+    parts = [
+        p.name
+        for p in (tmp_path / "fact_count").iterdir()
+        if p.name.startswith("date=")
+    ]
+    assert len(parts) == 5
