@@ -200,6 +200,17 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_assign(emb)
 
 
+KMEANS_ITERATIONS = 2
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd k-means initialized from the label column
+    (operators/similarity.py:kmeans_fit); the oracle unrolls the same
+    rounds as a CTE chain."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.kmeans_fit(emb, iterations=KMEANS_ITERATIONS)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_testdata(spark, sf_dir, "embeddings")
     return S.ann_topk_bruteforce(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
@@ -242,6 +253,7 @@ LLM_QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "label_centroids": q_label_centroids,
     "kmeans_assign": q_kmeans_assign,
+    "kmeans_fit": q_kmeans_fit,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,

@@ -431,28 +431,17 @@ def label_centroids(embeddings: DataFrame, id_col: str = "vec_id",
     )
 
 
-def kmeans_assign(embeddings: DataFrame, id_col: str = "vec_id",
-                  vec_col: str = "embedding",
-                  label_col: str = "label") -> DataFrame:
-    """Nearest-centroid (re)assignment — one Lloyd half-step, and the
-    oracle-checkable core of IVF routing: centroids from the current
-    ``label_col`` partition, every vector reassigned to the centroid
-    with the smallest Euclidean distance (ties → lowest label).
-
-    Scale shape: centroids are O(k × dim) — ALWAYS broadcast; the
-    corpus side never shuffles (the k-way fan-out rides the broadcast
-    nested-loop, one window per vec_id cuts the argmin). Distances are
-    rounded to 6 decimals BEFORE the argmin so the winner (and the
-    DuckDB oracle comparison) is independent of float summation order.
-    Composing assign → label_centroids = one full k-means iteration.
-    """
-    base = scatter(
-        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
-    )
+def _assign_step(base: DataFrame, assignment: DataFrame,
+                 id_col: str = "vec_id") -> DataFrame:
+    """One Lloyd iteration given the current assignment: centroids
+    from (id → assigned) membership, every vector reassigned to the
+    nearest centroid (ties → lowest label). ``base`` is (id, vec
+    double[]); ``assignment`` is (id, assigned)."""
     cents = (
-        embeddings.select(
-            F.col(label_col).alias("c_label"),
-            F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+        base.join(assignment, id_col)
+        .select(
+            F.col("assigned").alias("c_label"),
+            F.posexplode("vec").alias("pos", "x"),
         )
         .groupBy("c_label", "pos")
         .agg(F.avg("x").alias("m"))
@@ -479,3 +468,52 @@ def kmeans_assign(embeddings: DataFrame, id_col: str = "vec_id",
         .filter(F.col("rn") == 1)
         .select(F.col(id_col), F.col("c_label").alias("assigned"), "dist")
     )
+
+
+def kmeans_assign(embeddings: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """Nearest-centroid (re)assignment — one Lloyd half-step, and the
+    oracle-checkable core of IVF routing: centroids from the current
+    ``label_col`` partition, every vector reassigned to the centroid
+    with the smallest Euclidean distance (ties → lowest label).
+
+    Scale shape: centroids are O(k × dim) — ALWAYS broadcast; the
+    corpus side never shuffles (the k-way fan-out rides the broadcast
+    nested-loop, one window per vec_id cuts the argmin). Distances are
+    rounded to 6 decimals BEFORE the argmin so the winner (and the
+    DuckDB oracle comparison) is independent of float summation order.
+    Composing assign → label_centroids = one full k-means iteration.
+    """
+    base = scatter(
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    )
+    assignment = embeddings.select(
+        F.col(id_col), F.col(label_col).alias("assigned")
+    )
+    return _assign_step(base, assignment, id_col)
+
+
+def kmeans_fit(embeddings: DataFrame, iterations: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               label_col: str = "label") -> DataFrame:
+    """Full Lloyd k-means for a fixed iteration count, initialized
+    from ``label_col``: alternate centroid update and nearest-centroid
+    reassignment. Each round is one tiny (k × dim) aggregate broadcast
+    back over the corpus — the corpus itself never shuffles, so wall
+    time is iterations × one corpus pass, the right shape at 100 TB.
+    Fixed iterations keep it oracle-checkable (the DuckDB twin unrolls
+    the same rounds as a CTE chain); a convergence-loop variant would
+    follow the connected-components pattern (localCheckpoint per
+    round) with a rows-only check."""
+    base = scatter(
+        embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("vec"))
+    )
+    assignment = embeddings.select(
+        F.col(id_col), F.col(label_col).alias("assigned")
+    )
+    res = None
+    for _ in range(iterations):
+        res = _assign_step(base, assignment, id_col)
+        assignment = res.select(id_col, "assigned")
+    return res.select(id_col, "assigned", "dist")

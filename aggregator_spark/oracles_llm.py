@@ -13,6 +13,7 @@ from aggregator_spark.llm_queries import (
     ANN_QUERY_IDS,
     EMB_DUP_THRESHOLD,
     JACCARD_THRESHOLD,
+    KMEANS_ITERATIONS,
     MAX_DF,
     MIX_DEFAULT,
     MIX_RATES,
@@ -448,6 +449,40 @@ LLM_ORACLES["kmeans_assign"] = """
           FROM scored)
     WHERE rn = 1
 """
+
+def _kmeans_unrolled_sql(iters: int) -> str:
+    """Unroll `iters` Lloyd rounds as a CTE chain — the declarative
+    twin of the iterative kmeans_fit loop."""
+    parts = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec"
+        " FROM embeddings)",
+        "a0 AS (SELECT vec_id, label AS assigned FROM embeddings)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (
+      SELECT c_label, list(m ORDER BY dim) AS cvec FROM (
+        SELECT a.assigned AS c_label, e.dim, AVG(e.x) AS m
+        FROM (SELECT vec_id, unnest(vec) AS x,
+                     generate_subscripts(vec, 1) AS dim FROM base) e
+        JOIN a{i - 1} a USING (vec_id)
+        GROUP BY c_label, e.dim)
+      GROUP BY c_label)""")
+        parts.append(f"""s{i} AS (
+      SELECT vec_id, c_label, round(list_distance(vec, cvec), 6) AS dist
+      FROM base CROSS JOIN c{i})""")
+        parts.append(f"""a{i} AS (
+      SELECT vec_id, c_label AS assigned, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dist, c_label) AS rn FROM s{i})
+      WHERE rn = 1)""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, assigned, dist FROM a{iters}"
+    )
+
+
+LLM_ORACLES["kmeans_fit"] = _kmeans_unrolled_sql(KMEANS_ITERATIONS)
 
 LLM_ORACLES["unigram_logprob"] = f"""
     WITH occ AS (
