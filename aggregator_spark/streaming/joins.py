@@ -63,3 +63,20 @@ def attribution_join(
         "click_id",
         "click_ts",
     )
+
+
+def static_enrich(stream: DataFrame, dim: DataFrame,
+                  on: str = "user_id",
+                  dim_cols: tuple[str, ...] = ("name", "segment")) -> DataFrame:
+    """Stream-static enrichment join — the streaming counterpart of the
+    reference's dimension joins (amplification Q9, main.py:219-229):
+    each micro-batch joins against the static dimension snapshot. The
+    dim side is broadcast (no stream-side shuffle, no state — unlike a
+    stream-stream join the static side needs no watermark; Spark
+    re-plans it per batch so a refreshed snapshot is picked up on
+    restart). Left join keeps unmatched stream rows, the UPDATE-FROM
+    keep-on-no-match analog."""
+    cols = [F.col(c) for c in dim_cols]
+    return stream.join(
+        F.broadcast(dim.select(F.col(on), *cols)), on, "left"
+    )

@@ -55,3 +55,45 @@ def test_attribution_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attr_out").collect()
     }
     assert got == {(3, 1), (3, 2)}
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast enrichment: every micro-batch row picks
+    up the dimension snapshot's attributes; unmatched rows survive with
+    NULLs (UPDATE-FROM keep-on-no-match analog). No watermark needed —
+    the static side holds no state."""
+    from aggregator_spark.streaming.joins import static_enrich
+
+    rows = [_mk(1, 0, 7, "click"), _mk(2, 5, 8, "view"), _mk(3, 9, 99, "click")]
+    src = str(tmp_path / "events_enrich")
+    spark.createDataFrame(rows, EVENTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    dim = spark.createDataFrame(
+        [(7, "alice", "gold"), (8, "bob", "basic")],
+        "user_id long, name string, segment string",
+    )
+
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    out = static_enrich(stream, dim)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["event_id"]: (r["name"], r["segment"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    assert got == {
+        1: ("alice", "gold"),
+        2: ("bob", "basic"),
+        3: (None, None),  # user 99 not in the dim: kept, not dropped
+    }
