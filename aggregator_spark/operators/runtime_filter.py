@@ -1,0 +1,95 @@
+"""Bloom-filter runtime join reduction — prune the fact BEFORE the
+shuffle with a compact membership sketch of the dim-side keys.
+
+The 100 TB problem: a fact⋈dim join where the dim side is too large to
+broadcast as a hash relation but the fact side is dominated by rows
+that will never match. Spark's AQE injects bloom runtime filters for
+exactly this; the operator here builds the same structure explicitly
+from public primitives so the technique is visible, testable, and
+tunable:
+
+1. build (distributed): each dim key sets k bit positions
+   ``pmod(xxhash64(key, seed_i), m)``; positions aggregate into
+   64-bit words via ``bit_or(shiftleft(1, bit))`` — one tiny
+   (m/64)-row result regardless of dim size;
+2. ship: only the m-bit bitset (not the keys) is collected and
+   attached to the fact scan as an array literal — m/8 bytes, e.g.
+   1 KiB for m=8192, vs an arbitrarily large broadcast hash table;
+3. probe (scan-side, codegen): a row survives iff ALL k bits are set —
+   false positives possible, false negatives impossible;
+4. the exact join afterwards removes false positives, so the composed
+   result EQUALS the plain join — which is the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+DEFAULT_M_BITS = 8192
+DEFAULT_K_HASHES = 3
+
+
+def build_bloom_words(
+    keys: DataFrame, key_col: str,
+    m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,
+) -> list[int]:
+    """Distributed bitset build: returns the m_bits/64 words. Only
+    this list (m/8 bytes) ever reaches the driver."""
+    pos = None
+    for i in range(k_hashes):
+        p = keys.select(
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits)).alias(
+                "bit"
+            )
+        )
+        pos = p if pos is None else pos.union(p)
+    words = {
+        r["w"]: r["word"]
+        for r in (
+            pos.distinct()
+            .select(
+                (F.col("bit") / 64).cast("int").alias("w"),
+                (F.col("bit") % 64).cast("int").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.expr("bit_or(shiftleft(1L, b))").alias("word"))
+        ).collect()
+    }
+    return [words.get(w, 0) for w in range(m_bits // 64)]
+
+
+def bloom_probe(
+    fact: DataFrame, key_col: str, bloom_words: list[int],
+    m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,
+) -> DataFrame:
+    """Scan-side probe: keep rows whose key has ALL k bloom bits set.
+    Pure codegen'd bit arithmetic on an array literal — no join, no
+    shuffle, no Python."""
+    out = fact.withColumn(
+        "__bloom", F.array(*[F.lit(w).cast("long") for w in bloom_words])
+    )
+    cond = None
+    for i in range(k_hashes):
+        out = out.withColumn(
+            f"__h{i}",
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits)),
+        )
+        test = F.expr(
+            f"(element_at(__bloom, CAST(__h{i} / 64 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(__h{i} % 64 AS INT))) != 0"
+        )
+        cond = test if cond is None else cond & test
+    drop = ["__bloom"] + [f"__h{i}" for i in range(k_hashes)]
+    return out.filter(cond).drop(*drop)
+
+
+def bloom_prefiltered_join(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,
+) -> DataFrame:
+    """Exact inner join with a bloom pre-filter on the fact side: the
+    probe drops non-matching fact rows before any shuffle; the join
+    then removes bloom false positives. Result ≡ fact ⋈ dim."""
+    words = build_bloom_words(dim.select(dim_key), dim_key, m_bits, k_hashes)
+    pruned = bloom_probe(fact, fact_key, words, m_bits, k_hashes)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

@@ -47,6 +47,16 @@ def oracle_sql() -> dict[str, str]:
         # incremental maintenance must equal the full recompute — the
         # oracle IS the from-scratch aggregate
         "incremental_daily_counts": _DAILY_COUNTS,
+        # bloom prefilter + exact join ≡ plain join (false positives
+        # removed by the join; false negatives impossible)
+        "bloom_prefiltered_join": """
+            SELECT user_id, c_name, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     AS total_value
+            FROM events JOIN customer ON user_id = c_custkey
+            WHERE c_acctbal > 9000.0
+            GROUP BY user_id, c_name
+        """,
         "amplified_counts": f"""
             WITH dim(event_type, factor) AS (VALUES {_DIM_VALUES}),
                  agg AS ({_DAILY_COUNTS})

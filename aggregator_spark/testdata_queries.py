@@ -148,6 +148,27 @@ def q_missing_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_ACCTBAL = 9000.0
+
+
+def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom runtime-filter join reduction (operators/runtime_filter.py):
+    the fact side is pruned scan-side by a 1 KiB bitset of the selective
+    dim's keys before any shuffle; the exact join removes false
+    positives, so the result equals the plain join — the oracle."""
+    from aggregator_spark.operators.runtime_filter import bloom_prefiltered_join
+
+    events, customer = load_testdata(spark, sf_dir, "events", "customer")
+    rich = customer.filter(F.col("c_acctbal") > BLOOM_ACCTBAL)
+    joined = bloom_prefiltered_join(events, rich, "user_id", "c_custkey")
+    return joined.groupBy("user_id", "c_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4b: union-append placeholder rows (reference main.py:446-452)."""
     customer = load_testdata(spark, sf_dir, "customer")
@@ -170,6 +191,7 @@ def queries():
         "daily_counts": q_daily_counts,
         "amplified_counts": q_amplified_counts,
         "incremental_daily_counts": q_incremental_daily_counts,
+        "bloom_prefiltered_join": q_bloom_prefiltered_join,
         "dim_date": q_dim_date,
         "missing_users": q_missing_users,
         "repaired_user_dim": q_repaired_user_dim,

@@ -145,3 +145,11 @@ def test_capped_shingles_blocklist_broadcast(plans):
     # keep-set (~whole vocabulary) must NOT be the broadcast side
     p = plans("ngram_jaccard_capped")
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_bloom_probe_is_scan_side_codegen(plans):
+    # the bloom probe must be plain bit arithmetic in the fact-side
+    # filter (runs inside codegen before any exchange), not a join
+    p = plans("bloom_prefiltered_join")
+    assert "element_at" in p and "shiftleft" in p
+    assert "CartesianProduct" not in p
