@@ -138,6 +138,29 @@ def q_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE F.session_window grouping (the
+    operator Structured Streaming shares): per (user, session) bounds
+    and counts. Semantics pinned against the manual lag+cumsum
+    formulation (the oracle): a new session starts when the gap is
+    >= 30 min — session_window merges an event only while it falls
+    STRICTLY inside previous-event + gap; window end = last event +
+    gap. One shuffle on user_id, session merge is map-side."""
+    events = load_testdata(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag + cumulative-sum over gaps > 30 min → session
     count and mean session length per user (all-window, no shuffle beyond
@@ -235,6 +258,7 @@ ANALYTICS_QUERIES = {
     "tpch_q6": q_tpch_q6,
     "top_events_per_type": q_top_events_per_type,
     "sessionize": q_sessionize,
+    "session_window_native": q_session_window_native,
     "rollup_orders": q_rollup_orders,
     "set_ops_users": q_set_ops,
     "pivot_daily": q_pivot_daily,

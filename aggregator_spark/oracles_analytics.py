@@ -83,6 +83,26 @@ ANALYTICS_ORACLES: dict[str, str] = {
         SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events
         FROM per_session GROUP BY user_id
     """,
+    "session_window_native": """
+        WITH gaps AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                        >= 1800000000
+                      OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                   AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS sid
+          FROM gaps)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+    """,
     "rollup_orders": f"""
         SELECT COALESCE(year, -1) AS year,
                COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
