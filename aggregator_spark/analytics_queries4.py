@@ -206,6 +206,80 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(media, fake=True).orderBy("media_id")
 
 
+def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling mean of daily event counts per event type — a
+    RANGE-frame window over day offsets (not ROWS: gap days must still
+    widen the frame). Exact-decimal mean: sum cast to decimal before
+    the divide so partial-agg order can't perturb the double."""
+    events = load_testdata(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        "cnt",
+        F.round(
+            F.sum(F.col("cnt").cast("decimal(30,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("avg_7d"),
+    )
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge: a deterministic update batch (every 10th
+    customer gets a new acctbal) applied to the customer dim as
+    slowly-changing-type-2 rows — prior version closed with an end
+    date, new version open-ended. Pure union + change flags; at scale
+    this is one broadcast-join pass over the dim, no shuffle of the
+    fact. Oracle builds the same two-generation history in SQL."""
+    customer = load_testdata(spark, sf_dir, "customer")
+    eff = F.lit("2024-02-01").cast("date")
+    updates = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    upd_keys = updates.select("c_custkey")
+    closed = (
+        customer.join(F.broadcast(upd_keys), "c_custkey", "left_semi")
+        .select(
+            "c_custkey", "c_acctbal",
+            F.lit("1970-01-01").cast("date").alias("valid_from"),
+            eff.alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    unchanged = (
+        customer.join(F.broadcast(upd_keys), "c_custkey", "left_anti")
+        .select(
+            "c_custkey", "c_acctbal",
+            F.lit("1970-01-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey", "c_acctbal",
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(unchanged).unionByName(fresh)
+
+
 ANALYTICS4_QUERIES = {
     "profile_events": q_profile_events,
     "json_struct": q_json_struct,
@@ -218,4 +292,6 @@ ANALYTICS4_QUERIES = {
     "user_type_arrays": q_user_type_arrays,
     "deterministic_sample": q_deterministic_sample,
     "rank_analytics": q_rank_analytics,
+    "rolling_7d_avg": q_rolling_7d_avg,
+    "scd2_merge": q_scd2_merge,
 }

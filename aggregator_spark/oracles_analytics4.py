@@ -93,4 +93,30 @@ ANALYTICS4_ORACLES: dict[str, str] = {
               FROM events GROUP BY event_type, user_id)
         WINDOW w AS (PARTITION BY event_type ORDER BY cnt, user_id)
     """,
+    "rolling_7d_avg": """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2)
+        SELECT day, event_type, cnt,
+               round(CAST(SUM(CAST(cnt AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                     / COUNT(*) OVER w, 6) AS avg_7d
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                           AND CURRENT ROW)
+    """,
+    "scd2_merge": """
+        SELECT c_custkey, c_acctbal,
+               DATE '1970-01-01' AS valid_from,
+               DATE '2024-02-01' AS valid_to,
+               FALSE AS is_current
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, DATE '1970-01-01', NULL, TRUE
+        FROM customer WHERE c_custkey % 10 != 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0, DATE '2024-02-01', NULL, TRUE
+        FROM customer WHERE c_custkey % 10 = 0
+    """,
 }
