@@ -240,6 +240,26 @@ def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of pivot_daily: the day × type
+    count matrix back to long (day, event_type, cnt) via stack().
+    Generated in one Expand pass (no join, no shuffle beyond the
+    pivot's own); zero-filled cells are dropped to restore the
+    original sparse form."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = q_pivot_daily(spark, sf_dir)
+    stack_args = ", ".join(f"'{t}', `{t}`" for t in types)
+    return (
+        wide.select(
+            "day",
+            F.expr(
+                f"stack({len(types)}, {stack_args}) AS (event_type, cnt)"
+            ),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
 def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT) per group (the Q2+Q4 fusion, SURVEY.md §2.4)."""
     events = load_testdata(spark, sf_dir, "events")
@@ -259,6 +279,7 @@ ANALYTICS_QUERIES = {
     "top_events_per_type": q_top_events_per_type,
     "sessionize": q_sessionize,
     "session_window_native": q_session_window_native,
+    "unpivot_daily": q_unpivot_daily,
     "rollup_orders": q_rollup_orders,
     "set_ops_users": q_set_ops,
     "pivot_daily": q_pivot_daily,

@@ -83,6 +83,11 @@ ANALYTICS_ORACLES: dict[str, str] = {
         SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events
         FROM per_session GROUP BY user_id
     """,
+    "unpivot_daily": """
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """,
     "session_window_native": """
         WITH gaps AS (
           SELECT user_id, ts, event_id,

@@ -64,8 +64,11 @@ def read_logentry_csv(
     return raw.select(
         parse_timestamp_auto(F.col("date")).alias("date"),
         "ip",
-        F.col("risk").cast("int").alias("risk"),
-        F.col("asn").cast("long").alias("asn"),
+        # try_cast, NOT cast: under ANSI mode (Spark 4 default) a plain
+        # cast ABORTS the whole load on one malformed numeric — a 100 TB
+        # feed must degrade garbage to NULL instead (COPY MAXERROR-ish)
+        F.col("risk").try_cast("int").alias("risk"),
+        F.col("asn").try_cast("long").alias("asn"),
         "country",
     )
 
@@ -80,7 +83,10 @@ def logentry_from_rows(spark: SparkSession, csv_text: str) -> DataFrame:
     return raw.select(
         parse_timestamp_auto(F.col("date")).alias("date"),
         "ip",
-        F.col("risk").cast("int").alias("risk"),
-        F.col("asn").cast("long").alias("asn"),
+        # try_cast, NOT cast: under ANSI mode (Spark 4 default) a plain
+        # cast ABORTS the whole load on one malformed numeric — a 100 TB
+        # feed must degrade garbage to NULL instead (COPY MAXERROR-ish)
+        F.col("risk").try_cast("int").alias("risk"),
+        F.col("asn").try_cast("long").alias("asn"),
         "country",
     )

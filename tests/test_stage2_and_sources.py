@@ -300,3 +300,34 @@ def test_publish_parquet_partition_pruning(spark, fact, tmp_path):
         if p.name.startswith("date=")
     ]
     assert len(parts) == 5
+
+
+def test_logentry_tolerates_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE-mode resilience: a 100 TB feed WILL contain garbage
+    rows; they must degrade to NULL fields (droppable downstream), not
+    kill the load — Redshift COPY would abort past MAXERROR."""
+    from aggregator_spark.sources.logentry import read_logentry_csv
+
+    csv = "\n".join(
+        [
+            "ts,ip,risk_id,asn,cc",
+            "2016-09-29T00:00:01+00:00,1.2.3.4,2,100,US",  # good
+            "not-a-date,5.6.7.8,2,100,DE",                 # bad ts
+            "2016-09-29T00:00:01+00:00,9.9.9.9,junk,nan,FR",  # bad nums
+            "2016-09-30 01:02:03,1.1.1.1",                 # short row
+        ]
+    )
+    p = tmp_path / "log.csv"
+    p.write_text(csv + "\n")
+    rows = {r["ip"]: r for r in read_logentry_csv(spark, str(p)).collect()}
+
+    assert len(rows) == 4  # nothing dropped, nothing aborted
+    good = rows["1.2.3.4"]
+    assert good["risk"] == 2 and good["country"] == "US"
+    assert good["date"] is not None
+    assert rows["5.6.7.8"]["date"] is None          # unparseable ts -> NULL
+    bad = rows["9.9.9.9"]
+    assert bad["risk"] is None and bad["asn"] is None  # bad casts -> NULL
+    short = rows["1.1.1.1"]
+    assert short["date"] is not None
+    assert short["risk"] is None and short["country"] is None  # padded
