@@ -385,12 +385,17 @@ def l2_normalize(embeddings: DataFrame, id_col: str = "vec_id",
     decimals (cross-engine float safety). Zero vectors pass through
     unchanged (guard against divide-by-zero NULLs). Pure column
     algebra over the array — no Python, no shuffle."""
-    vec = _as_double(F.col(vec_col))
-    n = norm(vec)
-    unit = F.when(n == 0.0, vec).otherwise(
-        F.transform(vec, lambda x: F.round(x / n, 6))
+    # Materialize the norm as its own column FIRST: inlining norm(vec)
+    # inside the transform lambda would splice the whole O(dim) fold
+    # into every element slot — an O(dim²) expression tree that took
+    # seconds to codegen and re-ran the fold per element.
+    staged = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("n", norm(F.col("vec")))
+    unit = F.when(F.col("n") == 0.0, F.col("vec")).otherwise(
+        F.transform(F.col("vec"), lambda x: F.round(x / F.col("n"), 6))
     )
-    return embeddings.select(F.col(id_col), unit.alias("unit_vec"))
+    return staged.select(F.col(id_col), unit.alias("unit_vec"))
 
 
 def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
@@ -400,16 +405,34 @@ def quantize_int8(embeddings: DataFrame, id_col: str = "vec_id",
     engines, unlike banker's-rounding `round`). Returns the int8 codes
     and the dequantization scale — 4× memory cut for ANN at scale.
     Zero vectors quantize to zeros with scale 0."""
-    vec = _as_double(F.col(vec_col))
-    amax = F.aggregate(
-        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    # scale staged as a column (not inlined in the lambda) — same
+    # O(dim²)-tree trap as l2_normalize, see comment there.
+    staged = (
+        embeddings.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+        )
+        .withColumn(
+            "amax",
+            F.aggregate(
+                F.col("vec"), F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x)),
+            ),
+        )
+        .withColumn(
+            "scale",
+            F.when(F.col("amax") == 0.0, F.lit(0.0)).otherwise(
+                F.lit(127.0) / F.col("amax")
+            ),
+        )
     )
-    scale = F.when(amax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
-    q = F.transform(vec, lambda x: F.floor(x * scale + 0.5).cast("int"))
-    return embeddings.select(
+    q = F.transform(
+        F.col("vec"),
+        lambda x: F.floor(x * F.col("scale") + 0.5).cast("int"),
+    )
+    return staged.select(
         F.col(id_col),
         q.alias("q_vec"),
-        F.round(scale, 6).alias("scale"),
+        F.round(F.col("scale"), 6).alias("scale"),
     )
 
 
