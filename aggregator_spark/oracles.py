@@ -100,11 +100,13 @@ def oracle_sql() -> dict[str, str]:
     from aggregator_spark.oracles_analytics2 import ANALYTICS2_ORACLES
     from aggregator_spark.oracles_analytics3 import ANALYTICS3_ORACLES
     from aggregator_spark.oracles_analytics4 import ANALYTICS4_ORACLES
+    from aggregator_spark.oracles_analytics5 import ANALYTICS5_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
 
     oracles.update(ANALYTICS_ORACLES)
     oracles.update(ANALYTICS2_ORACLES)
     oracles.update(ANALYTICS3_ORACLES)
     oracles.update(ANALYTICS4_ORACLES)
+    oracles.update(ANALYTICS5_ORACLES)
     oracles.update(LLM_ORACLES)
     return oracles
