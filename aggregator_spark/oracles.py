@@ -101,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
     from aggregator_spark.oracles_analytics3 import ANALYTICS3_ORACLES
     from aggregator_spark.oracles_analytics4 import ANALYTICS4_ORACLES
     from aggregator_spark.oracles_analytics5 import ANALYTICS5_ORACLES
+    from aggregator_spark.oracles_analytics6 import ANALYTICS6_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
 
     oracles.update(ANALYTICS_ORACLES)
@@ -108,5 +109,6 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(ANALYTICS3_ORACLES)
     oracles.update(ANALYTICS4_ORACLES)
     oracles.update(ANALYTICS5_ORACLES)
+    oracles.update(ANALYTICS6_ORACLES)
     oracles.update(LLM_ORACLES)
     return oracles
