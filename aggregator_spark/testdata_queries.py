@@ -187,6 +187,7 @@ def queries():
     from aggregator_spark.analytics_queries4 import ANALYTICS4_QUERIES
     from aggregator_spark.analytics_queries5 import ANALYTICS5_QUERIES
     from aggregator_spark.analytics_queries6 import ANALYTICS6_QUERIES
+    from aggregator_spark.analytics_queries7 import ANALYTICS7_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
     qs = {
@@ -206,5 +207,6 @@ def queries():
     qs.update(ANALYTICS4_QUERIES)
     qs.update(ANALYTICS5_QUERIES)
     qs.update(ANALYTICS6_QUERIES)
+    qs.update(ANALYTICS7_QUERIES)
     qs.update(LLM_QUERIES)
     return qs
