@@ -153,3 +153,48 @@ def test_bloom_probe_is_scan_side_codegen(plans):
     p = plans("bloom_prefiltered_join")
     assert "element_at" in p and "shiftleft" in p
     assert "CartesianProduct" not in p
+
+
+def test_funnel_stage_filters_pushed(plans):
+    p = plans("funnel_stages")
+    # each stage's event_type equality reaches its parquet scan
+    assert "EqualTo(event_type,view)" in p
+    assert "EqualTo(event_type,click)" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "CartesianProduct" not in p
+
+
+def test_top_bigrams_distributed_topk(plans):
+    p = plans("top_bigrams")
+    # top-20 must compile to a per-partition top-k merge, not a global sort
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+
+
+def test_tfidf_no_cartesian_blowup(plans):
+    p = plans("tfidf_top_terms")
+    # N-docs scalar joins via broadcast nested loop on 1 row, never a
+    # shuffled cartesian; ranking window partitions by doc_id
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_value_histogram_constant_shuffle(plans):
+    p = plans("value_histogram")
+    # partial aggregate collapses each task to <=10 bin rows pre-shuffle
+    assert "partial_count" in p and "partial_sum" in p
+
+
+def test_vocab_edit_pairs_broadcast_self_join(plans):
+    p = plans("vocab_edit_pairs")
+    # the vocabulary self-join is broadcast (vocab << corpus), with the
+    # levenshtein filter applied after the length-band join condition
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "levenshtein" in p
+
+
+def test_snapshot_diff_single_scan(plans):
+    p = plans("snapshot_diff")
+    # both snapshot windows come from ONE events scan (conditional agg);
+    # formatted explain prints each node twice (tree + details)
+    assert p.count("Scan parquet") == 2
