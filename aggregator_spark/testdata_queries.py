@@ -188,6 +188,7 @@ def queries():
     from aggregator_spark.analytics_queries5 import ANALYTICS5_QUERIES
     from aggregator_spark.analytics_queries6 import ANALYTICS6_QUERIES
     from aggregator_spark.analytics_queries7 import ANALYTICS7_QUERIES
+    from aggregator_spark.graph_queries import GRAPH_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
     qs = {
@@ -208,5 +209,6 @@ def queries():
     qs.update(ANALYTICS5_QUERIES)
     qs.update(ANALYTICS6_QUERIES)
     qs.update(ANALYTICS7_QUERIES)
+    qs.update(GRAPH_QUERIES)
     qs.update(LLM_QUERIES)
     return qs
