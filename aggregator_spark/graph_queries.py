@@ -131,3 +131,17 @@ GRAPH_QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "cooccur_triangles": q_cooccur_triangles,
 }
+
+
+def q_hll_monthly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HLL sketch rollup (rows-only check — estimates
+    are engine-specific): daily user sketches union-merged to monthly
+    distinct estimates without rescanning the fact. See
+    ``operators/sketches.py`` for the lossless-merge invariant test.
+    """
+    from aggregator_spark.operators.sketches import monthly_distinct_users
+
+    return monthly_distinct_users(load_testdata(spark, sf_dir, "events"))
+
+
+GRAPH_QUERIES["hll_monthly_users"] = q_hll_monthly_users

@@ -198,3 +198,19 @@ def test_snapshot_diff_single_scan(plans):
     # both snapshot windows come from ONE events scan (conditional agg);
     # formatted explain prints each node twice (tree + details)
     assert p.count("Scan parquet") == 2
+
+
+def test_textrank_broadcasts_scalar_and_outdeg(plans):
+    p = plans("textrank_keywords")
+    # N-nodes scalar and out-degree dim ride broadcasts; the iterative
+    # rank joins stay keyed — no cartesian blowup anywhere in 3 rounds
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_hll_monthly_single_scan(plans):
+    p = plans("hll_monthly_users")
+    # sketch rollup reads the fact exactly once (node appears twice in
+    # formatted explain: tree + details)
+    assert p.count("Scan parquet") == 2
+    assert "hll_union_agg" in p or "HllUnionAgg" in p or "hll" in p.lower()
