@@ -62,3 +62,28 @@ def upsert_parquet_sink(target_path: str, key_cols: list[str]):
         fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), target)
 
     return write
+
+
+def versioned_merge_sink(root: str, key_cols: list[str]):
+    """foreachBatch CDC-apply into a *versioned* table
+    (``sources/versioned_table.py``): each micro-batch MERGEs as a new
+    immutable snapshot — readers keep snapshot isolation mid-stream,
+    and every batch's pre-image stays time-travelable. Batch 0
+    bootstraps the table. Exactly-once note: a retried batch re-merges
+    the same keyed rows — the merge is idempotent for identical batch
+    content (replace-by-key), so duplicates cannot accumulate."""
+    from aggregator_spark.sources.versioned_table import (
+        list_versions,
+        merge_upsert,
+        write_version,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if not list_versions(root):
+            write_version(batch_df.dropDuplicates(key_cols), root)
+        else:
+            merge_upsert(
+                batch_df.sparkSession, root, batch_df, key_cols
+            )
+
+    return write
