@@ -1,0 +1,79 @@
+"""Analytics query pack 8 — scalar/window function breadth:
+window value functions (first_value / nth_value / last_value with
+explicit frames) and calendar arithmetic (last_day / add_months /
+next_day / dayofyear).
+
+Shared determinism rules follow ``analytics_queries.py``; frames are
+spelled out explicitly on BOTH engines (default-frame semantics are a
+classic cross-engine trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aggregator_spark.schemas import load_testdata
+
+
+def q_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions over each event_type's daily-count
+    series: the series' first value, its overall last value (full
+    frame — NOT the default current-row frame), and the second value
+    (nth_value, NULL on the first row).
+
+    Scale shape: windows run over the day-grained aggregate (≤366
+    rows/series/year), partitioned by event_type — never the raw fact.
+    """
+    e = load_testdata(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    grow = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.first("cnt").over(grow).alias("first_cnt"),
+        F.last("cnt").over(full).alias("final_cnt"),
+        F.nth_value("cnt", 2).over(grow).alias("second_cnt"),
+    )
+
+
+def q_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic over the distinct order dates: month end
+    (last_day), same-day-next-month with end-of-month clamping
+    (add_months: Jan 31 + 1 → Feb 29), first strictly-later Monday
+    (next_day), and day-of-year — the dim_date derivation's richer
+    cousin (reference main.py:390-401).
+
+    Scale shape: runs on the distinct-date relation (≤ a few thousand
+    rows regardless of fact size); all functions are codegen'd
+    JVM date arithmetic.
+    """
+    orders = load_testdata(spark, sf_dir, "orders")
+    d = (
+        orders.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    return d.select(
+        "d",
+        F.last_day("d").alias("month_end"),
+        F.add_months("d", 1).alias("next_month"),
+        F.next_day("d", "Mon").alias("next_monday"),
+        F.dayofyear("d").alias("doy"),
+    )
+
+
+ANALYTICS8_QUERIES = {
+    "window_value_funcs": q_window_value_funcs,
+    "calendar_funcs": q_calendar_funcs,
+}

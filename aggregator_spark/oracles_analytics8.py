@@ -1,0 +1,39 @@
+"""DuckDB oracles for analytics pack 8 (same aliases, explicit window
+frames mirroring the Spark side)."""
+
+from __future__ import annotations
+
+ANALYTICS8_ORACLES: dict[str, str] = {
+    "window_value_funcs": """
+        WITH daily AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, cnt,
+               first_value(cnt) OVER grow AS first_cnt,
+               last_value(cnt) OVER full_frame AS final_cnt,
+               nth_value(cnt, 2) OVER grow AS second_cnt
+        FROM daily
+        WINDOW
+          grow AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          full_frame AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    """,
+    "calendar_funcs": """
+        WITH d AS (
+          SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        )
+        SELECT d,
+               last_day(d) AS month_end,
+               CAST(d + INTERVAL 1 MONTH AS DATE) AS next_month,
+               CAST(d + CAST(
+                 (CASE WHEN (8 - isodow(d)) % 7 = 0 THEN 7
+                       ELSE (8 - isodow(d)) % 7 END) || ' days'
+                 AS INTERVAL) AS DATE) AS next_monday,
+               CAST(dayofyear(d) AS INTEGER) AS doy
+        FROM d
+    """,
+}
