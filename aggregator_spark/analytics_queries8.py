@@ -77,3 +77,44 @@ ANALYTICS8_QUERIES = {
     "window_value_funcs": q_window_value_funcs,
     "calendar_funcs": q_calendar_funcs,
 }
+
+
+def q_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING()/grouping_id: the fix the reference could
+    not express (SURVEY §2.4 Q14 — its NULL→sentinel UPDATE cannot
+    tell cube-generated NULLs from genuine NULL data, reference
+    main.py:408-421). Here 'error' events are nullified to simulate
+    unattributed data, and ONLY cube-generated NULLs become the 'ALL'
+    sentinel — genuine NULLs surface as 'unattributed'.
+
+    Scale shape: native cube() compiles to Expand + one hash aggregate
+    (4 grouping sets × input, partials map-side) — same plan family as
+    the reference-parity cubes (operators/cube.py).
+    """
+    e = load_testdata(spark, sf_dir, "events").select(
+        F.nullif("event_type", F.lit("error")).alias("etype"),
+        (F.col("user_id") % 3).cast("int").alias("seg"),
+        "value",
+    )
+    agg = e.cube("etype", "seg").agg(
+        F.grouping("etype").cast("int").alias("g_etype"),
+        F.grouping("seg").cast("int").alias("g_seg"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return agg.select(
+        F.when(F.col("g_etype") == 1, F.lit("ALL"))
+        .otherwise(F.coalesce("etype", F.lit("unattributed")))
+        .alias("etype_out"),
+        F.when(F.col("g_seg") == 1, F.lit("ALL"))
+        .otherwise(F.col("seg").cast("string"))
+        .alias("seg_out"),
+        (F.col("g_etype") * 2 + F.col("g_seg")).alias("gid"),
+        "n",
+        "total_value",
+    )
+
+
+ANALYTICS8_QUERIES["cube_grouping_id"] = q_cube_grouping_id

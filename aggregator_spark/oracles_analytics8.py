@@ -37,3 +37,20 @@ ANALYTICS8_ORACLES: dict[str, str] = {
         FROM d
     """,
 }
+
+ANALYTICS8_ORACLES["cube_grouping_id"] = """
+    WITH e AS (
+      SELECT NULLIF(event_type, 'error') AS etype,
+             CAST(user_id % 3 AS INTEGER) AS seg, value
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(etype) = 1 THEN 'ALL'
+                ELSE COALESCE(etype, 'unattributed') END AS etype_out,
+           CASE WHEN GROUPING(seg) = 1 THEN 'ALL'
+                ELSE CAST(seg AS VARCHAR) END AS seg_out,
+           CAST(GROUPING(etype) * 2 + GROUPING(seg) AS INTEGER) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             AS total_value
+    FROM e GROUP BY CUBE(etype, seg)
+"""
