@@ -93,35 +93,35 @@ def q_vocab_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct tokens self-paired at Levenshtein distance 1 (spelling
     variants), a < b to emit each pair once.
 
-    Scale shape: the vocabulary is a distinct-aggregate of the corpus
-    (orders of magnitude smaller — Heaps' law), broadcast for the
-    self-join; a length-difference ≤ 1 band prunes the quadratic
-    candidate space before the levenshtein evaluation, and the whole
-    pair loop stays JVM-side (no Python).
+    Scale shape — SymSpell-style deletion-neighborhood blocking: each
+    term emits itself plus its |t| single-character deletions as join
+    keys; every distance-1 pair (substitution, insertion, deletion)
+    provably shares a key, so candidates come from a plain HASH
+    equi-join on the key — linear key volume, no O(V²) cross/BNLJ —
+    and the exact levenshtein==1 filter keeps precision. Key
+    generation is a JVM higher-order transform (no Python).
     """
     docs = load_testdata(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(_tokens()).alias("term"))
-        .distinct()
-        .withColumn("tlen", F.length("term"))
+    vocab = docs.select(F.explode(_tokens()).alias("term")).distinct()
+    keyed = vocab.select(
+        "term",
+        F.explode(
+            F.expr(
+                "array_union(array(term), transform("
+                "sequence(1, length(term)), "
+                "i -> concat(substr(term, 1, i - 1), "
+                "substr(term, i + 1))))"
+            )
+        ).alias("k"),
     )
-    a = vocab.select(
-        F.col("term").alias("term_a"), F.col("tlen").alias("len_a")
-    )
-    b = vocab.select(
-        F.col("term").alias("term_b"), F.col("tlen").alias("len_b")
-    )
+    a = keyed.select(F.col("term").alias("term_a"), "k")
+    b = keyed.select(F.col("term").alias("term_b"), "k")
     return (
-        a.join(
-            F.broadcast(b),
-            (F.col("term_a") < F.col("term_b"))
-            & (
-                F.abs(F.col("len_a") - F.col("len_b")) <= F.lit(1)
-            ),
-        )
-        .withColumn(
-            "edit_dist", F.levenshtein("term_a", "term_b")
-        )
+        a.join(b, "k")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein("term_a", "term_b"))
         .filter(F.col("edit_dist") == 1)
         .select("term_a", "term_b", "edit_dist")
     )

@@ -185,11 +185,13 @@ def test_value_histogram_constant_shuffle(plans):
     assert "partial_count" in p and "partial_sum" in p
 
 
-def test_vocab_edit_pairs_broadcast_self_join(plans):
+def test_vocab_edit_pairs_hash_join_on_deletion_keys(plans):
     p = plans("vocab_edit_pairs")
-    # the vocabulary self-join is broadcast (vocab << corpus), with the
-    # levenshtein filter applied after the length-band join condition
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # SymSpell blocking: candidates come from a HASH equi-join on the
+    # deletion-neighborhood key — never an O(V^2) nested loop
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p
     assert "levenshtein" in p
 
 
