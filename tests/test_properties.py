@@ -195,3 +195,47 @@ def test_asof_join_equals_reference(lefts, rights):
                 best = (rm, rid)
         want[lid] = best[1] if best else None
     assert got == want
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(0, 9), st.sampled_from(["a", "b", "c"]), max_size=8
+    ),
+    updates=st.lists(
+        st.dictionaries(
+            st.integers(0, 9),
+            st.sampled_from(["x", "y", "z"]),
+            max_size=5,
+        ),
+        max_size=3,
+    ),
+)
+@SET
+def test_versioned_merge_equals_dict_semantics(tmp_path_factory, base, updates):
+    """A chain of MERGEs must equal plain dict.update() semantics —
+    last writer wins per key, nothing lost, nothing invented."""
+    from aggregator_spark.sources.versioned_table import (
+        merge_upsert,
+        read_table,
+        write_version,
+    )
+
+    spark = _get_spark()
+    root = str(tmp_path_factory.mktemp("vt") / "t")
+    expected = dict(base)
+    write_version(
+        spark.createDataFrame(
+            list(base.items()) or [(None, None)], "id int, val string"
+        ).filter("id IS NOT NULL"),
+        root,
+    )
+    for up in updates:
+        expected.update(up)
+        src = spark.createDataFrame(
+            list(up.items()) or [(None, None)], "id int, val string"
+        ).filter("id IS NOT NULL")
+        merge_upsert(spark, root, src, keys=["id"])
+    got = {
+        r["id"]: r["val"] for r in read_table(spark, root).collect()
+    }
+    assert got == expected
