@@ -135,44 +135,117 @@ def lsh_signature(vec, n_planes: int, n_dims: int):
     return F.concat(*bits)
 
 
+def lsh_signature_table(vec, table: int, planes_per_table: int, n_dims: int):
+    """Signature for table ``table``: planes [table*b, (table+1)*b) of
+    the same deterministic md5 plane family — tables are independent
+    because their plane index ranges are disjoint."""
+    bits = []
+    for j in range(planes_per_table):
+        p = table * planes_per_table + j
+        weights = F.array(
+            *[F.lit(_plane_weight(p, d)) for d in range(n_dims)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
     k: int = 3,
-    n_planes: int = 8,
+    n_tables: int = 12,
+    planes_per_table: int = 5,
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus vectors sharing the LSH
-    bucket with the query (single-probe), exact cosine re-rank inside.
-    At scale the bucket join replaces the full cross product — shuffle
-    O(n) instead of O(n·q)."""
-    base = scatter(
-        _with_vec_norm(embeddings, id_col, vec_col)
-    ).withColumn("sig", lsh_signature(F.col("vec"), n_planes, n_dims))
-    queries = base
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: L independent
+    sign-bit signatures (b planes each); candidates = corpus vectors
+    sharing ANY table's bucket with the query, deduped, then exact
+    cosine re-rank. Recall ≈ 1-(1-p^b)^L for per-plane agreement p —
+    single-probe (L=1) collapses to ~p^b, which is why it measured ~0
+    recall on weakly-correlated embeddings; L=12×b=5 measures ~0.6
+    recall@5 probing ~1/3 of this corpus (tune b up as the corpus
+    grows: bucket occupancy ~n/2^b per table).
+
+    Scale shape: the bucket join is keyed on (table, signature) —
+    shuffle O(n·L) keys instead of the O(n·q) cross product; dedup of
+    candidate pairs happens pre-scoring so each survivor is scored
+    once.
+    """
+    # signatures via Arrow-vectorized numpy (one matmul for all L×b
+    # planes) — the interpreted per-plane HOF fold measured ~6× slower
+    # at sf0.1 (same precedent as shingling in operators/dedup.py)
+    import numpy as np
+
+    W = np.array(
+        [
+            [_plane_weight(p, d) for d in range(n_dims)]
+            for p in range(n_tables * planes_per_table)
+        ]
+    )
+    b = planes_per_table
+
+    def add_sigs(batches):
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+            P = V @ W.T >= 0
+            pdf = pdf.copy()
+            pdf["sigs"] = [
+                [
+                    "".join("1" if x else "0" for x in row[t * b : (t + 1) * b])
+                    for t in range(n_tables)
+                ]
+                for row in P
+            ]
+            yield pdf
+
+    base = scatter(_with_vec_norm(embeddings, id_col, vec_col)).mapInPandas(
+        add_sigs,
+        schema=(
+            f"{id_col} long, vec array<double>, vnorm double, "
+            "sigs array<string>"
+        ),
+    )
+    keyed = base.select(
+        id_col,
+        "vec",
+        "vnorm",
+        F.posexplode("sigs").alias("table", "sig"),
+    )
+    queries = keyed
     if query_ids is not None:
-        queries = base.filter(F.col(id_col).isin(query_ids))
+        queries = keyed.filter(F.col(id_col).isin(query_ids))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("vnorm").alias("qnorm"),
+        F.col("table").alias("qtable"),
         F.col("sig").alias("qsig"),
     )
-    scored = (
-        base.join(F.broadcast(q), F.col("sig") == F.col("qsig"))
-        .filter(F.col("query_id") != F.col(id_col))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("qvec"), F.col("vec"))
-                / (F.col("qnorm") * F.col("vnorm")),
-                6,
-            ),
+    candidates = (
+        keyed.join(
+            F.broadcast(q),
+            (F.col("table") == F.col("qtable"))
+            & (F.col("sig") == F.col("qsig")),
         )
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", "qvec", "qnorm", id_col, "vec", "vnorm")
+        .dropDuplicates(["query_id", id_col])
     )
+    scored = candidates.withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("qvec"), F.col("vec"))
+            / (F.col("qnorm") * F.col("vnorm")),
+            6,
+        ),
+    ).select("query_id", F.col(id_col).alias("neighbor_id"), "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -186,29 +259,53 @@ def ann_topk_ivf(
     embeddings: DataFrame,
     query_ids: list[int] | None = None,
     k: int = 3,
-    nprobe: int = 2,
+    nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cluster_col: str = "label",
+    cluster_col: str | None = None,
+    kmeans_rounds: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k: coarse quantization by an existing
-    cluster assignment (``cluster_col``; a k-means step would produce
-    one offline at scale), per-cluster mean centroids, queries probe the
-    ``nprobe`` nearest centroids and re-rank exactly inside those
-    clusters only.
+    """IVF-style approximate top-k: coarse quantization by a GEOMETRIC
+    k-means assignment (default: ``kmeans_fit`` over the embeddings —
+    a metadata label column is NOT a valid quantizer: on this corpus
+    the true top-1 neighbor shares the label only at chance rate, so
+    label-routing measured ~0.3 recall vs ~0.6 with geometric
+    clusters at nprobe=3). Per-cluster mean centroids; queries probe
+    the ``nprobe`` nearest centroids and re-rank exactly inside.
+    One Lloyd round measured best here (0.625 recall@5, and each
+    extra round shrinks clusters enough to split true neighbors:
+    0.600 at 2, 0.550 at 3) — kmeans_rounds is the quality/cost knob.
 
     Scale shape: centroids are O(n_clusters × dim) — broadcastable at
     any corpus size; the candidate join touches ~nprobe/n_clusters of
     the corpus instead of all of it, and the corpus side never
-    shuffles (cluster routing rides the broadcast join).
+    shuffles (cluster routing rides the broadcast join). The k-means
+    fit is the offline index-build step (iterations × one corpus
+    pass); pass ``cluster_col`` to reuse a precomputed assignment.
     """
-    base = scatter(
-        embeddings.select(
-            F.col(id_col),
-            F.col(cluster_col).alias("cluster"),
-            _as_double(F.col(vec_col)).alias("vec"),
+    if cluster_col is None:
+        assignment = kmeans_fit(
+            embeddings, iterations=kmeans_rounds, id_col=id_col,
+            vec_col=vec_col,
+        ).select(F.col(id_col).alias("a_id"), F.col("assigned"))
+        clustered = embeddings.join(
+            assignment, F.col(id_col) == F.col("a_id")
         )
-    ).withColumn("vnorm", norm(F.col("vec")))
+        base = scatter(
+            clustered.select(
+                F.col(id_col),
+                F.col("assigned").alias("cluster"),
+                _as_double(F.col(vec_col)).alias("vec"),
+            )
+        ).withColumn("vnorm", norm(F.col("vec")))
+    else:
+        base = scatter(
+            embeddings.select(
+                F.col(id_col),
+                F.col(cluster_col).alias("cluster"),
+                _as_double(F.col(vec_col)).alias("vec"),
+            )
+        ).withColumn("vnorm", norm(F.col("vec")))
 
     # centroid per cluster: element-wise mean via posexplode → avg →
     # re-assemble ordered by position (tiny result, broadcast later)

@@ -148,3 +148,29 @@ def test_chunking_covers_and_packs_within_budget(spark):
         for r in rows:
             assert r["seq_bin"] == cum // 100
             cum += r["n_tokens"]
+
+
+def test_ann_recall_floors(spark, sf_dir):
+    """Approximate ANN must actually find neighbors: recall@5 vs the
+    exact scorer ≥ 0.4 averaged over queries (measured ~0.5-0.65 for
+    multi-table LSH and geometric-kmeans IVF on this corpus; the old
+    single-probe/label-routed forms measured ~0.0/0.3)."""
+    from aggregator_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ann_topk_lsh,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    qids, k = list(range(8)), 5
+    exact: dict = {}
+    for r in ann_topk_bruteforce(emb, query_ids=qids, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for fn in (ann_topk_lsh, ann_topk_ivf):
+        got: dict = {}
+        for r in fn(emb, query_ids=qids, k=k).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recall = sum(
+            len(exact[q] & got.get(q, set())) / k for q in qids
+        ) / len(qids)
+        assert recall >= 0.4, f"{fn.__name__} recall@5 = {recall}"
