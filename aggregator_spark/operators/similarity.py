@@ -117,41 +117,9 @@ def _plane_weight(plane: int, dim: int) -> float:
     return int(h[:6], 16) / 16777216.0 - 0.5
 
 
-def lsh_signature(vec, n_planes: int, n_dims: int):
-    """Sign-bit signature string of projections onto n_planes
-    deterministic hyperplanes (weights are array literals; one
-    sequential fold per plane)."""
-    bits = []
-    for p in range(n_planes):
-        weights = F.array(
-            *[F.lit(_plane_weight(p, d)) for d in range(n_dims)]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, weights, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
-def lsh_signature_table(vec, table: int, planes_per_table: int, n_dims: int):
-    """Signature for table ``table``: planes [table*b, (table+1)*b) of
-    the same deterministic md5 plane family — tables are independent
-    because their plane index ranges are disjoint."""
-    bits = []
-    for j in range(planes_per_table):
-        p = table * planes_per_table + j
-        weights = F.array(
-            *[F.lit(_plane_weight(p, d)) for d in range(n_dims)]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, weights, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+# hyperplane signatures are computed Arrow-side inside ann_topk_lsh
+# (numpy matmul over the _plane_weight family — tables are independent
+# because their plane index ranges are disjoint)
 
 
 def ann_topk_lsh(
