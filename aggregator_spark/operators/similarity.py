@@ -524,8 +524,17 @@ def _assign_step(base: DataFrame, assignment: DataFrame,
     """One Lloyd iteration given the current assignment: centroids
     from (id → assigned) membership, every vector reassigned to the
     nearest centroid (ties → lowest label). ``base`` is (id, vec
-    double[]); ``assignment`` is (id, assigned)."""
-    cents = (
+    double[]); ``assignment`` is (id, assigned).
+
+    Centroid means stay a distributed aggregate; the k×dim result is
+    collected (always tiny — the broadcast-equivalent) and the
+    reassignment runs Arrow-vectorized per batch with SEQUENTIAL
+    dimension-order accumulation + decimal HALF_UP rounding before the
+    argmin — bit-identical to the declarative zip_with/aggregate fold
+    it replaces (same precedent as _near_dup_batches; the interpreted
+    fold × k crossJoin measured ~2× slower at sf0.1). The corpus side
+    still never shuffles."""
+    cents_rows = (
         base.join(assignment, id_col)
         .select(
             F.col("assigned").alias("c_label"),
@@ -536,25 +545,57 @@ def _assign_step(base: DataFrame, assignment: DataFrame,
         .groupBy("c_label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("c_label", F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"))
+        .orderBy("c_label")
+        .collect()
     )
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    import numpy as np
+
+    labels = np.array([r["c_label"] for r in cents_rows])
+    C = np.array([r["cvec"] for r in cents_rows], dtype=np.float64)
+
+    def reassign(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        q6 = Decimal("0.000001")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
-        ),
-        6,
-    )
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col("c_label"), dist.alias("dist")
-    )
-    w = Window.partitionBy(id_col).orderBy("dist", "c_label")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("c_label").alias("assigned"), "dist")
+            acc = np.zeros((V.shape[0], C.shape[0]))
+            for d in range(V.shape[1]):
+                diff = V[:, d, None] - C[None, :, d]
+                acc = acc + diff * diff
+            dist = np.sqrt(acc)
+            rd = np.array(
+                [
+                    [
+                        float(
+                            Decimal(repr(float(x))).quantize(
+                                q6, rounding=ROUND_HALF_UP
+                            )
+                        )
+                        for x in row
+                    ]
+                    for row in dist
+                ]
+            )
+            # first occurrence of the row min = lowest label (labels
+            # sorted ascending) — the declarative tie-break preserved
+            idx = rd.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "assigned": labels[idx].astype("int32"),
+                    "dist": rd[np.arange(len(idx)), idx],
+                }
+            )
+
+    return base.mapInPandas(
+        reassign, schema=f"{id_col} long, assigned int, dist double"
     )
 
 

@@ -126,12 +126,15 @@ def test_q21_no_cartesian(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_kmeans_assign_broadcasts_centroids(plans):
-    # centroids are O(k x dim): must ride a broadcast (BNLJ from the
-    # crossJoin), never a shuffle of the corpus side
+def test_kmeans_assign_arrow_reassignment(plans):
+    # centroids are O(k x dim), collected and closed over; the corpus
+    # side runs one Arrow-vectorized pass — no join, no corpus-side
+    # key shuffle (the only exchange is scatter's round-robin)
     p = plans("kmeans_assign")
-    assert "BroadcastNestedLoopJoin" in p
+    assert "MapInPandas" in p
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "hashpartitioning" not in p.lower()
 
 
 def test_stratified_sample_no_shuffle(plans):
