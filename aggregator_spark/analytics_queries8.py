@@ -118,3 +118,29 @@ def q_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANALYTICS8_QUERIES["cube_grouping_id"] = q_cube_grouping_id
+
+
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): props parsed once with
+    parse_json into a VARIANT, fields extracted with try_variant_get
+    (NULL on missing/mistyped — no exceptions at 100 TB), aggregated
+    per event_type. VARIANT's binary encoding makes repeated
+    field-extraction O(field) instead of re-parsing the JSON text per
+    access — the schema-on-read shape for ragged telemetry.
+    """
+    e = load_testdata(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json("props"), "$.k", "int"
+        ).alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+ANALYTICS8_QUERIES["variant_json_stats"] = q_variant_json_stats

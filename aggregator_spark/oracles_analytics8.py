@@ -54,3 +54,17 @@ ANALYTICS8_ORACLES["cube_grouping_id"] = """
              AS total_value
     FROM e GROUP BY CUBE(etype, seg)
 """
+
+ANALYTICS8_ORACLES["variant_json_stats"] = """
+    WITH parsed AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k
+    FROM parsed GROUP BY event_type
+"""
