@@ -144,3 +144,61 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANALYTICS8_QUERIES["variant_json_stats"] = q_variant_json_stats
+
+
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided interval OVERLAP join (distinct from the one-sided
+    band join `value_bands`): per-user session intervals
+    (gap>30min sessionization) joined against fixed maintenance
+    windows on s.start <= w.end AND s.end >= w.start; output = per
+    window, how many sessions it intersects and the distinct users
+    affected.
+
+    Scale shape: the windows side is a literal dim — broadcast
+    nested-loop on the two range predicates (the standard plan for
+    non-equi conditions); the sessions side is already day-grained
+    aggregate-sized. At extreme scale the windows would be bucketed
+    by coarse time grid to convert this into an equi-join on grid
+    cell + residual range filter.
+    """
+    events = load_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    windows = spark.createDataFrame(
+        [
+            ("w1", "2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+            ("w2", "2024-01-15 12:00:00", "2024-01-16 12:00:00"),
+            ("w3", "2024-01-25 00:00:00", "2024-01-31 00:00:00"),
+        ],
+        "win_id string, w_start string, w_end string",
+    ).select(
+        "win_id",
+        F.col("w_start").cast("timestamp").alias("w_start"),
+        F.col("w_end").cast("timestamp").alias("w_end"),
+    )
+    return (
+        sess.join(
+            F.broadcast(windows),
+            (F.col("s_start") <= F.col("w_end"))
+            & (F.col("s_end") >= F.col("w_start")),
+        )
+        .groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+ANALYTICS8_QUERIES["interval_overlap_join"] = q_interval_overlap_join

@@ -68,3 +68,37 @@ ANALYTICS8_ORACLES["variant_json_stats"] = """
            MAX(k) AS max_k
     FROM parsed GROUP BY event_type
 """
+
+ANALYTICS8_ORACLES["interval_overlap_join"] = """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS session_id, ts
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM s GROUP BY user_id, session_id
+    ),
+    win(win_id, w_start, w_end) AS (VALUES
+      ('w1', TIMESTAMP '2024-01-05 00:00:00',
+             TIMESTAMP '2024-01-07 00:00:00'),
+      ('w2', TIMESTAMP '2024-01-15 12:00:00',
+             TIMESTAMP '2024-01-16 12:00:00'),
+      ('w3', TIMESTAMP '2024-01-25 00:00:00',
+             TIMESTAMP '2024-01-31 00:00:00'))
+    SELECT win_id, COUNT(*) AS n_sessions,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM sess JOIN win
+      ON sess.s_start <= win.w_end AND sess.s_end >= win.w_start
+    GROUP BY win_id
+"""
