@@ -58,3 +58,44 @@ def register_udfs(spark) -> list[str]:
     spark.udf.register("geometric_mean", geometric_mean)
     spark.udtf.register("tokenize", TokenizeUDTF)
     return ["log1p_scaled", "geometric_mean", "tokenize"]
+
+
+class SplitFieldsUDTF:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()``): splits a
+    delimited string into N named columns where N and the column names
+    come from a constant argument AT PLAN TIME — the output schema is
+    computed per call site, not fixed at registration.
+
+    ``SELECT * FROM split_fields(props_csv, 'k1,k2,k3')`` yields
+    columns (k1, k2, k3). The analyze hook is the UDTF analogue of a
+    datasource's schema(): resolution-time metadata, executor-time
+    rows.
+    """
+
+    @staticmethod
+    def analyze(row_arg, names_arg):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import StringType, StructType
+
+        if not names_arg.isConstantExpression:
+            raise ValueError(
+                "split_fields: column-name argument must be a constant"
+            )
+        schema = StructType()
+        for name in str(names_arg.value).split(","):
+            schema = schema.add(name.strip(), StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, row, names):  # noqa: D102
+        if row is None:
+            return
+        n = len(names.split(","))
+        parts = (row.split(",") + [None] * n)[:n]
+        yield tuple(parts)
+
+
+def register_polymorphic_udtf(spark) -> str:
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register("split_fields", udtf(SplitFieldsUDTF))
+    return "split_fields"

@@ -55,3 +55,30 @@ def test_sql_registration(spark):
     assert [(t["pos"], t["token"]) for t in toks] == [
         (0, "a"), (1, "b"), (2, "c"),
     ]
+
+
+def test_polymorphic_udtf_schema_from_argument(spark):
+    """analyze() computes the output schema from the constant names
+    argument — two call sites, two different schemas, one UDTF."""
+    from aggregator_spark.operators.udfs import register_polymorphic_udtf
+
+    register_polymorphic_udtf(spark)
+    spark.createDataFrame(
+        [("1,US,click",), ("2,DE,view",)], "line string"
+    ).createOrReplaceTempView("lines")
+
+    three = spark.sql(
+        "SELECT t.* FROM lines, "
+        "LATERAL split_fields(line, 'id,country,etype') t"
+    )
+    assert three.columns == ["id", "country", "etype"]
+    assert sorted(map(tuple, three.collect())) == [
+        ("1", "US", "click"),
+        ("2", "DE", "view"),
+    ]
+
+    two = spark.sql(
+        "SELECT t.* FROM lines, LATERAL split_fields(line, 'a,b') t"
+    )
+    assert two.columns == ["a", "b"]
+    assert sorted(map(tuple, two.collect()))[0] == ("1", "US")
