@@ -204,3 +204,25 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANALYTICS8_QUERIES["interval_overlap_join"] = q_interval_overlap_join
+
+
+def q_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 DataFrame.lateralJoin): each
+    customer's top-2 orders by price — the per-row-subquery shape.
+    Catalyst decorrelates this to a domain join + per-key ranking, so
+    it scales like the window form while keeping per-row LIMIT
+    semantics explicit in the plan.
+    """
+    customer = load_testdata(spark, sf_dir, "customer")
+    orders = load_testdata(spark, sf_dir, "orders")
+    top2 = (
+        orders.where(F.col("o_custkey") == F.col("c_custkey").outer())
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(2)
+    )
+    return customer.select("c_custkey").lateralJoin(top2).select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+
+
+ANALYTICS8_QUERIES["lateral_topk_orders"] = q_lateral_topk_orders

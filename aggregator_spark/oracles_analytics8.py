@@ -102,3 +102,12 @@ ANALYTICS8_ORACLES["interval_overlap_join"] = """
       ON sess.s_start <= win.w_end AND sess.s_end >= win.w_start
     GROUP BY win_id
 """
+
+ANALYTICS8_ORACLES["lateral_topk_orders"] = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+"""
