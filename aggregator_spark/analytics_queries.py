@@ -154,8 +154,11 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
+            # epoch-micros longs, not raw timestamps: collect() converts
+            # TimestampType via datetime.fromtimestamp in the OS timezone,
+            # so raw-ts outputs hash differently under a non-UTC TZ env.
+            F.unix_micros(F.col("sw.start")).alias("session_start"),
+            F.unix_micros(F.col("sw.end")).alias("session_end"),
             "n_events",
         )
     )
@@ -167,10 +170,16 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user partition)."""
     events = load_testdata(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # integer-microsecond gap arithmetic (not ts.cast("long"), which
+    # truncates to whole seconds): a 1800.5 s gap must classify as a new
+    # session on both engine and oracle sides (oracle uses epoch_us too)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     with_gap = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
     )
     with_session = with_gap.withColumn(
         "session_id", F.sum("new_session").over(w)

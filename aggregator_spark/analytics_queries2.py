@@ -273,9 +273,12 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id",
         "user_id",
-        "ts",
+        # epoch-micros longs: raw TimestampType outputs are OS-TZ-sensitive
+        # at collect() time (datetime.fromtimestamp), so hash-stable
+        # results require integer micros on both engine and oracle sides
+        F.unix_micros(F.col("ts")).alias("ts"),
         F.col("asof_click_id").alias("click_id"),
-        F.col("asof_ts").alias("click_ts"),
+        F.unix_micros(F.col("asof_ts")).alias("click_ts"),
     ).orderBy("event_id")
 
 

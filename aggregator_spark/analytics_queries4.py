@@ -30,7 +30,13 @@ def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             _dsum(F.col("value"), "total_value"),
         )
-        .select(F.col("win.start").alias("ws"), "cnt", "total_value")
+        .select(
+            # epoch-micros longs: raw TimestampType is OS-TZ-sensitive at
+            # collect() time; integer micros hash identically everywhere
+            F.unix_micros(F.col("win.start")).alias("ws"),
+            "cnt",
+            "total_value",
+        )
         .orderBy("ws")
     )
 
@@ -45,7 +51,7 @@ def q_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "1 hour", "30 minutes").alias("win")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("win.start").alias("ws"), "cnt")
+        .select(F.unix_micros(F.col("win.start")).alias("ws"), "cnt")
         .orderBy("ws")
     )
 
@@ -63,7 +69,7 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "min_by(event_type, struct(ts, event_id))"
             ).alias("first_type"),
-            F.max("ts").alias("last_ts"),
+            F.unix_micros(F.max("ts")).alias("last_ts"),
         )
         .orderBy("user_id")
     )
@@ -144,8 +150,10 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
+        # epoch-micros longs, not raw timestamps (OS-TZ-sensitive at
+        # collect(): the driver box being UTC is not a contract)
+        F.unix_micros(F.min("ts")).alias("min_ts"),
+        F.unix_micros(F.max("ts")).alias("max_ts"),
         F.round(
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
             / F.count(F.lit(1)),

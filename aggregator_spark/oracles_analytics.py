@@ -68,7 +68,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
     "sessionize": """
         WITH gaps AS (
           SELECT user_id, ts, event_id,
-                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                        > 1800000000
                       OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -80,7 +81,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
         ), per_session AS (
           SELECT user_id, session_id, COUNT(*) AS n_events
           FROM sessions GROUP BY user_id, session_id)
-        SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events
+        SELECT user_id, COUNT(*) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
         FROM per_session GROUP BY user_id
     """,
     "unpivot_daily": """
@@ -103,8 +105,8 @@ ANALYTICS_ORACLES: dict[str, str] = {
                                         ORDER BY ts, event_id) AS sid
           FROM gaps)
         SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               epoch_us(MIN(ts)) AS session_start,
+               epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
                COUNT(*) AS n_events
         FROM sessions GROUP BY user_id, sid
     """,

@@ -56,10 +56,10 @@ ANALYTICS2_ORACLES: dict[str, str] = {
     """,
     "tpch_q12_priority": """
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -132,8 +132,8 @@ ANALYTICS2_ORACLES: dict[str, str] = {
         clicks AS (
           SELECT user_id, ts, MAX(event_id) AS click_id FROM events
           WHERE event_type = 'click' GROUP BY user_id, ts)
-        SELECT p.event_id, p.user_id, p.ts,
-               c.click_id, c.ts AS click_ts
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts,
+               c.click_id, epoch_us(c.ts) AS click_ts
         FROM purchases p
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -10,13 +10,14 @@ def _dsum(expr: str, alias: str) -> str:
 ANALYTICS4_ORACLES: dict[str, str] = {
     "profile_events": """
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
-                 AS null_user_id,
-               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_user_id,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS null_props,
                COUNT(DISTINCT user_id) AS n_users,
                COUNT(DISTINCT event_type) AS n_types,
-               MIN(ts) AS min_ts,
-               MAX(ts) AS max_ts,
+               epoch_us(MIN(ts)) AS min_ts,
+               epoch_us(MAX(ts)) AS max_ts,
                round(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
                      / COUNT(*), 6) AS avg_value
         FROM events
@@ -43,19 +44,17 @@ ANALYTICS4_ORACLES: dict[str, str] = {
     # media_features: rows-only — binary payload round-trip through the
     # fake decode isn't SQL-expressible without byte-level md5 unpacking
     "tumbling_hourly": f"""
-        SELECT date_trunc('hour', ts) AS ws,
+        SELECT epoch_us(date_trunc('hour', ts)) AS ws,
                COUNT(*) AS cnt,
                {_dsum('value', 'total_value')}
         FROM events GROUP BY ws
     """,
     "sliding_halfhour": """
         SELECT ws, COUNT(*) AS cnt FROM (
-          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800)
-                 AT TIME ZONE 'UTC' AS ws
+          SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS ws
           FROM events
           UNION ALL
-          SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
-                              - 1800) AT TIME ZONE 'UTC'
+          SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000
           FROM events)
         GROUP BY ws
     """,
@@ -70,7 +69,7 @@ ANALYTICS4_ORACLES: dict[str, str] = {
         SELECT user_id,
                MAX(CASE WHEN rn_last = 1 THEN event_id END) AS last_event_id,
                MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_type,
-               MAX(ts) AS last_ts
+               epoch_us(MAX(ts)) AS last_ts
         FROM ranked GROUP BY user_id
     """,
     "user_type_arrays": """
