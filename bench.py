@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Stdout carries exactly ONE short JSON line (metric/value/unit/sf +
+per-query count) as the LAST line, small enough to survive any capture
+truncation — round 1's ~5 KB line with the inline per-query map was
+truncated by the driver and recorded as unparseable. The full per-query
+timing map goes to stderr and to BENCH_DETAIL.json next to this script.
 
 Execution is forced with the noop sink (full plan runs, nothing collected
 to the driver), which is what a cluster job would look like — measuring
@@ -64,17 +68,30 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    detail = {
+        "metric": "bench_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail["queries"]), file=sys.stderr)
+
+    summary = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+        }
     )
+    assert len(summary) <= 200, summary
+    print(summary)
     spark.stop()
 
 
