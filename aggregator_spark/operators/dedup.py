@@ -224,11 +224,19 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH banding: signatures → per-band bucket hash →
     self-join on (band, bucket) → distinct candidate pairs (doc_a <
-    doc_b). Two docs collide if ANY band matches entirely."""
+    doc_b). Two docs collide if ANY band matches entirely.
+
+    Docs with zero shingles (fewer than n tokens) carry all-NULL
+    signatures — no shingle evidence at all — and are excluded before
+    banding: concat_ws skips NULLs, so they would otherwise all hash to
+    the single md5('') bucket and become mutual candidates (an O(m²)
+    blowup that also marks unrelated short docs as duplicates)."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, n)
+    sigs = minhash_signatures(docs, id_col, text_col, k, n).filter(
+        F.col("mh_0").isNotNull()
+    )
     band_cols = [
         F.md5(
             F.concat_ws(

@@ -75,8 +75,10 @@ _MH_COLS = ",\n             ".join(
 )
 
 _ROWS_PER_BAND = DEFAULT_MINHASHES // DEFAULT_BANDS
+# zero-shingle docs (all-NULL signatures) are excluded from banding on
+# both sides — they have no shingle evidence (see lsh_candidate_pairs)
 _BAND_SELECTS = "\n      UNION ALL\n".join(
-    "      SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sigs".format(
+    "      SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sigs WHERE mh_0 IS NOT NULL".format(
         b=b,
         cols=", ".join(
             f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)

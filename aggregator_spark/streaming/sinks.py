@@ -41,25 +41,38 @@ def upsert_parquet_sink(target_path: str, key_cols: list[str]):
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(key_cols)
-        try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        Path = jvm.org.apache.hadoop.fs.Path
+        target = Path(target_path)
+        aside = Path(target_path + "__old")
+        # crash recovery: a previous attempt died between moving the
+        # live table aside and moving its replacement in — restore the
+        # pre-image so this retry merges against real data, not void
+        if not fs.exists(target) and fs.exists(aside):
+            fs.rename(aside, target)
+        if fs.exists(target):
+            # any read failure here (IO, corrupt footer) must surface —
+            # swallowing it would rewrite the table as just this batch
             current = spark.read.parquet(target_path)
             merged = current.join(
                 batch.select(*key_cols), key_cols, "left_anti"
             ).unionByName(batch)
-        except Exception:
-            merged = batch
+        else:
+            merged = batch  # genuine bootstrap: table never written
         # never overwrite the path being lazily read: write the merged
         # result to a temp dir (fully distributed, no collect), then
-        # swap via filesystem rename
+        # swap via two renames with the pre-image kept aside so a crash
+        # at any point leaves either the old or the new table reachable
         tmp = f"{target_path}__tmp_b{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        conf = jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-        target = jvm.org.apache.hadoop.fs.Path(target_path)
-        fs.delete(target, True)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), target)
+        if fs.exists(aside):
+            fs.delete(aside, True)
+        if fs.exists(target):
+            fs.rename(target, aside)
+        fs.rename(Path(tmp), target)
+        fs.delete(aside, True)
 
     return write
 

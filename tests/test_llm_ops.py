@@ -174,3 +174,53 @@ def test_ann_recall_floors(spark, sf_dir):
             len(exact[q] & got.get(q, set())) / k for q in qids
         ) / len(qids)
         assert recall >= 0.4, f"{fn.__name__} recall@5 = {recall}"
+
+
+def test_near_dup_blocked_matches_broadcast_all_block_counts(spark, sf_dir):
+    """The distributed block-pair path must be bit-identical to the
+    broadcast baseline for any n_blocks — including B larger than the
+    corpus (empty diagonal groups) and B=1 (single all-pairs group)."""
+    from aggregator_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = sorted(
+        tuple(r)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, strategy="broadcast"
+        ).collect()
+    )
+    assert want, "fixture should plant at least one near-dup pair"
+    for nb in (1, 3, 8):
+        got = sorted(
+            tuple(r)
+            for r in embedding_near_dup_pairs(
+                emb, threshold=0.4, strategy="blocked", n_blocks=nb
+            ).collect()
+        )
+        assert got == want, f"n_blocks={nb} diverged"
+
+
+def test_lsh_excludes_zero_shingle_docs(spark):
+    """Docs shorter than the shingle width have no shingle evidence and
+    must NOT collide with each other (pre-fix they all hashed to the
+    md5('') bucket and became mutual duplicates)."""
+    from aggregator_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa"),  # < n tokens -> zero shingles
+            (2, "bb"),
+            (3, "cc"),
+            (4, "the quick brown fox jumps over the lazy dog today"),
+            (5, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(docs).collect()
+    }
+    assert (4, 5) in pairs
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)

@@ -219,3 +219,15 @@ def test_hll_monthly_single_scan(plans):
     # formatted explain: tree + details)
     assert p.count("Scan parquet") == 2
     assert "hll_union_agg" in p or "HllUnionAgg" in p or "hll" in p.lower()
+
+
+def test_embedding_near_dup_is_distributed(plans):
+    # the default near-dup path is the blocked block-pair replication
+    # join: the pair kernel runs as a grouped applyInPandas on executors
+    # (FlatMapGroupsInPandas), never a corpus collect() to the driver —
+    # round 1's broadcast form OOMs the driver at real scale
+    p = plans("embedding_near_dup")
+    assert "FlatMapGroupsInPandas" in p
+    # replication is a single explode + ONE shuffle on (b1, b2)
+    assert "Generate" in p
+    assert p.count("Exchange") <= 2  # tree + details of the one exchange

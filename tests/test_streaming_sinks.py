@@ -113,3 +113,41 @@ def test_streaming_topk_complete_mode(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert latest["top"] == [(8, 3), (7, 2)]
+
+
+def test_upsert_sink_crash_window_recovery(spark, tmp_path):
+    """A crash between 'move live table aside' and 'move replacement in'
+    leaves target missing + __old present; the retry must restore the
+    pre-image and merge against it — not bootstrap from the batch alone
+    (which would silently truncate the table)."""
+    import os
+
+    target = str(tmp_path / "t_crash")
+    sink = upsert_parquet_sink(target, ["user_id"])
+    sink(spark.createDataFrame([_mk(1, 0, 7), _mk(2, 5, 8)], EVENTS), 0)
+    # simulate the crash window: live table moved aside, new one never in
+    os.rename(target, target + "__old")
+    sink(spark.createDataFrame([_mk(3, 10, 9)], EVENTS), 1)
+    users = {
+        r["user_id"] for r in spark.read.parquet(target).collect()
+    }
+    assert users == {7, 8, 9}
+    assert not os.path.exists(target + "__old")
+
+
+def test_upsert_sink_read_failure_raises(spark, tmp_path):
+    """An unreadable existing table must raise, never be treated as
+    empty (that path overwrote the whole table with one micro-batch)."""
+    import os
+
+    import pytest
+
+    target = str(tmp_path / "t_corrupt")
+    os.makedirs(target)
+    with open(os.path.join(target, "part-0.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    sink = upsert_parquet_sink(target, ["user_id"])
+    with pytest.raises(Exception):
+        sink(spark.createDataFrame([_mk(1, 0, 7)], EVENTS), 0)
+    # the corrupt pre-image is still there for an operator to inspect
+    assert os.path.exists(os.path.join(target, "part-0.parquet"))
