@@ -62,10 +62,19 @@ def _commit(root: str, version: int) -> None:
 
 
 def write_version(df: DataFrame, root: str) -> int:
-    """Write ``df`` as the next immutable snapshot and commit it."""
+    """Write ``df`` as the next immutable snapshot and commit it.
+
+    The snapshot dir is written with overwrite: a crash after the data
+    write but before ``_commit`` leaves an orphan ``v=<n>`` dir that the
+    manifest never references, and the retry recomputes the same n —
+    with errorifexists the table would be permanently wedged on that
+    orphan. Under the documented single-writer protocol the overwrite
+    can only ever replace such an uncommitted orphan; the manifest swap
+    remains the sole publish point, so committed snapshots stay
+    immutable."""
     os.makedirs(root, exist_ok=True)
     v = (latest_version(root) or 0) + 1
-    df.write.mode("errorifexists").parquet(os.path.join(root, f"v={v}"))
+    df.write.mode("overwrite").parquet(os.path.join(root, f"v={v}"))
     _commit(root, v)
     return v
 

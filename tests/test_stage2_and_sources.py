@@ -331,3 +331,72 @@ def test_logentry_tolerates_corrupt_rows(spark, tmp_path):
     short = rows["1.1.1.1"]
     assert short["date"] is not None
     assert short["risk"] is None and short["country"] is None  # padded
+
+
+# ---- serving DDL parity (reference main.py:499-552) ----
+
+def test_constraint_ddl_matches_reference_17():
+    from aggregator_spark.sources.jdbc import CONSTRAINT_DDL
+
+    # the reference emits exactly 17 constraints: 4 PKs, fk_country_asn,
+    # 4 fact FKs, and risk+country FKs per cube granularity
+    assert len(CONSTRAINT_DDL) == 17
+    names = "\n".join(CONSTRAINT_DDL)
+    for t in ("week", "month", "quarter", "year"):
+        assert f"fk_cube_risk_{t}" in names
+        assert f"fk_cube_country_{t}" in names
+    assert "fk_country_asn" in names
+    assert sum("PRIMARY KEY" in d for d in CONSTRAINT_DDL) == 4
+    assert len(set(CONSTRAINT_DDL)) == 17
+
+
+def test_index_ddl_matches_reference_27():
+    from aggregator_spark.sources.jdbc import INDEX_DDL
+
+    # 7 fact_count indexes + 5 per cube granularity = 27
+    assert len(INDEX_DDL) == 27
+    assert sum("ON fact_count" in d for d in INDEX_DDL) == 7
+    for t in ("week", "month", "quarter", "year"):
+        assert sum(f"agg_risk_country_{t}(" in d for d in INDEX_DDL) == 5
+    assert len(set(INDEX_DDL)) == 27
+
+
+ASN_DP = {
+    "name": "asn",
+    "resources": [
+        {
+            "name": "asn",
+            "path": "data/asn.csv",
+            "schema": {
+                "fields": [
+                    {"name": "number", "type": "integer"},
+                    {"name": "title", "type": "string"},
+                    {"name": "country", "type": "string"},
+                ]
+            },
+        }
+    ],
+}
+
+
+def test_asn_ref_refresh_entry_point(spark, tmp_path):
+    """Weekly ASN refresh (reference load_asn_ref_data.py:8-12):
+    datapackage descriptor -> DataFrame -> published table."""
+    from aggregator_spark.load_asn_ref_data import refresh_dim_asn
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "asn.csv").write_text(
+        "number,title,country\n64512,Test Net,NL\n64513,Other Net,US\n"
+    )
+    desc = tmp_path / "datapackage.json"
+    desc.write_text(json.dumps(ASN_DP))
+    out = str(tmp_path / "dim_asn")
+
+    df = refresh_dim_asn(spark, str(desc), out_path=out)
+    assert df.columns == ["number", "title", "country"]
+    rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert rows == [
+        (64512, "Test Net", "NL"),
+        (64513, "Other Net", "US"),
+    ]

@@ -122,3 +122,27 @@ def test_streaming_cdc_into_versioned_table(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     ]
+
+
+def test_orphan_snapshot_dir_does_not_wedge_writes(spark, tmp_path):
+    """A crash between the snapshot write and the manifest commit
+    leaves an uncommitted v=<n> dir; the retry recomputes the same n
+    and must overwrite the orphan, not fail forever."""
+    from aggregator_spark.sources.versioned_table import (
+        list_versions,
+        read_table,
+        write_version,
+    )
+
+    root = str(tmp_path / "t_orphan")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    write_version(df1, root)
+    # simulate the crash: orphan v=2 exists, manifest still at [1]
+    df_orphan = spark.range(100).withColumnRenamed("id", "k")
+    df_orphan.write.parquet(f"{root}/v=2")
+    assert list_versions(root) == [1]
+    # retry of the interrupted write succeeds and publishes v=2
+    v = write_version(spark.range(7).withColumnRenamed("id", "k"), root)
+    assert v == 2
+    assert list_versions(root) == [1, 2]
+    assert read_table(spark, root).count() == 7
