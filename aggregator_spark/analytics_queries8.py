@@ -146,6 +146,37 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYTICS8_QUERIES["variant_json_stats"] = q_variant_json_stats
 
 
+def q_variant_json_stats_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same stats as ``variant_json_stats`` but over the ingest-time
+    materialized VARIANT table (sources/variant_ingest.py): parse_json
+    ran ONCE at ingest; this query pays only try_variant_get on the
+    binary encoding. This is the production shape — at 10M rows the
+    text-parsing form spent ~95% of its wall on parse_json
+    (SCALE.md stress table)."""
+    from aggregator_spark.sources.variant_ingest import (
+        cached_events_variant,
+    )
+
+    e = cached_events_variant(spark, sf_dir)
+    parsed = e.select(
+        "event_type",
+        F.try_variant_get("props_v", "$.k", "int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+ANALYTICS8_QUERIES["variant_json_stats_materialized"] = (
+    q_variant_json_stats_materialized
+)
+
+
 def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided interval OVERLAP join (distinct from the one-sided
     band join `value_bands`): per-user session intervals

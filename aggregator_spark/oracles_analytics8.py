@@ -69,6 +69,12 @@ ANALYTICS8_ORACLES["variant_json_stats"] = """
     FROM parsed GROUP BY event_type
 """
 
+# the materialized-VARIANT form computes the same answer — one oracle,
+# two engine paths (parse-per-query vs parse-once-at-ingest)
+ANALYTICS8_ORACLES["variant_json_stats_materialized"] = ANALYTICS8_ORACLES[
+    "variant_json_stats"
+]
+
 ANALYTICS8_ORACLES["interval_overlap_join"] = """
     WITH g AS (
       SELECT user_id, ts, event_id,

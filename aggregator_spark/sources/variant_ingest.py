@@ -1,0 +1,63 @@
+"""Ingest-time VARIANT materialization: parse ragged JSON ONCE at
+ingest, store the binary VARIANT columnar, and let every downstream
+query pay only ``try_variant_get`` (O(field) on the binary encoding)
+instead of re-parsing JSON text per row per query.
+
+This is the implemented form of the mitigation SCALE.md promised for
+``variant_json_stats`` (21.9 s at 10M rows was ~all parse_json): at
+100 TB the parse cost is paid exactly once in the ingest pipeline —
+the same place schema-on-read engines shred semi-structured columns —
+and amortized across every query that touches the table. Spark 4
+writes VariantType natively to parquet, so the materialized table is a
+plain parquet dir, readable by any session with no extra machinery.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def materialize_variant(
+    df: DataFrame, json_cols: dict[str, str]
+) -> DataFrame:
+    """Replace JSON-text columns with parsed VARIANT columns:
+    ``json_cols`` maps source column → output variant column name.
+    The one-and-only parse_json in the table's lifetime."""
+    out = df
+    for src, dst in json_cols.items():
+        out = out.withColumn(dst, F.parse_json(F.col(src))).drop(src)
+    return out
+
+
+def ingest_events_variant(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> str:
+    """Materialize the events table with ``props`` parsed to a VARIANT
+    column ``props_v``, partition-preserving (no shuffle: parse is a
+    narrow map riding the scan)."""
+    from aggregator_spark.schemas import load_testdata
+
+    events = load_testdata(spark, sf_dir, "events")
+    materialize_variant(events, {"props": "props_v"}).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return out_path
+
+
+def cached_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-convenience wrapper: materialize once per (sf_dir) into
+    a deterministic temp location, reuse on subsequent calls. Real
+    deployments run ``ingest_events_variant`` inside the ingest
+    pipeline instead."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), f"aggregator_spark_variant_{key}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ingest_events_variant(spark, sf_dir, out)
+    return spark.read.parquet(out)

@@ -400,3 +400,46 @@ def test_asn_ref_refresh_entry_point(spark, tmp_path):
         (64512, "Test Net", "NL"),
         (64513, "Other Net", "US"),
     ]
+
+
+def test_variant_ingest_materialization(spark, tmp_path):
+    """Parse-once VARIANT ingest: the materialized table answers the
+    same stats as the parse-per-query form, and its plan contains no
+    parse_json (only variant_get on the stored binary)."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.sources.variant_ingest import (
+        ingest_events_variant,
+    )
+
+    out = str(tmp_path / "events_v")
+    ingest_events_variant(spark, "/root/testdata/sf0.001", out)
+    evv = spark.read.parquet(out)
+    assert "props_v" in evv.columns and "props" not in evv.columns
+
+    q = evv.select(
+        "event_type",
+        F.try_variant_get("props_v", "$.k", "int").alias("k"),
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "parse_json" not in plan
+    # Spark either keeps an explicit variant_get or (better) pushes the
+    # field access into the scan as a shredded struct path (props_v.0)
+    assert "variant_get" in plan or "props_v" in plan
+
+    from aggregator_spark.schemas import load_testdata
+
+    want = (
+        load_testdata(spark, "/root/testdata/sf0.001", "events")
+        .select(
+            F.try_variant_get(
+                F.parse_json("props"), "$.k", "int"
+            ).alias("k")
+        )
+        .agg(F.count("k"), F.sum("k"))
+        .collect()
+    )
+    got = q.agg(F.count("k"), F.sum("k")).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
