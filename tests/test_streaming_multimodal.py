@@ -121,9 +121,14 @@ def test_decode_image_features_fake(spark):
     assert sorted(map(str, out)) == sorted(map(str, again))
 
 
-def test_decode_image_requires_stub_flag(spark):
-    with pytest.raises(NotImplementedError, match="fake=True"):
-        decode_image_features(_media_df(spark))
+def test_decode_image_real_path_rejects_unencoded_bytes(spark):
+    # fake=False is now the REAL PNG codec: synthetic (non-PNG) payloads
+    # fail per-row at execution time, not eagerly at plan time
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        decode_image_features(_media_df(spark)).collect()
 
 
 def test_sample_video_frames_fake(spark):
@@ -147,8 +152,12 @@ def test_extract_audio_features_fake(spark):
     assert r["duration_ms"] == 2000
     assert 0.0 <= r["rms"] <= 1.0
     assert len(r["mfcc"]) == 16
-    with pytest.raises(NotImplementedError, match="fake=True"):
-        extract_audio_features(_media_df(spark))
+    # real path rejects synthetic (non-WAV) payloads at execution time
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        extract_audio_features(_media_df(spark)).collect()
 
 
 def test_resize_images_fake(spark):
@@ -162,8 +171,12 @@ def test_resize_images_fake(spark):
     # deterministic across runs
     again = resize_images(_media_df(spark), width=64, height=32, fake=True).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
-    with pytest.raises(NotImplementedError, match="fake=True"):
-        resize_images(_media_df(spark))
+    # real path rejects synthetic (non-PNG) payloads at execution time
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        resize_images(_media_df(spark)).collect()
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
