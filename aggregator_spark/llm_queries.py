@@ -173,16 +173,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-norm embeddings (operators/similarity.py:l2_normalize) —
-    pure array algebra, no shuffle."""
+    pure array algebra, no shuffle. The catalog wrapper serializes the
+    unit vector to a comma-joined micro-unit integer string: the driver
+    canonicalizer sorts output columns and raw arrays are unhashable
+    there, and integer micro-units are float-repr-proof across engines
+    (the operator itself returns the real array column)."""
     emb = load_testdata(spark, sf_dir, "embeddings")
-    return S.l2_normalize(emb)
+    unit = S.l2_normalize(emb)
+    return unit.select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "unit_vec",
+                lambda x: F.round(x * 1e6).cast("bigint").cast("string"),
+            ),
+        ).alias("unit_vec"),
+    )
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization with dequant scale
-    (operators/similarity.py:quantize_int8)."""
+    (operators/similarity.py:quantize_int8). Catalog wrapper serializes
+    the int8 code array to a comma-joined string (driver canonicalizer
+    can't sort array columns)."""
     emb = load_testdata(spark, sf_dir, "embeddings")
-    return S.quantize_int8(emb)
+    q = S.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("q_vec", lambda x: x.cast("string"))
+        ).alias("q_vec"),
+        "scale",
+    )
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -394,19 +394,26 @@ LLM_ORACLES["stratified_sample"] = f"""
 
 LLM_ORACLES["embedding_normalize"] = """
     WITH base AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    unit AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(vec, vec)) = 0 THEN vec
+                  ELSE list_transform(vec,
+                         x -> round(x / sqrt(list_dot_product(vec, vec)), 6))
+             END AS uvec
+      FROM base)
     SELECT vec_id,
-           CASE WHEN sqrt(list_dot_product(vec, vec)) = 0 THEN vec
-                ELSE list_transform(vec,
-                       x -> round(x / sqrt(list_dot_product(vec, vec)), 6))
-           END AS unit_vec
-    FROM base
+           array_to_string(list_transform(uvec,
+             x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)),
+             ',') AS unit_vec
+    FROM unit
 """
 
 LLM_ORACLES["embedding_quantize"] = """
     SELECT vec_id,
-           list_transform(vec,
-             x -> CAST(floor(x * scale + 0.5) AS INT)) AS q_vec,
+           array_to_string(list_transform(vec,
+             x -> CAST(CAST(floor(x * scale + 0.5) AS INT) AS VARCHAR)),
+             ',') AS q_vec,
            round(scale, 6) AS scale
     FROM (
       SELECT vec_id, vec,

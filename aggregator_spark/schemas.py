@@ -168,9 +168,10 @@ def _read_one(spark, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces
-    # as epoch-nanos LongType — convert back to a session-TZ timestamp.
     for field in df.schema.fields:
+        # Older testdata: events.ts is parquet TIMESTAMP(NANOS); with
+        # nanosAsLong it surfaces as epoch-nanos LongType — convert back
+        # to a session-TZ timestamp.
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             # integer `div`, NOT `/`: float division of epoch-nanos
             # exceeds double's 53-bit integer precision and rounds the
@@ -179,6 +180,15 @@ def _read_one(spark, sf_dir: str, name: str):
             # any query exposing raw ts
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # Newer testdata: naive timestamp[us], which Spark 4 infers as
+        # TIMESTAMP_NTZ. unix_micros / window() / session_window expect
+        # TIMESTAMP, so normalize. The session TZ is pinned to UTC by
+        # load_testdata before this cast, so the wall clock is read as a
+        # UTC instant — exactly how DuckDB treats naive timestamps.
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
             )
     return df
 
