@@ -196,22 +196,84 @@ def q_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing on driver data: documents recast as binary
-    media payloads → Arrow-batched fake decode (rows-only check; the
-    decode stub is deterministic, see operators/multimodal.py)."""
-    from aggregator_spark.operators.multimodal import decode_image_features
+    """Multimodal pipeline, REAL codecs, hash-matched: each document
+    becomes a deterministic encoded payload (even doc_id → gradient
+    grayscale PNG, odd → sine-burst PCM WAV, keyed on doc_id % 256),
+    then flows through the real Arrow-batched decode operators
+    (operators/multimodal.py fake=False → operators/codecs.py full PNG
+    unfilter / WAV PCM + spectral bands). The oracle joins a 256-row
+    expected-value lookup computed by the same codec functions in plain
+    Python (operators/media_fixture.py), so the encode→decode→feature
+    round-trip is value-checked, not rows-only. Floats serialize as
+    HALF_UP micro-unit ints (float-repr-proof across engines)."""
+    from pyspark.sql import types as T
 
-    docs = load_testdata(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.col("text").cast("binary").alias("payload"),
-        F.lit("image/png").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+    from aggregator_spark.operators.media_fixture import (
+        N_KEYS,
+        build_payload,
+        media_kind,
     )
-    return decode_image_features(media, fake=True).orderBy("media_id")
+    from aggregator_spark.operators.multimodal import (
+        decode_image_features,
+        extract_audio_features,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(
+                        [media_kind(i) for i in ids], dtype="object"
+                    ),
+                    "payload": pd.Series(
+                        [build_payload(i % N_KEYS) for i in ids],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(encode, media_schema)
+
+    def ser(col):  # float32 array → HALF_UP micro-unit csv
+        return F.concat_ws(
+            ",",
+            F.transform(
+                col, lambda x: F.round(x * 1e6).cast("bigint").cast("string")
+            ),
+        )
+
+    img = decode_image_features(media, fake=False).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("rms_micro"),
+        ser("features").alias("feat_str"),
+    )
+    aud = extract_audio_features(media, fake=False).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        "duration_ms",
+        F.round(F.col("rms") * 1e6).cast("bigint").alias("rms_micro"),
+        ser("mfcc").alias("feat_str"),
+    )
+    return img.unionByName(aud)
 
 
 def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

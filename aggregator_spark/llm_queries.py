@@ -180,15 +180,21 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the operator itself returns the real array column)."""
     emb = load_testdata(spark, sf_dir, "embeddings")
     unit = S.l2_normalize(emb)
+    # NULL-faithful serialization: concat_ws would turn a NULL array into
+    # '' while the oracle's array_to_string propagates NULL
     return unit.select(
         "vec_id",
-        F.concat_ws(
-            ",",
-            F.transform(
-                "unit_vec",
-                lambda x: F.round(x * 1e6).cast("bigint").cast("string"),
-            ),
-        ).alias("unit_vec"),
+        F.when(F.col("unit_vec").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "unit_vec",
+                    lambda x: F.round(x * 1e6).cast("bigint").cast("string"),
+                ),
+            )
+        )
+        .alias("unit_vec"),
     )
 
 
@@ -201,9 +207,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = S.quantize_int8(emb)
     return q.select(
         "vec_id",
-        F.concat_ws(
-            ",", F.transform("q_vec", lambda x: x.cast("string"))
-        ).alias("q_vec"),
+        F.when(F.col("q_vec").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat_ws(",", F.transform("q_vec", lambda x: x.cast("string")))
+        )
+        .alias("q_vec"),
         "scale",
     )
 

@@ -1,0 +1,110 @@
+"""Deterministic media payload fixtures for the hash-matched
+``media_features`` catalog query.
+
+The driver's correctness gate needs a DuckDB oracle, and no SQL engine
+decodes PNG/WAV — so the fixture makes the *expected output* a pure
+function of ``doc_id % 256``: each doc gets a synthetic payload (even
+ids → a gradient grayscale PNG, odd ids → a sine-burst 16-bit PCM WAV)
+whose shape depends only on that key. The Spark side encodes and then
+REALLY decodes the payload through ``operators.codecs`` (full PNG
+unfilter, WAV PCM + spectral bands); the oracle side computes the same
+expectation once per key in plain Python — same codec functions, same
+numpy — and embeds it as a 256-row VALUES lookup the SQL joins on.
+Round-trip through the real codecs is therefore hash-checked end to
+end, not rows-only.
+
+Float contract: features/rms pass through the Arrow FloatType boundary
+(float32), then both sides serialize as HALF_UP micro-unit integers —
+float-repr-proof across engines, same convention as
+``embedding_normalize``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+
+N_KEYS = 256  # expectation is a pure function of doc_id % N_KEYS
+AUDIO_RATE = 16000
+FEATURE_DIM = 16
+
+
+def media_kind(doc_id: int) -> str:
+    return "image" if doc_id % 2 == 0 else "audio"
+
+
+def _image_pixels(k: int) -> np.ndarray:
+    """Gradient grayscale (height, width) uint8 — non-constant so the
+    PNG round-trip exercises real scanline content, not a fill."""
+    height = 8 + k % 7
+    width = 8 + k % 5
+    y = np.arange(height)[:, None]
+    x = np.arange(width)[None, :]
+    return ((k + 3 * y + 7 * x) % 256).astype(np.uint8)
+
+
+def _audio_samples(k: int) -> np.ndarray:
+    """Sine burst, amplitude and frequency keyed on k."""
+    n = 160 + k
+    amp = 0.1 + 0.8 * (k / 255.0)
+    freq = 100.0 + 10.0 * k
+    t = np.arange(n, dtype=np.float64) / AUDIO_RATE
+    return amp * np.sin(2.0 * math.pi * freq * t)
+
+
+@lru_cache(maxsize=N_KEYS)
+def build_payload(k: int) -> bytes:
+    """Encoded media bytes for key k (PNG for even, WAV for odd)."""
+    from aggregator_spark.operators.codecs import encode_png, encode_wav
+
+    if k % 2 == 0:
+        return encode_png(_image_pixels(k))
+    return encode_wav(_audio_samples(k), rate=AUDIO_RATE)
+
+
+def _micro(v: float) -> int:
+    """HALF_UP micro-units of a float32-bounded value — mirrors Spark's
+    ``cast(round(col * 1e6) as bigint)`` on a FloatType column."""
+    return int(math.floor(float(np.float32(v)) * 1e6 + 0.5))
+
+
+def _micro_str(vals: list[float]) -> str:
+    return ",".join(str(_micro(v)) for v in vals)
+
+
+@lru_cache(maxsize=N_KEYS)
+def expected_row(k: int) -> tuple:
+    """(width, height, duration_ms, rms_micro, feat_str) expected from
+    the REAL decode of build_payload(k); None for the other modality's
+    columns. Runs the same codec functions the Spark workers run."""
+    from aggregator_spark.operators.codecs import (
+        audio_features,
+        decode_png,
+        decode_wav,
+        image_features,
+    )
+
+    payload = build_payload(k)
+    if k % 2 == 0:
+        px = decode_png(payload)
+        feats = image_features(px, FEATURE_DIM)
+        return (px.shape[1], px.shape[0], None, None, _micro_str(feats))
+    rate, _, samples = decode_wav(payload)
+    duration_ms, rms, bands = audio_features(samples, rate, FEATURE_DIM)
+    return (None, None, duration_ms, _micro(rms), _micro_str(bands))
+
+
+def lookup_values_sql() -> str:
+    """The 256-row (k, width, height, duration_ms, rms_micro, feat_str)
+    VALUES list for the DuckDB oracle."""
+    rows = []
+    for k in range(N_KEYS):
+        w, h, dur, rms, feats = expected_row(k)
+
+        def lit(v):
+            return "CAST(NULL AS BIGINT)" if v is None else str(v)
+
+        rows.append(f"({k}, {lit(w)}, {lit(h)}, {lit(dur)}, {lit(rms)}, '{feats}')")
+    return ",\n".join(rows)

@@ -41,8 +41,11 @@ ANALYTICS4_ORACLES: dict[str, str] = {
                round(exp(avg(ln(value + 1))) - 1, 6) AS geo_value
         FROM events GROUP BY event_type
     """,
-    # media_features: rows-only — binary payload round-trip through the
-    # fake decode isn't SQL-expressible without byte-level md5 unpacking
+    # media_features: the real PNG/WAV decode isn't SQL-expressible, but
+    # the payloads are a pure function of doc_id % 256 — so the oracle
+    # joins a 256-row expected-value lookup computed in plain Python by
+    # the SAME codec functions the Spark workers run (media_fixture.py).
+    "media_features": "__MEDIA_FEATURES__",  # filled below (needs codecs)
     "tumbling_hourly": f"""
         SELECT epoch_us(date_trunc('hour', ts)) AS ws,
                COUNT(*) AS cnt,
@@ -119,3 +122,26 @@ ANALYTICS4_ORACLES: dict[str, str] = {
         FROM customer WHERE c_custkey % 10 = 0
     """,
 }
+
+
+def _media_features_oracle() -> str:
+    from aggregator_spark.operators.media_fixture import (
+        N_KEYS,
+        lookup_values_sql,
+    )
+
+    return f"""
+        WITH lookup(k, width, height, duration_ms, rms_micro, feat_str)
+        AS (VALUES
+        {lookup_values_sql()}
+        )
+        SELECT d.doc_id AS media_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                 AS kind,
+               l.width, l.height, l.duration_ms, l.rms_micro, l.feat_str
+        FROM documents d
+        JOIN lookup l ON d.doc_id % {N_KEYS} = l.k
+    """
+
+
+ANALYTICS4_ORACLES["media_features"] = _media_features_oracle()

@@ -181,10 +181,14 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries
-# (dict insertion order). Round 1 buried the entire LLM-pipeline family
-# past position 50, leaving it driver-unverified. The window is therefore
-# an explicit, tested artifact: §2-parity queries first, then every
-# LLM-pipeline operator, then the round-1 hardened queries — all oracled.
+# (dict insertion order), so the window is an explicit, tested artifact
+# rotated per round to convert local green into driver CORRECTNESS rows.
+# Rounds 1–4 covered 82 of 116 catalog entries; round 5's window is the
+# §2-parity block (must stay green every round) + the 34 entries that
+# had never received a driver row + one re-pin per previously-green
+# family. Four entries are rows-only by design (approx ANN, HLL sketch,
+# binary media payloads) — the driver records the weaker rows-only check
+# for those; every other entry gets the full rows/schema/hash gate.
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline)
     "daily_counts",
@@ -198,50 +202,58 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # LLM-pipeline: deduplication
+    # round-5 rotation: never driver-checked in r1–r4 — analytics
+    "cube_grouping_id",
+    "stats_by_type",
+    "rank_analytics",
+    "window_value_funcs",
+    "calendar_funcs",
+    "geomean_value",
+    "mode_event_type",
+    "type_entropy",
+    "daily_type_jaccard",
+    "weekday_bitmap",
+    "top_tokens",
+    "user_type_arrays",
+    "value_histogram",
+    "map_user_type_counts",
+    "json_struct",
+    "full_outer_reconcile",
+    "dod_change",
+    "deterministic_sample",
+    "rolling_7d_avg",
+    "gap_fill_daily",
+    "funnel_stages",
+    "cohort_retention",
+    "scd2_merge",
+    "snapshot_diff",
+    # round-5 rotation: VARIANT / joins / graph
+    "variant_json_stats",
+    "variant_json_stats_materialized",
+    "interval_overlap_join",
+    "lateral_topk_orders",
+    "textrank_keywords",
+    "cooccur_triangles",
+    # round-5 rotation: rows-only by design (approx / sketch / binary)
+    "media_features",
+    "hll_monthly_users",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    # family re-pins (one representative per previously-green family)
     "dedup_exact",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "dedup_components",
-    "dedup_components_star",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "simhash64",
-    # LLM-pipeline: embeddings / similarity / clustering
-    "kmeans_assign",
-    "kmeans_fit",
-    "label_centroids",
-    "embedding_normalize",
-    "embedding_quantize",
-    "ann_topk",
     "embedding_near_dup",
-    # LLM-pipeline: text analysis & corpus prep
-    "tfidf_top_terms",
-    "clean_text",
-    "gopher_quality",
-    "pii_redact",
-    "stratified_sample",
-    "unigram_logprob",
-    "top_bigrams",
-    "vocab_edit_pairs",
-    "pack_sequences",
-    "doc_chunks",
-    "token_stats",
-    "text_quality",
     "lang_id",
-    "doc_fingerprint",
-    # round-1 hash-fail fixes + TZ-hardened outputs (driver re-verifies)
     "sessionize",
-    "tpch_q12_priority",
-    "profile_events",
-    "session_window_native",
-    "tumbling_hourly",
-    "sliding_halfhour",
-    "latest_event_per_user",
-    "asof_click_purchase",
-    "top_events_per_type",
     "tpch_q1",
 ]
+
+# Window entries whose driver check is rows-only by design (no ANSI-SQL
+# oracle can reproduce them): approximate ANN routing, HLL sketch bytes.
+DRIVER_WINDOW_ROWS_ONLY = {
+    "hll_monthly_users",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+}
 
 
 def queries():
