@@ -50,18 +50,27 @@ def _directed_edges(docs: DataFrame) -> DataFrame:
 
 
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores over the documents table — see
+    ``textrank_scores`` for the algorithm and scale shape."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return textrank_scores(docs)
+
+
+def textrank_scores(docs: DataFrame) -> DataFrame:
     """TextRank keyword scores: PageRank (d=0.85, 3 unrolled rounds,
     uniform init, dangling mass not redistributed — documented shared
     semantics) over the word-adjacency digraph.
 
     Scale shape: each round is edges ⋈ rank (keyed on term) →
     sum-by-dst → left join back onto nodes; out-degree is a tiny
-    vocabulary-sized dim the optimizer broadcasts. Rounding happens
-    ONCE at the end, so per-round FP stays full precision on both
-    engines; per-dst contribution sums are short (≤ degree), keeping
-    round(.,6) safely above partial-merge reorder error.
+    vocabulary-sized dim the optimizer broadcasts. The graph itself is
+    VOCABULARY-bounded — corpus growth adds edge-extraction (explode +
+    distinct) work linearly but the per-round join state stays O(V).
+    Rounding happens ONCE at the end, so per-round FP stays full
+    precision on both engines; per-dst contribution sums are short
+    (≤ degree), keeping round(.,6) safely above partial-merge reorder
+    error.
     """
-    docs = load_testdata(spark, sf_dir, "documents")
     edges = _directed_edges(docs)
     nodes = (
         edges.select(F.col("src").alias("term"))
@@ -96,6 +105,13 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the documents word-adjacency graph — see
+    ``triangle_count`` for the algorithm and scale shape."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return triangle_count(docs)
+
+
+def triangle_count(docs: DataFrame) -> DataFrame:
     """Triangle count of the undirected word-adjacency graph via the
     ordered 3-way self-join e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c
     (each triangle counted exactly once).
@@ -103,9 +119,9 @@ def q_cooccur_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the a<b orientation halves the edge list and caps the
     join fan-out (the standard degree-orientation trick's cheap cousin);
     joins are keyed equi-joins Catalyst plans as hash joins, and the
-    final count collapses map-side.
+    final count collapses map-side. Like TextRank, the joined graph is
+    vocabulary-bounded; corpus size only grows the linear edge-extract.
     """
-    docs = load_testdata(spark, sf_dir, "documents")
     d = _directed_edges(docs)
     und = (
         d.select(

@@ -49,11 +49,22 @@ def ingest_events_variant(
 
 
 def cached_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-convenience wrapper: materialize once per (sf_dir) into
-    a deterministic temp location, reuse on subsequent calls. Real
-    deployments run ``ingest_events_variant`` inside the ingest
+    """Session-convenience wrapper: materialize once per (sf_dir,
+    source content) into a deterministic temp location, reuse on
+    subsequent calls. The cache key folds in the source file's
+    mtime+size so a regenerated testdata dir (same path, new bytes)
+    invalidates the cache instead of serving a stale materialization.
+    Real deployments run ``ingest_events_variant`` inside the ingest
     pipeline instead."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "unknown"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{stamp}".encode()
+    ).hexdigest()[:12]
     out = os.path.join(
         tempfile.gettempdir(), f"aggregator_spark_variant_{key}"
     )

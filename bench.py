@@ -59,6 +59,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+
+    # VARIANT ingest timed as its own key: materialize_variant is a
+    # one-time ingest-pipeline cost, so folding it into the first
+    # variant_json_stats_materialized run would misreport steady-state
+    # query cost (the r4 "3.5x regression" was exactly this conflation).
+    from aggregator_spark.sources.variant_ingest import cached_events_variant
+
+    t0 = time.perf_counter()
+    cached_events_variant(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    timings["variant_ingest"] = round(dt, 3)
+    total += dt
+    print(f"# variant_ingest: {dt:.3f}s", file=sys.stderr)
+
     for name in sorted(qs):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
