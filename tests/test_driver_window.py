@@ -10,31 +10,26 @@ design.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from aggregator_spark.testdata_queries import (
     DRIVER_WINDOW,
     DRIVER_WINDOW_ROWS_ONLY,
 )
 
-# Catalog entries with a driver CORRECTNESS row in rounds 1–4 (union of
-# CORRECTNESS_r0{1..4}.json keys). The round-5 window must cover the
-# complement so every catalog entry has external verification.
-PREVIOUSLY_CHECKED = {
-    "daily_counts", "amplified_counts", "incremental_daily_counts",
-    "bloom_prefiltered_join", "dim_date", "missing_users",
-    "repaired_user_dim", "cube_week", "cube_month", "cube_quarter",
-    "cube_year", "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
-    "dedup_components", "dedup_components_star", "ngram_jaccard_capped",
-    "ngram_jaccard_pairs", "simhash64", "kmeans_assign", "kmeans_fit",
-    "label_centroids", "embedding_normalize", "embedding_quantize",
-    "ann_topk", "embedding_near_dup", "tfidf_top_terms", "clean_text",
-    "gopher_quality", "pii_redact", "stratified_sample", "unigram_logprob",
-    "top_bigrams", "vocab_edit_pairs", "pack_sequences", "doc_chunks",
-    "token_stats", "text_quality", "lang_id", "doc_fingerprint",
-    "sessionize", "tpch_q12_priority", "profile_events",
-    "session_window_native", "tumbling_hourly", "sliding_halfhour",
-    "latest_event_per_user", "asof_click_purchase", "top_events_per_type",
-    "tpch_q1",
-}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def previously_checked() -> set[str]:
+    """Catalog entries with a driver CORRECTNESS row in any prior round
+    (union of the recorded CORRECTNESS_r*.json keys)."""
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    return seen
 
 
 def test_driver_window_is_first_50():
@@ -65,7 +60,7 @@ def test_driver_window_oracled_except_rows_only():
 def test_window_covers_every_never_checked_entry():
     import __spark_entry__ as m
 
-    never_checked = set(m.queries()) - PREVIOUSLY_CHECKED
+    never_checked = set(m.queries()) - previously_checked()
     outside = never_checked - set(DRIVER_WINDOW)
     assert outside == set(), (
         f"catalog entries that would still have no driver row: {outside}"
