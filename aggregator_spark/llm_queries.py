@@ -277,6 +277,35 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=EMB_DUP_THRESHOLD)
 
 
+DECONTAM_N = 8
+DECONTAM_MOD = 97  # every 97th doc plays the held-out benchmark
+
+
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py:contamination_flags):
+    the probe set is the first 8-gram of every 97th document (a stand-in
+    held-out benchmark); every doc containing any probe 8-gram is
+    flagged. Broadcast probe join, map-side filter — corpus text never
+    shuffles."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", X.word_tokens(F.col("text")).alias("ts")
+    )
+    probes = (
+        toks.filter(
+            (F.col("doc_id") % DECONTAM_MOD == 0)
+            & (F.size("ts") >= DECONTAM_N)
+        )
+        .select(
+            F.concat_ws(
+                " ", F.slice("ts", 1, DECONTAM_N)
+            ).alias("probe")
+        )
+        .distinct()
+    )
+    return X.contamination_flags(docs, probes, n=DECONTAM_N)
+
+
 LLM_QUERIES = {
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
@@ -306,4 +335,5 @@ LLM_QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
+    "decontaminate_docs": q_decontaminate_docs,
 }

@@ -180,3 +180,61 @@ def lang_id(col: Column) -> Column:
     for lang in reversed(langs):
         expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
+
+
+# --- benchmark decontamination -------------------------------------------
+
+
+def word_tokens(col: Column) -> Column:
+    """Word-level tokenization shared with the graph operators: lower +
+    split on non-alphanumeric runs, empties dropped."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams of a token array as space-joined strings
+    (empty array when the doc is shorter than n)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def contamination_flags(docs, probes, n: int = 8):
+    """Benchmark decontamination: flag every document that contains any
+    probe n-gram (the standard test-set-overlap filter for LLM training
+    corpora — e.g. GPT-3 appendix C / Gopher §A.4 style n-gram
+    matching, here exact word-8-grams).
+
+    ``probes`` is a DataFrame with one string column ``probe``
+    (space-joined n-grams of the protected set). Returns one row per
+    input doc: (doc_id, contaminated, n_hits) where n_hits counts
+    DISTINCT matched n-grams.
+
+    Scale shape: the probe set is benchmark-sized (thousands), always
+    broadcastable; docs explode to n-grams but the broadcast hash join
+    filters map-side, so the only shuffle is the per-doc hit count —
+    cardinality ≤ docs. Corpus never shuffles raw text. For probe sets
+    too large to broadcast, compose with the bloom runtime filter
+    (operators/runtime_filter.py) on the gram column.
+    """
+    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("ts"))
+    grams = toks.filter(F.size("ts") >= n).select(
+        "doc_id", F.explode(word_ngrams(F.col("ts"), n)).alias("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(probes), grams.gram == probes.probe)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_hits").isNotNull().alias("contaminated"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+    )

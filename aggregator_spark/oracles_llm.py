@@ -504,3 +504,29 @@ LLM_ORACLES["unigram_logprob"] = f"""
     FROM occ JOIN freq USING (token) CROSS JOIN tot
     GROUP BY doc_id
 """
+
+# benchmark decontamination: probes = first 8-gram of every 97th doc;
+# flag any doc containing any probe 8-gram (same word tokenizer as the
+# graph oracles: lower + split non-alphanumeric runs, empties dropped)
+LLM_ORACLES["decontaminate_docs"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents),
+    probes AS (
+      SELECT DISTINCT array_to_string(ts[1:8], ' ') AS probe
+      FROM toks WHERE doc_id % 97 = 0 AND len(ts) >= 8),
+    grams AS (
+      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)
+      WHERE len(ts) >= 8),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+      FROM grams g JOIN probes p ON g.gram = p.probe
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           (h.doc_id IS NOT NULL) AS contaminated,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""

@@ -244,7 +244,8 @@ DRIVER_WINDOW = [
     "embedding_near_dup",
     "lang_id",
     "sessionize",
-    "tpch_q1",
+    # new in r5 — needs its first driver row
+    "decontaminate_docs",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

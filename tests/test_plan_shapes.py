@@ -231,3 +231,13 @@ def test_embedding_near_dup_is_distributed(plans):
     # replication is a single explode + ONE shuffle on (b1, b2)
     assert "Generate" in p
     assert p.count("Exchange") <= 2  # tree + details of the one exchange
+
+
+def test_decontaminate_broadcasts_probes(plans):
+    # the probe set is benchmark-sized: it must ride a broadcast hash
+    # join (map-side filter over the exploded grams), never a
+    # shuffle/sort-merge of the corpus gram stream or a cartesian
+    p = plans("decontaminate_docs")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p.split("BroadcastHashJoin")[0]
