@@ -306,6 +306,21 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.contamination_flags(docs, probes, n=DECONTAM_N)
 
 
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetitious-text metrics
+    (operators/text.py:repetition_metrics) — per-doc top-2/3-gram char
+    coverage + duplicate-token fraction, computed shuffle-free from
+    each doc's own sorted gram array."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    m = X.repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["rep2_frac"].alias("rep2_frac"),
+        m["rep3_frac"].alias("rep3_frac"),
+        m["dup_token_frac"].alias("dup_token_frac"),
+    )
+
+
 LLM_QUERIES = {
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
@@ -336,4 +351,5 @@ LLM_QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "decontaminate_docs": q_decontaminate_docs,
+    "repetition_metrics": q_repetition_metrics,
 }

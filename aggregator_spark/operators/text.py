@@ -238,3 +238,73 @@ def contamination_flags(docs, probes, n: int = 8):
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
         )
     )
+
+
+def _top_run(sorted_grams: Column) -> Column:
+    """(count, gram) of the most frequent element of a SORTED array via
+    a single linear pass (longest equal-run). Strict `>` keeps the
+    FIRST maximal run, so ties resolve to the lexicographically
+    smallest gram — mirrored in the oracle's ORDER BY c DESC, gram."""
+    state = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit("").alias("bestg"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(
+                F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                > acc.best,
+                F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            )
+            .otherwise(acc.best)
+            .alias("best"),
+            F.when(
+                F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1))
+                > acc.best,
+                g,
+            )
+            .otherwise(acc.bestg)
+            .alias("bestg"),
+        ),
+    )
+    return state
+
+
+def repetition_metrics(col: Column, ns: tuple[int, ...] = (2, 3)) -> dict[str, Column]:
+    """Gopher-style repetitious-text metrics (§A.3 of the Gopher paper's
+    quality pipeline): for each n, the fraction of characters covered by
+    the most frequent word n-gram (count × gram_chars / doc_chars), plus
+    the duplicate-token fraction 1 − distinct/total.
+
+    Scale shape: ZERO shuffle — the per-doc mode is the longest equal
+    run of the doc's own sorted gram array (one higher-order aggregate
+    per row), so the metric rides the parquet scan like the other text
+    operators instead of exploding a corpus-wide gram stream."""
+    ts = word_tokens(col)
+    out: dict[str, Column] = {}
+    for n in ns:
+        st = _top_run(F.array_sort(word_ngrams(ts, n)))
+        out[f"rep{n}_frac"] = F.round(
+            F.when(
+                F.length(col) > 0,
+                (st["best"] * F.length(st["bestg"])).cast("double")
+                / F.length(col),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+    out["dup_token_frac"] = F.round(
+        F.when(
+            F.size(ts) > 0,
+            1.0
+            - F.size(F.array_distinct(ts)).cast("double") / F.size(ts),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return out

@@ -530,3 +530,47 @@ LLM_ORACLES["decontaminate_docs"] = r"""
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
+
+# Gopher repetitious-text metrics: per-doc top n-gram char coverage
+# (count x gram chars / doc chars; ties -> lexicographically smallest
+# gram, matching the Spark sorted-run strict-> update) + dup-token frac
+LLM_ORACLES["repetition_metrics"] = r"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents),
+    g2 AS (
+      SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2),
+    b2 AS (
+      SELECT doc_id, gram, c FROM (
+        SELECT doc_id, gram, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, gram) AS rn
+        FROM g2 GROUP BY doc_id, gram) WHERE rn = 1),
+    g3 AS (
+      SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+      WHERE len(ts) >= 3),
+    b3 AS (
+      SELECT doc_id, gram, c FROM (
+        SELECT doc_id, gram, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, gram) AS rn
+        FROM g3 GROUP BY doc_id, gram) WHERE rn = 1)
+    SELECT t.doc_id,
+           round(CASE WHEN len(t.text) > 0 THEN
+                 CAST(COALESCE(b2.c * len(b2.gram), 0) AS DOUBLE)
+                 / len(t.text) ELSE 0.0 END, 6) AS rep2_frac,
+           round(CASE WHEN len(t.text) > 0 THEN
+                 CAST(COALESCE(b3.c * len(b3.gram), 0) AS DOUBLE)
+                 / len(t.text) ELSE 0.0 END, 6) AS rep3_frac,
+           round(CASE WHEN len(t.ts) > 0 THEN
+                 1.0 - CAST(len(list_distinct(t.ts)) AS DOUBLE)
+                 / len(t.ts) ELSE 0.0 END, 6) AS dup_token_frac
+    FROM toks t
+    LEFT JOIN b2 ON t.doc_id = b2.doc_id
+    LEFT JOIN b3 ON t.doc_id = b3.doc_id
+"""

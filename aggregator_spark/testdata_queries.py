@@ -242,10 +242,10 @@ DRIVER_WINDOW = [
     # family re-pins (one representative per previously-green family)
     "dedup_exact",
     "embedding_near_dup",
-    "lang_id",
     "sessionize",
-    # new in r5 — needs its first driver row
+    # new in r5 — need their first driver rows
     "decontaminate_docs",
+    "repetition_metrics",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
