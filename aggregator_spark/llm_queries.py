@@ -309,16 +309,9 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetitious-text metrics
     (operators/text.py:repetition_metrics) — per-doc top-2/3-gram char
-    coverage + duplicate-token fraction, computed shuffle-free from
-    each doc's own sorted gram array."""
+    coverage + duplicate-token fraction, Arrow-batched, zero shuffle."""
     docs = load_testdata(spark, sf_dir, "documents")
-    m = X.repetition_metrics(F.col("text"))
-    return docs.select(
-        "doc_id",
-        m["rep2_frac"].alias("rep2_frac"),
-        m["rep3_frac"].alias("rep3_frac"),
-        m["dup_token_frac"].alias("dup_token_frac"),
-    )
+    return X.repetition_metrics(docs)
 
 
 LLM_QUERIES = {

@@ -240,71 +240,76 @@ def contamination_flags(docs, probes, n: int = 8):
     )
 
 
-def _top_run(sorted_grams: Column) -> Column:
-    """(count, gram) of the most frequent element of a SORTED array via
-    a single linear pass (longest equal-run). Strict `>` keeps the
-    FIRST maximal run, so ties resolve to the lexicographically
-    smallest gram — mirrored in the oracle's ORDER BY c DESC, gram."""
-    state = F.aggregate(
-        sorted_grams,
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit("").alias("bestg"),
-        ),
-        lambda acc, g: F.struct(
-            g.alias("prev"),
-            F.when(g == acc.prev, acc.run + 1)
-            .otherwise(F.lit(1))
-            .alias("run"),
-            F.when(
-                F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1))
-                > acc.best,
-                F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-            )
-            .otherwise(acc.best)
-            .alias("best"),
-            F.when(
-                F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1))
-                > acc.best,
-                g,
-            )
-            .otherwise(acc.bestg)
-            .alias("bestg"),
-        ),
-    )
-    return state
-
-
-def repetition_metrics(col: Column, ns: tuple[int, ...] = (2, 3)) -> dict[str, Column]:
+def repetition_metrics(docs, ns: tuple[int, ...] = (2, 3)):
     """Gopher-style repetitious-text metrics (§A.3 of the Gopher paper's
     quality pipeline): for each n, the fraction of characters covered by
-    the most frequent word n-gram (count × gram_chars / doc_chars), plus
-    the duplicate-token fraction 1 − distinct/total.
+    the most frequent word n-gram (count × gram_chars / doc_chars; ties
+    resolve to the lexicographically smallest gram), plus the
+    duplicate-token fraction 1 − distinct/total. Takes a DataFrame with
+    (doc_id, text); returns (doc_id, rep2_frac, rep3_frac,
+    dup_token_frac).
 
-    Scale shape: ZERO shuffle — the per-doc mode is the longest equal
-    run of the doc's own sorted gram array (one higher-order aggregate
-    per row), so the metric rides the parquet scan like the other text
-    operators instead of exploding a corpus-wide gram stream."""
-    ts = word_tokens(col)
-    out: dict[str, Column] = {}
-    for n in ns:
-        st = _top_run(F.array_sort(word_ngrams(ts, n)))
-        out[f"rep{n}_frac"] = F.round(
-            F.when(
-                F.length(col) > 0,
-                (st["best"] * F.length(st["bestg"])).cast("double")
-                / F.length(col),
-            ).otherwise(F.lit(0.0)),
-            6,
-        )
-    out["dup_token_frac"] = F.round(
-        F.when(
-            F.size(ts) > 0,
-            1.0
-            - F.size(F.array_distinct(ts)).cast("double") / F.size(ts),
-        ).otherwise(F.lit(0.0)),
-        6,
+    Scale shape: ZERO shuffle — per-doc work over Arrow batches
+    (``mapInPandas``), partition count preserved, so the metric rides
+    the parquet scan. A column-expression form via a sorted-run
+    higher-order aggregate was 10× slower at sf0.1 (HOF lambdas run
+    interpreted; see HANDOFF.md trap list), hence the Arrow path.
+    Rounding is decimal HALF_UP — bit-identical to ``F.round``/the
+    DuckDB oracle.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            *[
+                T.StructField(f"rep{n}_frac", T.DoubleType())
+                for n in ns
+            ],
+            T.StructField("dup_token_frac", T.DoubleType()),
+        ]
     )
-    return out
+
+    def fn(batches):
+        import re as _re
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        q = Decimal("0.000001")
+
+        def r6(x: float) -> float:
+            return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+        pat = _re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            out = {"doc_id": []}
+            for n in ns:
+                out[f"rep{n}_frac"] = []
+            out["dup_token_frac"] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                text = text or ""
+                ts = [t for t in pat.split(text.lower()) if t]
+                chars = len(text)
+                out["doc_id"].append(did)
+                for n in ns:
+                    if len(ts) >= n and chars > 0:
+                        cnt = Counter(
+                            " ".join(ts[i : i + n])
+                            for i in range(len(ts) - n + 1)
+                        )
+                        best = max(cnt.values())
+                        bestg = min(
+                            g for g, c in cnt.items() if c == best
+                        )
+                        frac = r6(best * len(bestg) / chars)
+                    else:
+                        frac = 0.0
+                    out[f"rep{n}_frac"].append(frac)
+                out["dup_token_frac"].append(
+                    r6(1.0 - len(set(ts)) / len(ts)) if ts else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema)

@@ -224,3 +224,59 @@ def test_lsh_excludes_zero_shingle_docs(spark):
     }
     assert (4, 5) in pairs
     assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+
+
+def test_contamination_flags_crafted(spark):
+    """Exact word-8-gram overlap: only docs containing a probe 8-gram
+    verbatim (after lower + non-alphanumeric split) are flagged."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.text import contamination_flags
+
+    probe_text = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix {probe_text} suffix"),      # contains probe
+            (2, "one two three four five six seven"),  # only 7-gram
+            (3, f"ONE, two THREE four: five six seven eight!"),  # normalizes
+            (4, "totally unrelated words here padding up to enough"),
+            (5, probe_text),                          # exact
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(probe_text,)], "probe string")
+    got = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in contamination_flags(docs, probes, n=8).collect()
+    }
+    assert got == {
+        1: (True, 1),
+        2: (False, 0),
+        3: (True, 1),
+        4: (False, 0),
+        5: (True, 1),
+    }
+
+
+def test_repetition_metrics_crafted(spark):
+    """Top-gram coverage: 'a b' occurs 3x (len 3) in a 15-char doc ->
+    rep2 = 9/15; all-distinct doc -> dup_token_frac 0."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b c d"),   # 15 chars; top 2-gram "a b" x3
+            (2, "p q r s t u v w"),   # all distinct tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["rep2_frac"], r["dup_token_frac"])
+        for r in repetition_metrics(docs).collect()
+    }
+    assert got[1][0] == round(3 * 3 / 15, 6)
+    assert got[2] == (round(1 * 3 / 15, 6), 0.0)  # every 2-gram unique -> top count 1
+    # dup-token fraction: doc 1 has 8 tokens, 4 distinct
+    assert got[1][1] == round(1 - 4 / 8, 6)
