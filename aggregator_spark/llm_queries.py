@@ -251,9 +251,15 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate scale path — rows-only check (no SQL oracle: candidate
     # set depends on the LSH bucketing, not expressible as plain SQL
     # without reimplementing the planes; the exact baseline above IS
-    # oracle-checked)
+    # oracle-checked). Signatures come from the cached offline index
+    # (sources/lsh_index.py) — the query pays bucket join + re-rank.
+    from aggregator_spark.sources.lsh_index import cached_lsh_index
+
     emb = load_testdata(spark, sf_dir, "embeddings")
-    return S.ann_topk_lsh(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
+    idx = cached_lsh_index(spark, sf_dir)
+    return S.ann_topk_lsh(
+        emb, query_ids=ANN_QUERY_IDS, k=ANN_K, indexed=idx
+    )
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,49 +117,25 @@ def _plane_weight(plane: int, dim: int) -> float:
     return int(h[:6], 16) / 16777216.0 - 0.5
 
 
-# hyperplane signatures are computed Arrow-side inside ann_topk_lsh
-# (numpy matmul over the _plane_weight family — tables are independent
-# because their plane index ranges are disjoint)
+# hyperplane signatures are computed Arrow-side (numpy matmul over the
+# _plane_weight family — tables are independent because their plane
+# index ranges are disjoint)
 
 
-def ann_topk_lsh(
+def lsh_signature_index(
     embeddings: DataFrame,
-    query_ids: list[int] | None = None,
-    k: int = 3,
     n_tables: int = 12,
     planes_per_table: int = 5,
     n_dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via MULTI-TABLE hyperplane LSH: L independent
-    sign-bit signatures (b planes each); candidates = corpus vectors
-    sharing ANY table's bucket with the query, deduped, then exact
-    cosine re-rank. Recall ≈ 1-(1-p^b)^L for per-plane agreement p —
-    single-probe (L=1) collapses to ~p^b, which is why it measured ~0
-    recall on weakly-correlated embeddings; L=12×b=5 measures ~0.6
-    recall@5 probing ~1/3 of this corpus (tune b up as the corpus
-    grows: bucket occupancy ~n/2^b per table).
-
-    ``multiprobe=1`` (default) additionally probes every bucket at
-    Hamming distance 1 from the query's signature in each table — the
-    standard multiprobe-LSH trick: the near-miss buckets (one plane
-    voted wrong) hold most of the lost neighbors. Only the QUERY side
-    fans out (×(1+b) bucket keys per table — queries are few); the
-    corpus keeps exactly one bucket per table, so index size and the
-    shuffle key count are unchanged. Measured here: recall@5 0.6→0.9
-    at ~2× the probed-candidate share. ``multiprobe=0`` is the
-    exact-bucket form.
-
-    Scale shape: the bucket join is keyed on (table, signature) —
-    shuffle O(n·L) keys instead of the O(n·q) cross product; dedup of
-    candidate pairs happens pre-scoring so each survivor is scored
-    once.
-    """
-    # signatures via Arrow-vectorized numpy (one matmul for all L×b
-    # planes) — the interpreted per-plane HOF fold measured ~6× slower
-    # at sf0.1 (same precedent as shingling in operators/dedup.py)
+    """The LSH index table: (id, vec, vnorm, sigs[L]) with one b-bit
+    sign signature per table. Arrow-vectorized numpy — one matmul for
+    all L×b planes (the interpreted per-plane HOF fold measured ~6×
+    slower at sf0.1; same precedent as shingling in operators/dedup.py).
+    This is the offline index-build step; ``sources/lsh_index.py``
+    materializes it content-keyed for reuse across queries."""
     import numpy as np
 
     W = np.array(
@@ -184,13 +160,67 @@ def ann_topk_lsh(
             ]
             yield pdf
 
-    base = scatter(_with_vec_norm(embeddings, id_col, vec_col)).mapInPandas(
+    return scatter(_with_vec_norm(embeddings, id_col, vec_col)).mapInPandas(
         add_sigs,
         schema=(
             f"{id_col} long, vec array<double>, vnorm double, "
             "sigs array<string>"
         ),
     )
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 3,
+    n_tables: int = 12,
+    planes_per_table: int = 5,
+    n_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+    indexed: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: L independent
+    sign-bit signatures (b planes each); candidates = corpus vectors
+    sharing ANY table's bucket with the query, deduped, then exact
+    cosine re-rank. Recall ≈ 1-(1-p^b)^L for per-plane agreement p —
+    single-probe (L=1) collapses to ~p^b, which is why it measured ~0
+    recall on weakly-correlated embeddings; L=12×b=5 measures ~0.6
+    recall@5 probing ~1/3 of this corpus (tune b up as the corpus
+    grows: bucket occupancy ~n/2^b per table).
+
+    Pass ``indexed`` (columns id, vec, vnorm, sigs — the output of
+    ``lsh_signature_index``) to skip the signature build: like any real
+    ANN system the signature table is an offline index, materialized
+    once at ingest (see ``sources/lsh_index.py``) and reused per query.
+
+    ``multiprobe=1`` (default) additionally probes every bucket at
+    Hamming distance 1 from the query's signature in each table — the
+    standard multiprobe-LSH trick: the near-miss buckets (one plane
+    voted wrong) hold most of the lost neighbors. Only the QUERY side
+    fans out (×(1+b) bucket keys per table — queries are few); the
+    corpus keeps exactly one bucket per table, so index size and the
+    shuffle key count are unchanged. Measured here: recall@5 0.6→0.9
+    at ~2× the probed-candidate share. ``multiprobe=0`` is the
+    exact-bucket form.
+
+    Scale shape: the bucket join is keyed on (table, signature) —
+    shuffle O(n·L) keys instead of the O(n·q) cross product; dedup of
+    candidate pairs happens pre-scoring so each survivor is scored
+    once.
+    """
+    if indexed is not None:
+        base = indexed
+    else:
+        base = lsh_signature_index(
+            embeddings,
+            n_tables=n_tables,
+            planes_per_table=planes_per_table,
+            n_dims=n_dims,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     keyed = base.select(
         id_col,
         "vec",

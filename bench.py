@@ -88,6 +88,17 @@ def main() -> None:
     total += dt
     print(f"# ann_ivf_index_build: {dt:.3f}s", file=sys.stderr)
 
+    from aggregator_spark.sources.lsh_index import cached_lsh_index
+
+    t0 = time.perf_counter()
+    cached_lsh_index(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    timings["ann_lsh_index_build"] = round(dt, 3)
+    total += dt
+    print(f"# ann_lsh_index_build: {dt:.3f}s", file=sys.stderr)
+
     for name in sorted(qs):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
