@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from aggregator_spark.operators.text import word_tokens as _word_tokens
 from aggregator_spark.schemas import load_testdata
 
 
@@ -148,12 +149,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("term"),
+        F.explode(_word_tokens(F.col("text"))).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")

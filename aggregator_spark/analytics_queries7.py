@@ -19,9 +19,11 @@ def _day(col="ts"):
 
 
 def _tokens(text_col="text"):
-    return F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    # single shared tokenizer (operators/text.py) — the oracles depend
+    # on every text-family query splitting identically
+    from aggregator_spark.operators.text import word_tokens
+
+    return word_tokens(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
 def q_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

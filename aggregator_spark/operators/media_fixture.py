@@ -66,8 +66,14 @@ def build_payload(k: int) -> bytes:
 
 def _micro(v: float) -> int:
     """HALF_UP micro-units of a float32-bounded value — mirrors Spark's
-    ``cast(round(col * 1e6) as bigint)`` on a FloatType column."""
-    return int(math.floor(float(np.float32(v)) * 1e6 + 0.5))
+    ``cast(round(col * 1e6) as bigint)`` on a FloatType column.
+    Decimal ROUND_HALF_UP (away from zero on ties) matches Java
+    BigDecimal HALF_UP for negative values too, where floor(x+0.5)
+    would not."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    x = float(np.float32(v)) * 1e6
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def _micro_str(vals: list[float]) -> str:

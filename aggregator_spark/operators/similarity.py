@@ -211,6 +211,21 @@ def ann_topk_lsh(
     once.
     """
     if indexed is not None:
+        # geometry guard: a cached index built with different LSH params
+        # would generate malformed multiprobe bucket keys and silently
+        # collapse recall — fail loudly instead. One-row probe, O(1).
+        probe = indexed.select(
+            F.size("sigs").alias("n_t"),
+            F.length(F.element_at("sigs", 1)).alias("b"),
+        ).first()
+        if probe is not None and (
+            probe["n_t"] != n_tables or probe["b"] != planes_per_table
+        ):
+            raise ValueError(
+                f"indexed LSH table has geometry {probe['n_t']}x"
+                f"{probe['b']}, query expects {n_tables}x"
+                f"{planes_per_table} — rebuild the index"
+            )
         base = indexed
     else:
         base = lsh_signature_index(

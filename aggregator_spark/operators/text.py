@@ -195,11 +195,16 @@ def word_tokens(col: Column) -> Column:
 
 def word_ngrams(toks: Column, n: int) -> Column:
     """All word n-grams of a token array as space-joined strings
-    (empty array when the doc is shorter than n)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    (empty array when the doc is shorter than n — guarded explicitly:
+    F.sequence(1, 0) would otherwise count DOWN to [1, 0] and make
+    slice() throw on start index 0)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def contamination_flags(docs, probes, n: int = 8):

@@ -4,9 +4,9 @@
 one corpus pass per Lloyd round. Like JSON parsing (see
 ``variant_ingest.py``), that is an INGEST cost, not a query cost: real
 ANN systems build the IVF index offline once and amortize it across
-every query. This module materializes the (id, cluster) assignment to
-parquet keyed on the source file's content stamp, so queries pay only
-the centroid broadcast + nprobe-routed candidate join.
+every query. This module materializes the (id, cluster) assignment via
+the shared content-stamped cache (``stamped_cache.py``), so queries pay
+only the centroid broadcast + nprobe-routed candidate join.
 
 At 100 TB: the assignment table is one narrow (id, int) column pair —
 co-partitionable with the embedding table (bucket both by id) so the
@@ -14,10 +14,6 @@ join adds no shuffle on the corpus side.
 """
 
 from __future__ import annotations
-
-import hashlib
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -40,24 +36,29 @@ def build_ivf_assignment(
     return out_path
 
 
-def cached_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-convenience wrapper mirroring ``cached_events_variant``:
-    materialize once per (sf_dir, source content stamp), reuse after.
-    The mtime+size stamp invalidates the index when the driver
-    regenerates testdata."""
-    from aggregator_spark.schemas import load_testdata
+def ivf_cache_dir(sf_dir: str, kmeans_rounds: int = 1) -> str:
+    from aggregator_spark.sources.stamped_cache import cache_dir
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "unknown"
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{stamp}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"aggregator_spark_ivf_{key}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        build_ivf_assignment(load_testdata(spark, sf_dir, "embeddings"), out)
-    return spark.read.parquet(out)
+    return cache_dir(
+        sf_dir, "embeddings.parquet", "ivf", extra=f"r{kmeans_rounds}"
+    )
+
+
+def cached_ivf_assignment(
+    spark: SparkSession, sf_dir: str, kmeans_rounds: int = 1
+) -> DataFrame:
+    """Materialize once per (sf_dir, source content stamp, rounds),
+    reuse after; regenerated testdata invalidates the index."""
+    from aggregator_spark.schemas import load_testdata
+    from aggregator_spark.sources.stamped_cache import materialize_cached
+
+    def build(out: str) -> None:
+        build_ivf_assignment(
+            load_testdata(spark, sf_dir, "embeddings"),
+            out,
+            kmeans_rounds=kmeans_rounds,
+        )
+
+    return materialize_cached(
+        spark, ivf_cache_dir(sf_dir, kmeans_rounds), build
+    )

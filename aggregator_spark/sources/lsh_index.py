@@ -2,8 +2,12 @@
 
 Same ingest/query split as ``ivf_index.py``: the multi-table hyperplane
 signatures (one L×b matmul over the corpus + vector norms) are an
-offline ANN index-build cost, not a per-query cost. Materialized
-content-keyed; queries pay only the bucket join + exact re-rank.
+offline ANN index-build cost, not a per-query cost. Materialized via
+the shared content-stamped cache (``stamped_cache.py``); queries pay
+only the bucket join + exact re-rank. The LSH geometry (n_tables,
+planes_per_table, n_dims) is part of the cache key, and
+``ann_topk_lsh`` validates the signature width of a passed index, so a
+stale-geometry index can't silently corrupt multiprobe bucketing.
 
 At 100 TB: the index row is (id, vec, vnorm, sigs[L]) — the vectors
 ride along so the re-rank needs no join back to the corpus; for very
@@ -13,11 +17,23 @@ embedding table on id.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
+
+
+def lsh_cache_dir(
+    sf_dir: str,
+    n_tables: int = 12,
+    planes_per_table: int = 5,
+    n_dims: int = 64,
+) -> str:
+    from aggregator_spark.sources.stamped_cache import cache_dir
+
+    return cache_dir(
+        sf_dir,
+        "embeddings.parquet",
+        "lsh",
+        extra=f"{n_tables}x{planes_per_table}x{n_dims}",
+    )
 
 
 def cached_lsh_index(
@@ -31,20 +47,9 @@ def cached_lsh_index(
     content stamp, LSH params), reuse after."""
     from aggregator_spark.operators.similarity import lsh_signature_index
     from aggregator_spark.schemas import load_testdata
+    from aggregator_spark.sources.stamped_cache import materialize_cached
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "unknown"
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{stamp}|{n_tables}x{planes_per_table}"
-        f"x{n_dims}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"aggregator_spark_lsh_{key}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         emb = load_testdata(spark, sf_dir, "embeddings")
         lsh_signature_index(
             emb,
@@ -52,4 +57,9 @@ def cached_lsh_index(
             planes_per_table=planes_per_table,
             n_dims=n_dims,
         ).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+
+    return materialize_cached(
+        spark,
+        lsh_cache_dir(sf_dir, n_tables, planes_per_table, n_dims),
+        build,
+    )

@@ -48,27 +48,23 @@ def ingest_events_variant(
     return out_path
 
 
+def variant_cache_dir(sf_dir: str) -> str:
+    from aggregator_spark.sources.stamped_cache import cache_dir
+
+    return cache_dir(sf_dir, "events.parquet", "variant")
+
+
 def cached_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-convenience wrapper: materialize once per (sf_dir,
-    source content) into a deterministic temp location, reuse on
-    subsequent calls. The cache key folds in the source file's
-    mtime+size so a regenerated testdata dir (same path, new bytes)
-    invalidates the cache instead of serving a stale materialization.
-    Real deployments run ``ingest_events_variant`` inside the ingest
-    pipeline instead."""
-    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "unknown"
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{stamp}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(
-        tempfile.gettempdir(), f"aggregator_spark_variant_{key}"
+    source content stamp) via ``sources/stamped_cache.py`` — a
+    regenerated testdata dir (same path, new bytes) invalidates the
+    cache instead of serving stale bytes, and stale generations are
+    swept on rebuild. Real deployments run ``ingest_events_variant``
+    inside the ingest pipeline instead."""
+    from aggregator_spark.sources.stamped_cache import materialize_cached
+
+    return materialize_cached(
+        spark,
+        variant_cache_dir(sf_dir),
+        lambda out: ingest_events_variant(spark, sf_dir, out),
     )
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        ingest_events_variant(spark, sf_dir, out)
-    return spark.read.parquet(out)

@@ -185,10 +185,11 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated per round to convert local green into driver CORRECTNESS rows.
 # Rounds 1–4 covered 82 of 116 catalog entries; round 5's window is the
 # §2-parity block (must stay green every round) + the 34 entries that
-# had never received a driver row + one re-pin per previously-green
-# family. Four entries are rows-only by design (approx ANN, HLL sketch,
-# binary media payloads) — the driver records the weaker rows-only check
-# for those; every other entry gets the full rows/schema/hash gate.
+# had never received a driver row + family re-pins + the two round-5
+# operators. Three entries are rows-only by design (approx ANN routing,
+# HLL sketch) — the driver records the weaker rows-only check for
+# those; every other entry, including media_features (real-codec value
+# oracle since r5), gets the full rows/schema/hash gate.
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline)
     "daily_counts",
@@ -234,7 +235,7 @@ DRIVER_WINDOW = [
     "lateral_topk_orders",
     "textrank_keywords",
     "cooccur_triangles",
-    # round-5 rotation: rows-only by design (approx / sketch / binary)
+    # round-5 rotation: media (value-oracled) + rows-only approx/sketch
     "media_features",
     "hll_monthly_users",
     "ann_topk_lsh",

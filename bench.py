@@ -60,44 +60,42 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
 
-    # VARIANT ingest timed as its own key: materialize_variant is a
-    # one-time ingest-pipeline cost, so folding it into the first
-    # variant_json_stats_materialized run would misreport steady-state
-    # query cost (the r4 "3.5x regression" was exactly this conflation).
-    from aggregator_spark.sources.variant_ingest import cached_events_variant
+    # Ingest costs timed as their own keys (one-time pipeline costs —
+    # folding them into the first query run misreported steady-state
+    # cost; the r4 variant "3.5x regression" was exactly that). Each
+    # cache dir is removed first so the recorded number is the true
+    # COLD build, reproducible run-to-run, while the query that follows
+    # gets the warm cache.
+    import shutil
 
-    t0 = time.perf_counter()
-    cached_events_variant(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.perf_counter() - t0
-    timings["variant_ingest"] = round(dt, 3)
-    total += dt
-    print(f"# variant_ingest: {dt:.3f}s", file=sys.stderr)
+    from aggregator_spark.sources.ivf_index import (
+        cached_ivf_assignment,
+        ivf_cache_dir,
+    )
+    from aggregator_spark.sources.lsh_index import (
+        cached_lsh_index,
+        lsh_cache_dir,
+    )
+    from aggregator_spark.sources.variant_ingest import (
+        cached_events_variant,
+        variant_cache_dir,
+    )
 
-    # IVF index build likewise: the coarse-quantizer k-means fit is the
-    # offline index-build step real ANN systems amortize across queries.
-    from aggregator_spark.sources.ivf_index import cached_ivf_assignment
-
-    t0 = time.perf_counter()
-    cached_ivf_assignment(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.perf_counter() - t0
-    timings["ann_ivf_index_build"] = round(dt, 3)
-    total += dt
-    print(f"# ann_ivf_index_build: {dt:.3f}s", file=sys.stderr)
-
-    from aggregator_spark.sources.lsh_index import cached_lsh_index
-
-    t0 = time.perf_counter()
-    cached_lsh_index(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    dt = time.perf_counter() - t0
-    timings["ann_lsh_index_build"] = round(dt, 3)
-    total += dt
-    print(f"# ann_lsh_index_build: {dt:.3f}s", file=sys.stderr)
+    ingests = [
+        ("variant_ingest", variant_cache_dir, cached_events_variant),
+        ("ann_ivf_index_build", ivf_cache_dir, cached_ivf_assignment),
+        ("ann_lsh_index_build", lsh_cache_dir, cached_lsh_index),
+    ]
+    for key, dir_fn, cache_fn in ingests:
+        shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)
+        t0 = time.perf_counter()
+        cache_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        timings[key] = round(dt, 3)
+        total += dt
+        print(f"# {key}: {dt:.3f}s", file=sys.stderr)
 
     for name in sorted(qs):
         t0 = time.perf_counter()

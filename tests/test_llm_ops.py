@@ -280,3 +280,26 @@ def test_repetition_metrics_crafted(spark):
     assert got[2] == (round(1 * 3 / 15, 6), 0.0)  # every 2-gram unique -> top count 1
     # dup-token fraction: doc 1 has 8 tokens, 4 distinct
     assert got[1][1] == round(1 - 4 / 8, 6)
+
+
+def test_word_ngrams_short_doc_contract(spark):
+    """Docs shorter than n must yield an EMPTY gram array, not crash:
+    F.sequence(1, 0) counts DOWN, so the unguarded form made slice()
+    throw on start index 0."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.text import word_ngrams, word_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id",
+            word_ngrams(word_tokens(F.col("text")), 8).alias("g"),
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["one two three four five six seven eight"]
