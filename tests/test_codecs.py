@@ -218,3 +218,30 @@ def test_multimodal_real_codecs_end_to_end(spark):
     assert len(aud) == 1
     assert aud[0]["duration_ms"] == 1000
     assert abs(aud[0]["rms"] - 0.35355) < 1e-3
+
+
+def test_micro_matches_spark_round_sweep(spark):
+    """_micro claims to mirror Spark's cast(round(col*1e6) as bigint)
+    on FloatType values — verify against Spark itself over a
+    deterministic sweep including negatives and near-tie magnitudes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.media_fixture import _micro
+
+    vals = [
+        float(np.float32(s * (i + 0.5) / 7919.0 * 10.0 ** -e))
+        for i in range(200)
+        for s in (1.0, -1.0)
+        for e in (3, 5, 6)
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i long, v float")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", F.round(F.col("v") * 1e6).cast("bigint").alias("m")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert _micro(v) == got[i], (i, v, _micro(v), got[i])

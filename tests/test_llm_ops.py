@@ -303,3 +303,19 @@ def test_word_ngrams_short_doc_contract(spark):
     }
     assert got[1] == [] and got[2] == []
     assert got[3] == ["one two three four five six seven eight"]
+
+
+def test_lsh_index_geometry_guard(spark, sf_dir):
+    """A cached index built with different LSH params must fail loudly,
+    not silently collapse multiprobe recall."""
+    import pytest as _pytest
+
+    from aggregator_spark.operators.similarity import (
+        ann_topk_lsh,
+        lsh_signature_index,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    idx = lsh_signature_index(emb, n_tables=4, planes_per_table=3)
+    with _pytest.raises(ValueError, match="geometry"):
+        ann_topk_lsh(emb, query_ids=[0], k=3, indexed=idx)  # expects 12x5
