@@ -247,18 +247,29 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_bruteforce(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
 
 
+# LSH geometry shared by the cached index build AND the query routing —
+# one source of truth so the cache key always matches the probe logic
+LSH_GEOM = {"n_tables": 12, "planes_per_table": 5, "n_dims": 64}
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate scale path — rows-only check (no SQL oracle: candidate
     # set depends on the LSH bucketing, not expressible as plain SQL
     # without reimplementing the planes; the exact baseline above IS
     # oracle-checked). Signatures come from the cached offline index
     # (sources/lsh_index.py) — the query pays bucket join + re-rank.
+    # Both sides take LSH_GEOM, so validate_index=False skips the
+    # eager one-row geometry probe and keeps plan construction lazy.
     from aggregator_spark.sources.lsh_index import cached_lsh_index
 
-    emb = load_testdata(spark, sf_dir, "embeddings")
-    idx = cached_lsh_index(spark, sf_dir)
+    idx = cached_lsh_index(spark, sf_dir, **LSH_GEOM)
     return S.ann_topk_lsh(
-        emb, query_ids=ANN_QUERY_IDS, k=ANN_K, indexed=idx
+        None,
+        query_ids=ANN_QUERY_IDS,
+        k=ANN_K,
+        indexed=idx,
+        validate_index=False,
+        **LSH_GEOM,
     )
 
 

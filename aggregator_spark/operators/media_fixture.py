@@ -65,15 +65,16 @@ def build_payload(k: int) -> bytes:
 
 
 def _micro(v: float) -> int:
-    """HALF_UP micro-units of a float32-bounded value — mirrors Spark's
-    ``cast(round(col * 1e6) as bigint)`` on a FloatType column.
-    Decimal ROUND_HALF_UP (away from zero on ties) matches Java
-    BigDecimal HALF_UP for negative values too, where floor(x+0.5)
-    would not."""
+    """Micro-units of a float32-bounded value, mirroring Spark's
+    ``cast(round(col * 1e6) as bigint)`` EXACTLY: F.round is Java
+    BigDecimal.valueOf(double) HALF_UP, i.e. HALF_UP on the SHORTEST
+    decimal representation (Python ``repr``), not on the exact binary
+    expansion — the two differ on representable half-values (pinned by
+    an 18k adversarial sweep vs Spark)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     x = float(np.float32(v)) * 1e6
-    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
 def _micro_str(vals: list[float]) -> str:

@@ -170,7 +170,7 @@ def lsh_signature_index(
 
 
 def ann_topk_lsh(
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     query_ids: list[int] | None = None,
     k: int = 3,
     n_tables: int = 12,
@@ -180,6 +180,7 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     multiprobe: int = 1,
     indexed: DataFrame | None = None,
+    validate_index: bool = True,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE hyperplane LSH: L independent
     sign-bit signatures (b planes each); candidates = corpus vectors
@@ -213,21 +214,27 @@ def ann_topk_lsh(
     if indexed is not None:
         # geometry guard: a cached index built with different LSH params
         # would generate malformed multiprobe bucket keys and silently
-        # collapse recall — fail loudly instead. One-row probe, O(1).
-        probe = indexed.select(
-            F.size("sigs").alias("n_t"),
-            F.length(F.element_at("sigs", 1)).alias("b"),
-        ).first()
-        if probe is not None and (
-            probe["n_t"] != n_tables or probe["b"] != planes_per_table
-        ):
-            raise ValueError(
-                f"indexed LSH table has geometry {probe['n_t']}x"
-                f"{probe['b']}, query expects {n_tables}x"
-                f"{planes_per_table} — rebuild the index"
-            )
+        # collapse recall — fail loudly instead. The one-row probe is a
+        # small eager Spark job, so callers that derive the index and
+        # the query params from the same constants (the catalog path)
+        # pass validate_index=False to keep plan construction lazy.
+        if validate_index:
+            probe = indexed.select(
+                F.size("sigs").alias("n_t"),
+                F.length(F.element_at("sigs", 1)).alias("b"),
+            ).first()
+            if probe is not None and (
+                probe["n_t"] != n_tables or probe["b"] != planes_per_table
+            ):
+                raise ValueError(
+                    f"indexed LSH table has geometry {probe['n_t']}x"
+                    f"{probe['b']}, query expects {n_tables}x"
+                    f"{planes_per_table} — rebuild the index"
+                )
         base = indexed
     else:
+        if embeddings is None:
+            raise ValueError("need embeddings when no index is passed")
         base = lsh_signature_index(
             embeddings,
             n_tables=n_tables,

@@ -259,8 +259,8 @@ def repetition_metrics(docs, ns: tuple[int, ...] = (2, 3)):
     the parquet scan. A column-expression form via a sorted-run
     higher-order aggregate was 10× slower at sf0.1 (HOF lambdas run
     interpreted; see HANDOFF.md trap list), hence the Arrow path.
-    Rounding is decimal HALF_UP — bit-identical to ``F.round``/the
-    DuckDB oracle.
+    Rounding replicates DuckDB's round(double, 6) bit-exactly (the
+    oracle engine for this query; see r6 below).
     """
     from pyspark.sql import types as T
 
@@ -276,16 +276,20 @@ def repetition_metrics(docs, ns: tuple[int, ...] = (2, 3)):
     )
 
     def fn(batches):
+        import math as _math
         import re as _re
         from collections import Counter
-        from decimal import ROUND_HALF_UP, Decimal
 
         import pandas as pd
 
-        q = Decimal("0.000001")
-
         def r6(x: float) -> float:
-            return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+            # DuckDB's round(double, 6) semantics EXACTLY: half-away
+            # evaluated on the double product x*1e6 (pinned by a 30k
+            # adversarial-tie sweep; Decimal-based HALF_UP schemes
+            # diverge on binary-terminating 7th-digit ties like 41/640)
+            return _math.copysign(
+                _math.floor(abs(x) * 1e6 + 0.5), x
+            ) / 1e6
 
         pat = _re.compile(r"[^a-z0-9]+")
         for pdf in batches:

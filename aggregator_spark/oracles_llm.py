@@ -11,6 +11,8 @@ from __future__ import annotations
 from aggregator_spark.llm_queries import (
     ANN_K,
     ANN_QUERY_IDS,
+    DECONTAM_MOD,
+    DECONTAM_N,
     EMB_DUP_THRESHOLD,
     JACCARD_THRESHOLD,
     KMEANS_ITERATIONS,
@@ -505,22 +507,28 @@ LLM_ORACLES["unigram_logprob"] = f"""
     GROUP BY doc_id
 """
 
-# benchmark decontamination: probes = first 8-gram of every 97th doc;
-# flag any doc containing any probe 8-gram (same word tokenizer as the
-# graph oracles: lower + split non-alphanumeric runs, empties dropped)
-LLM_ORACLES["decontaminate_docs"] = r"""
+# benchmark decontamination: probes = first DECONTAM_N-gram of every
+# DECONTAM_MOD-th doc; flag any doc containing any probe n-gram (same
+# word tokenizer as the graph oracles: lower + split non-alphanumeric
+# runs, empties dropped). Constants interpolated from llm_queries so
+# the Spark query and its oracle can never desynchronize.
+LLM_ORACLES["decontaminate_docs"] = f"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS ts
       FROM documents),
     probes AS (
-      SELECT DISTINCT array_to_string(ts[1:8], ' ') AS probe
-      FROM toks WHERE doc_id % 97 = 0 AND len(ts) >= 8),
+      SELECT DISTINCT array_to_string(ts[1:{DECONTAM_N}], ' ') AS probe
+      FROM toks
+      WHERE doc_id % {DECONTAM_MOD} = 0 AND len(ts) >= {DECONTAM_N}),
     grams AS (
-      SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
-      FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS u(i)
-      WHERE len(ts) >= 8),
+      SELECT doc_id,
+             array_to_string(ts[i:i+{DECONTAM_N - 1}], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, len(ts) - {DECONTAM_N - 1}))
+             AS u(i)
+      WHERE len(ts) >= {DECONTAM_N}),
     hits AS (
       SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
       FROM grams g JOIN probes p ON g.gram = p.probe

@@ -32,17 +32,21 @@ from pyspark.sql import DataFrame, SparkSession
 def cache_dir(
     sf_dir: str, src_name: str, prefix: str, extra: str = ""
 ) -> str:
-    """Deterministic cache location for (source dir, content, params).
-    Raises OSError if the source file is missing/unreadable."""
+    """Deterministic cache location for (source dir, params, content).
+    Raises OSError if the source file is missing/unreadable. The param
+    key sits OUTSIDE the swept suffix: only stale CONTENT generations
+    of the same (source, params) pair are removed on rebuild — caches
+    for different build parameters coexist (a sweep across params would
+    delete directories still referenced by live lazy DataFrames)."""
     base = os.path.abspath(sf_dir)
     st = os.stat(os.path.join(base, src_name))  # raise, never guess
-    path_key = hashlib.md5(base.encode()).hexdigest()[:8]
+    scope_key = hashlib.md5(f"{base}|{extra}".encode()).hexdigest()[:8]
     content_key = hashlib.md5(
-        f"{st.st_mtime_ns}:{st.st_size}|{extra}".encode()
+        f"{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
     return os.path.join(
         tempfile.gettempdir(),
-        f"aggregator_spark_{prefix}_{path_key}_{content_key}",
+        f"aggregator_spark_{prefix}_{scope_key}_{content_key}",
     )
 
 

@@ -14,10 +14,6 @@ plain parquet dir, readable by any session with no extra machinery.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
