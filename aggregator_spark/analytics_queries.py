@@ -62,7 +62,12 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < cutoff)
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
-        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        # DATE, not raw TIMESTAMP: collect-time TZ trap (schema lint)
+        .groupBy(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .agg(
             _dsum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"

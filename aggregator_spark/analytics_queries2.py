@@ -185,7 +185,12 @@ def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select(
-            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            # DATE, not raw TIMESTAMP: collect-time TZ trap (schema lint)
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_totalprice",
             "sum_qty",
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))

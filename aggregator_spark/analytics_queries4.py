@@ -77,13 +77,25 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_user_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: sorted distinct event-type array per user +
-    its cardinality (collect_set → array_sort, all JVM-side)."""
+    its cardinality (collect_set → array_sort, all JVM-side).
+
+    The catalog wrapper serializes the array to a comma-joined string:
+    the driver canonicalizer sorts/hashes column values and raw arrays
+    are unhashable there (same idiom as embedding_normalize,
+    llm_queries.py). NULL-faithful: a NULL array (impossible here —
+    collect_set over a non-empty group is never NULL — but kept for the
+    pattern) stays NULL rather than ''."""
     events = load_testdata(spark, sf_dir, "events")
+    types = F.array_sort(F.collect_set("event_type"))
     return (
         events.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .agg(types.alias("types_arr"))
         .select(
-            "user_id", "types", F.size("types").cast("long").alias("n_types")
+            "user_id",
+            F.when(F.col("types_arr").isNull(), F.lit(None).cast("string"))
+            .otherwise(F.array_join("types_arr", ","))
+            .alias("types"),
+            F.size("types_arr").cast("long").alias("n_types"),
         )
         .orderBy("user_id")
     )

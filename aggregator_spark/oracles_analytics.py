@@ -23,7 +23,7 @@ ANALYTICS_ORACLES: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
     """,
     "tpch_q3": f"""
-        SELECT o_orderkey, o_orderdate,
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
                o_orderpriority,
                {_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
         FROM customer

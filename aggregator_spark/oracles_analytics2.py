@@ -95,7 +95,8 @@ ANALYTICS2_ORACLES: dict[str, str] = {
           FROM lineitem GROUP BY l_orderkey
           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
                  > {BIG_ORDER_QTY})
-        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
                sum_qty
         FROM orders
         JOIN big ON o_orderkey = l_orderkey

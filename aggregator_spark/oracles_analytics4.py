@@ -77,7 +77,8 @@ ANALYTICS4_ORACLES: dict[str, str] = {
     """,
     "user_type_arrays": """
         SELECT user_id,
-               list_sort(list(DISTINCT event_type)) AS types,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                 AS types,
                CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types
         FROM events GROUP BY user_id
     """,
