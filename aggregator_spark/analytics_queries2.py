@@ -366,13 +366,37 @@ def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) per day — the opt-in scale path for
     the reference's exact COUNT(DISTINCT) semantics (SURVEY.md §2.9).
     No SQL oracle: HLL estimates are engine-specific (rows-only check);
-    `distinct_users_daily` is the oracle-checked exact twin."""
+    `distinct_users_daily` is the oracle-checked exact twin. The plan
+    carries a runtime accuracy gate (operators/accuracy.py): every
+    day's estimate must land within 5% of the exact count (rsd=0.01 →
+    ~1% expected error; 5× headroom guards the contract, not the
+    noise) — a broken estimator fails the action loudly."""
+    from aggregator_spark.operators.accuracy import (
+        attach_gate,
+        rel_error_check,
+    )
+
     events = load_testdata(spark, sf_dir, "events")
-    return (
-        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
-        .groupBy("day")
+    daily = events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+    approx = (
+        daily.groupBy("day")
         .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
         .orderBy("day")
+    )
+    exact = daily.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return attach_gate(
+        approx,
+        rel_error_check(
+            approx,
+            exact,
+            ["day"],
+            "n_users_approx",
+            "n_users_exact",
+            0.05,
+            "approx_distinct_daily",
+        ),
     )
 
 

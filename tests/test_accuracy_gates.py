@@ -1,0 +1,60 @@
+"""Runtime accuracy gates on the rows-only approximates
+(operators/accuracy.py): the plans self-assert their accuracy contract
+at action time — recall@k floors for LSH/IVF ANN, relative-error bound
+for the HLL daily distinct — so silent degradation is impossible.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize(
+    "name", ["ann_topk_lsh", "ann_topk_ivf", "approx_distinct_daily"]
+)
+def test_gated_queries_pass_contract(spark, sf_dir, name):
+    # collecting evaluates the embedded assert_true gate
+    rows = QUERIES[name](spark, sf_dir).collect()
+    assert rows
+
+
+def test_gate_fires_on_violation(spark):
+    from aggregator_spark.operators.accuracy import attach_gate
+
+    df = spark.range(3)
+    bad = spark.range(1).select(
+        F.lit(False).alias("ok"), F.lit("contract violated").alias("msg")
+    )
+    gated = attach_gate(df, bad)
+    with pytest.raises(Exception, match="contract violated"):
+        gated.collect()
+
+
+def test_recall_check_counts_missing_queries_as_zero(spark):
+    from aggregator_spark.operators.accuracy import recall_check
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], ["query_id", "neighbor_id"]
+    )
+    # query 2 entirely absent from approx → its recall is 0, mean 0.5
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11)], ["query_id", "neighbor_id"]
+    )
+    row = recall_check(approx, exact, k=2, floor=0.6, label="t").collect()[0]
+    assert row["ok"] is False and "0.5000" in row["msg"]
+
+
+def test_rel_error_check_missing_key_violates(spark):
+    from aggregator_spark.operators.accuracy import rel_error_check
+
+    exact = spark.createDataFrame([("a", 100), ("b", 100)], ["k", "exact"])
+    approx = spark.createDataFrame([("a", 101)], ["k", "approx"])
+    row = rel_error_check(
+        approx, exact, ["k"], "approx", "exact", 0.05, "t"
+    ).collect()[0]
+    assert row["ok"] is False
