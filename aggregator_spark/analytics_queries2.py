@@ -287,6 +287,43 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+ASOF_BUCKET_SECONDS = 86400  # daily buckets spread a hot user's window
+
+
+def q_asof_click_purchase_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened as-of join (operators/asof.py:asof_join_bucketed):
+    identical semantics to asof_click_purchase — same oracle — but the
+    carry-forward window partitions by (user, day bucket), so one
+    hyper-hot user cannot concentrate the sort on a single task."""
+    events = load_testdata(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    from aggregator_spark.operators.asof import asof_join_bucketed
+
+    out = asof_join_bucketed(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["click_id", "ts"],
+        bucket_seconds=ASOF_BUCKET_SECONDS,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts"),
+        F.col("asof_click_id").alias("click_id"),
+        F.unix_micros(F.col("asof_ts")).alias("click_ts"),
+    ).orderBy("event_id")
+
+
 def q_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band (range) join: events bucketed into static value bands via a
     broadcast non-equi join, then per-band rollup."""
@@ -424,6 +461,7 @@ ANALYTICS2_QUERIES = {
     "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
     "tpch_q22_idle": q_tpch_q22_idle,
     "asof_click_purchase": q_asof_click_purchase,
+    "asof_click_purchase_bucketed": q_asof_click_purchase_bucketed,
     "value_bands": q_value_bands,
     "json_props": q_json_props,
     "string_funcs": q_string_funcs,

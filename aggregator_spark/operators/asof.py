@@ -11,7 +11,10 @@ owns the physical plan:
   (time, side) carries the most recent right-side row forward onto each
   left-side row. One shuffle on the key, no range-explosion, no
   per-key driver loop — the same plan shape scales to 100 TB because
-  the window is partitioned by the join key.
+  the window is partitioned by the join key. For a hyper-hot key (one
+  device producing 90% of rows) use ``asof_join_bucketed``: identical
+  semantics, window partitioned by (key, time bucket) with per-bucket
+  carry-in rows, so per-task input is bounded by the bucket width.
 - **band join**: a small static bands table broadcast against the fact
   with a non-equi (``BETWEEN``-style) condition — BroadcastNestedLoopJoin
   on a tiny build side, the right physical plan for O(10) bands at any
@@ -85,7 +88,17 @@ def asof_join(
         F.last("__r", ignorenulls=True).over(w).alias("__match"),
         F.last("__rt", ignorenulls=True).over(w).alias("__match_t"),
     ).filter(F.col("__side") == 1)
+    return _asof_tail(carried, lcols, rcols, tolerance_seconds)
 
+
+def _asof_tail(
+    carried: DataFrame,
+    lcols: Sequence[str],
+    rcols: Sequence[str],
+    tolerance_seconds: int | None,
+) -> DataFrame:
+    """Shared projection tail: tolerance mask + unpack the tagged
+    structs into (left columns, asof_-prefixed right columns)."""
     if tolerance_seconds is not None:
         in_tol = (
             F.col("__t").cast("long") - F.col("__match_t").cast("long")
@@ -93,11 +106,130 @@ def asof_join(
         carried = carried.withColumn(
             "__match", F.when(in_tol, F.col("__match"))
         )
-
     return carried.select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in rcols],
     )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    bucket_seconds: int,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """``asof_join`` with time-range bucketing for skewed keys —
+    identical results, bounded per-task input.
+
+    The plain formulation windows over ``partitionBy(on)``: one
+    hyper-hot key (90% of rows on one device/user) lands on ONE task
+    and the sort there is the straggler. Here the window partitions by
+    ``(on, floor(time / bucket_seconds))`` instead, so a hot key
+    spreads over its time buckets and per-task input is bounded by the
+    key's per-bucket row count.
+
+    Carry-in: a left row whose bucket holds no earlier right row still
+    needs the newest right row from ANY earlier bucket. That is
+    computed on a per-(key, bucket) summary table (one row per bucket
+    per key — ``max_by`` with map-side partial aggregation, so the hot
+    key never concentrates raw rows), then a cumulative
+    ``last ignorenulls`` over the bucket axis yields each bucket's
+    carry row, injected as a synthetic right row that sorts before
+    everything in its bucket (``__side = -1``; a real right row at the
+    exact bucket start is newer or equal, so it wins the tie by
+    construction).
+
+    Same preconditions as ``asof_join`` (right unique per (on, time));
+    ``bucket_seconds`` trades skew spread (smaller) against summary-
+    table size (larger). The summary window partitions by the bare key
+    but holds #buckets rows per key, not #events.
+    """
+    lcols = list(left.columns)
+    rcols = list(right_cols)
+    lstruct = _struct_type(left, lcols)
+    rstruct = _struct_type(right, rcols)
+
+    def bucket(c: str):
+        return F.floor(F.col(c).cast("long") / F.lit(bucket_seconds)).cast(
+            "long"
+        )
+
+    tagged_left = left.select(
+        F.col(on).alias("__k"),
+        bucket(left_time).alias("__b"),
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(rstruct).alias("__r"),
+        F.lit(None).cast("timestamp").alias("__rt"),
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__k"),
+        bucket(right_time).alias("__b"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lstruct).alias("__l"),
+        F.struct(*rcols).alias("__r"),
+        F.col(right_time).cast("timestamp").alias("__rt"),
+    )
+
+    # newest right row per (key, bucket): partial-aggregated map-side,
+    # so the hot key's raw rows never pile onto one reducer here
+    rsum = tagged_right.groupBy("__k", "__b").agg(
+        F.max_by(F.struct("__r", "__rt"), F.col("__t")).alias("__p")
+    )
+    # bucket axis = every (key, bucket) present on either side; the
+    # cumulative last over strictly-earlier buckets is each bucket's
+    # carry-in (tiny: one row per key per bucket)
+    axis = (
+        tagged_left.select("__k", "__b")
+        .union(tagged_right.select("__k", "__b"))
+        .distinct()
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        axis.join(rsum, ["__k", "__b"], "left")
+        .select(
+            "__k",
+            "__b",
+            F.last("__p", ignorenulls=True).over(wb).alias("__carry"),
+        )
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            "__k",
+            "__b",
+            F.timestamp_seconds(F.col("__b") * F.lit(bucket_seconds)).alias(
+                "__t"
+            ),
+            F.lit(-1).alias("__side"),
+            F.lit(None).cast(lstruct).alias("__l"),
+            F.col("__carry.__r").alias("__r"),
+            F.col("__carry.__rt").alias("__rt"),
+        )
+    )
+
+    unioned = tagged_left.unionByName(tagged_right).unionByName(carry)
+    w = (
+        Window.partitionBy("__k", "__b")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__t",
+        "__side",
+        "__l",
+        F.last("__r", ignorenulls=True).over(w).alias("__match"),
+        F.last("__rt", ignorenulls=True).over(w).alias("__match_t"),
+    ).filter(F.col("__side") == 1)
+    return _asof_tail(carried, lcols, rcols, tolerance_seconds)
 
 
 def band_join(

@@ -126,6 +126,20 @@ ANALYTICS2_ORACLES: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         GROUP BY c_mktsegment
     """,
+    # the bucketed twin is semantics-identical, so it shares the oracle
+    "asof_click_purchase_bucketed": """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        clicks AS (
+          SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+          WHERE event_type = 'click' GROUP BY user_id, ts)
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts,
+               c.click_id, epoch_us(c.ts) AS click_ts
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
     "asof_click_purchase": """
         WITH purchases AS (
           SELECT event_id, user_id, ts FROM events

@@ -13,12 +13,9 @@ total shuffle read/write observed via the Spark status REST API.
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
-import urllib.request
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
@@ -53,16 +50,7 @@ def synth_docs(spark, n_docs: int):
     )
 
 
-def shuffle_totals(ui_port: int = 4040) -> tuple[int, int]:
-    base = f"http://localhost:{ui_port}/api/v1/applications"
-    apps = json.load(urllib.request.urlopen(base, timeout=10))
-    app_id = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(f"{base}/{app_id}/stages", timeout=10)
-    )
-    rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
-    wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    return rd, wr
+from stress_util import shuffle_totals  # noqa: E402  (path set above)
 
 
 def main() -> None:
@@ -82,12 +70,12 @@ def main() -> None:
     docs = spark.read.parquet(path)
 
     for name, fn in (("textrank", textrank_scores), ("triangles", triangle_count)):
-        rd0, wr0 = shuffle_totals()
+        rd0, wr0 = shuffle_totals(spark)
         t0 = time.perf_counter()
         out = fn(docs)
         out.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        rd1, wr1 = shuffle_totals()
+        rd1, wr1 = shuffle_totals(spark)
         print(
             f"{name}: {dt:.1f}s  shuffle_read={(rd1-rd0)/1e9:.2f}GB"
             f"  shuffle_write={(wr1-wr0)/1e9:.2f}GB"

@@ -1,11 +1,12 @@
 """The driver's correctness gate grades the FIRST 50 ``queries()``
 entries. That window is a deliberate, rotated artifact
-(testdata_queries.DRIVER_WINDOW): rounds 1–4 accumulated driver rows
-for 82 of 116 catalog entries; round 5's window is the §2-parity block
-(green every round) + the 34 entries that had never received a driver
-row + one re-pin per previously-green family. Everything in the window
-is oracled except the three approx/sketch entries that are rows-only by
-design.
+(testdata_queries.DRIVER_WINDOW): after round 5 every catalog entry has
+at least one driver row, so round 6 re-pins for stability — parity
+block first, then this round's fixed/new/changed entries, then the
+past-error-history list, then the oldest (round-1-only) rows.
+Everything in the window is oracled except the approx entries that are
+rows-only by design (which since r6 self-assert their accuracy contract
+at run time instead).
 """
 
 from __future__ import annotations
