@@ -288,6 +288,61 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(aud)
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, REAL demux, hash-matched: each document
+    becomes a deterministic uncompressed-AVI payload (2–5 moving
+    gradient frames keyed on doc_id % 64, operators/media_fixture.py),
+    then flows through the real Arrow-batched sampler
+    (operators/multimodal.py:sample_video_frames fake=False →
+    operators/codecs.py RIFF demux, bottom-up DIB decode, per-instant
+    source-frame selection, PNG re-encode). The output hashes the
+    sampled PNG bytes (md5 hex) because the payload itself is the value
+    under test; the oracle joins a per-key expected-frames VALUES
+    lookup computed by the same codec functions in plain Python."""
+    from pyspark.sql import types as T
+
+    from aggregator_spark.operators.media_fixture import (
+        N_VIDEO_KEYS,
+        VIDEO_EVERY_MS,
+        build_video_payload,
+    )
+    from aggregator_spark.operators.multimodal import sample_video_frames
+
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(["video"] * len(ids), dtype="object"),
+                    "payload": pd.Series(
+                        [build_video_payload(i % N_VIDEO_KEYS) for i in ids],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(encode, media_schema)
+    frames = sample_video_frames(media, every_ms=VIDEO_EVERY_MS, fake=False)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "frame_ts_ms",
+        F.md5("frame_payload").alias("frame_md5"),
+    ).orderBy("media_id", "frame_ts_ms")
+
+
 def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling mean of daily event counts per event type — a
     RANGE-frame window over day offsets (not ROWS: gap days must still
@@ -368,6 +423,7 @@ ANALYTICS4_QUERIES = {
     "top_tokens": q_top_tokens,
     "geomean_value": q_geomean_value,
     "media_features": q_media_features,
+    "video_frames": q_video_frames,
     "tumbling_hourly": q_tumbling_hourly,
     "sliding_halfhour": q_sliding_halfhour,
     "latest_event_per_user": q_latest_event_per_user,

@@ -281,3 +281,154 @@ def audio_features(
         if len(seg):
             bands[i] = np.log1p(float(np.mean(seg)))
     return duration_ms, round(rms, 6), [round(float(b), 6) for b in bands]
+
+
+# ---- AVI (uncompressed DIB video) ----
+#
+# Same RIFF container family as WAV, so the parser reuses the chunk
+# discipline above. Scope (documented contract, like PNG/WAV): 'vids'
+# stream with BI_RGB (biCompression=0) 24-bit bottom-up DIB frames in
+# '00db'/'00dc' movi chunks. Compressed codecs (MJPG, cinepak, ...)
+# raise UnsupportedMediaError — decoding those genuinely needs
+# ffmpeg/pyav, which this container lacks.
+
+_AVIH_FMT = "<IIIIIIIIII"  # first 10 dwords of the main AVI header
+
+
+def is_avi(payload: bytes) -> bool:
+    return (
+        bool(payload)
+        and len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    )
+
+
+def _walk_riff(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) for each chunk in [pos, end);
+    LIST chunks yield their list type as fourcc with the inner span."""
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = pos + 8
+        if tag == b"LIST" and length >= 4:
+            yield buf[body : body + 4], body + 4, length - 4
+        else:
+            yield tag, body, length
+        pos = body + length + (length & 1)  # chunks are word-aligned
+
+
+def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """(micro_sec_per_frame, frames) — each frame (height, width, 3)
+    uint8 RGB, decoded from bottom-up BGR DIB rows. Raises
+    UnsupportedMediaError outside the documented scope."""
+    if not is_avi(payload):
+        raise ValueError("not an AVI payload")
+    us_per_frame = None
+    width = height = None
+    bitcount = compression = None
+    frame_chunks: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal us_per_frame, width, height, bitcount, compression
+        for tag, body, length in _walk_riff(payload, pos, end):
+            if tag in (b"hdrl", b"strl", b"movi"):
+                walk(body, body + length)
+            elif tag == b"avih":
+                us_per_frame = struct.unpack(
+                    "<I", payload[body : body + 4]
+                )[0]
+            elif tag == b"strf" and width is None:
+                (_, width, height, _, bitcount, compression) = struct.unpack(
+                    "<IiiHHI", payload[body : body + 20]
+                )
+            elif tag[2:4] in (b"db", b"dc"):
+                frame_chunks.append(payload[body : body + length])
+
+    walk(12, len(payload))
+    if us_per_frame is None or width is None:
+        raise ValueError("corrupt AVI: missing avih/strf headers")
+    if compression != 0:
+        raise UnsupportedMediaError(
+            f"AVI compression 0x{compression:x} (only BI_RGB=0)"
+        )
+    if bitcount != 24:
+        raise UnsupportedMediaError(f"AVI bit count {bitcount} (only 24)")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
+    frames = []
+    for chunk in frame_chunks:
+        if len(chunk) < stride * height:
+            raise ValueError("corrupt AVI: short frame chunk")
+        rows = np.frombuffer(
+            chunk, dtype=np.uint8, count=stride * height
+        ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        frames.append(rows[:, :, ::-1].copy())  # BGR → RGB
+    return us_per_frame, frames
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Minimal uncompressed-AVI encoder (inverse of ``decode_avi``):
+    24-bit BI_RGB bottom-up DIB frames, one '00db' chunk each."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    first = frames[0]
+    if first.ndim == 2:
+        frames = [np.repeat(f[:, :, None], 3, axis=2) for f in frames]
+        first = frames[0]
+    height, width, _ = first.shape
+    stride = (width * 3 + 3) & ~3
+    us_per_frame = 1_000_000 // fps
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        _AVIH_FMT,
+        us_per_frame,
+        stride * height * fps,
+        0,
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,
+        1,
+        stride * height,
+        width,
+        height,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), stride * height, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        stride * height, 0, 0, 0, 0,
+    )
+    movi_frames = []
+    idx = []
+    offset = 4  # relative to 'movi' fourcc
+    for f in frames:
+        bgr = f[::-1, :, ::-1].astype(np.uint8)  # top-down RGB → bottom-up BGR
+        rows = np.zeros((f.shape[0], stride), dtype=np.uint8)
+        rows[:, : f.shape[1] * 3] = bgr.reshape(f.shape[0], -1)
+        body = rows.tobytes()
+        movi_frames.append(chunk(b"00db", body))
+        idx.append(b"00db" + struct.pack("<III", 0x10, offset, len(body)))
+        offset += 8 + len(body) + (len(body) & 1)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(movi_frames))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)

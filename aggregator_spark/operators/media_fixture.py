@@ -115,3 +115,66 @@ def lookup_values_sql() -> str:
 
         rows.append(f"({k}, {lit(w)}, {lit(h)}, {lit(dur)}, {lit(rms)}, '{feats}')")
     return ",\n".join(rows)
+
+
+# ---- video fixture (r6): same contract as image/audio, AVI modality --
+
+N_VIDEO_KEYS = 64  # videos key on doc_id % N_VIDEO_KEYS
+VIDEO_FPS = 4
+VIDEO_EVERY_MS = 500  # catalog sampling interval
+
+
+def _video_frames(k: int) -> list:
+    """2–5 small gradient RGB frames whose content moves per frame —
+    the AVI round-trip exercises real multi-frame demux, not a still."""
+    n_frames = 2 + k % 4
+    height = 6 + k % 5
+    width = 6 + k % 3
+    frames = []
+    y = np.arange(height)[:, None, None]
+    x = np.arange(width)[None, :, None]
+    c = np.arange(3)[None, None, :]
+    for i in range(n_frames):
+        frames.append(
+            ((k + 5 * i + 3 * y + 7 * x + 11 * c) % 256).astype(np.uint8)
+        )
+    return frames
+
+
+@lru_cache(maxsize=N_VIDEO_KEYS)
+def build_video_payload(k: int) -> bytes:
+    from aggregator_spark.operators.codecs import encode_avi
+
+    return encode_avi(_video_frames(k), fps=VIDEO_FPS)
+
+
+@lru_cache(maxsize=N_VIDEO_KEYS)
+def expected_video_rows(k: int) -> tuple:
+    """((frame_index, frame_ts_ms, md5_hex_of_png), ...) expected from
+    the REAL demux+sample of build_video_payload(k) — same codec
+    functions the Spark workers run, PNG bytes hashed because the
+    payload itself is the value under test."""
+    import hashlib
+
+    from aggregator_spark.operators.codecs import decode_avi, encode_png
+
+    us_per_frame, frames = decode_avi(build_video_payload(k))
+    duration_ms = len(frames) * us_per_frame // 1000
+    n = max(1, int(duration_ms // VIDEO_EVERY_MS))
+    rows = []
+    for i in range(n):
+        ts_ms = i * VIDEO_EVERY_MS
+        fidx = min(len(frames) - 1, ts_ms * 1000 // us_per_frame)
+        png = encode_png(frames[fidx])
+        rows.append((int(fidx), ts_ms, hashlib.md5(png).hexdigest()))
+    return tuple(rows)
+
+
+def video_lookup_values_sql() -> str:
+    """(k, frame_index, frame_ts_ms, frame_md5) VALUES rows for the
+    DuckDB oracle — one row per expected sampled frame per key."""
+    rows = []
+    for k in range(N_VIDEO_KEYS):
+        for fidx, ts_ms, md5hex in expected_video_rows(k):
+            rows.append(f"({k}, {fidx}, {ts_ms}, '{md5hex}')")
+    return ",\n".join(rows)

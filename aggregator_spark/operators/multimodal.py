@@ -9,8 +9,10 @@ for PNG and WAV payloads — pure stdlib/numpy codecs in
 WAV, spectral band energies), no external media library needed. The
 ``fake=True`` path keeps the deterministic md5-derived stand-in for
 synthetic payloads (the testdata media table carries random bytes, not
-encoded media). Video frame extraction has no dependency-free codec —
-its real path stays a documented ``NotImplementedError`` de-scope.
+encoded media). Video frame sampling is REAL too since r6:
+uncompressed-AVI demux (RIFF/DIB, ``operators.codecs.decode_avi``) with
+sampled frames re-encoded as PNG; compressed codecs remain out of scope
+(``UnsupportedMediaError`` — MJPG et al genuinely need ffmpeg).
 
 At scale: binary payloads ride the same parquet scans as everything else
 (no separate object fetch per row when media is inlined; for
@@ -110,13 +112,57 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
-    """media (kind='video') → one row per sampled frame. The fake path
-    fabricates frame payloads as md5(payload || frame_index) so row
-    explosion, schema, and batch shape are real."""
+    """media (kind='video') → one row per sampled frame.
+
+    Real path (``fake=False``, since r6): uncompressed-AVI payloads are
+    actually demuxed (operators/codecs.py:decode_avi — RIFF walk, BI_RGB
+    bottom-up DIB frames), one sample per ``every_ms`` of real duration
+    (duration = n_frames × µs/frame from the avih header),
+    ``frame_index`` = the SOURCE frame at that instant, and
+    ``frame_payload`` = the sampled frame re-encoded as PNG by the same
+    encoder the image path decodes. Compressed codecs raise
+    ``UnsupportedMediaError`` (documented scope — MJPG et al genuinely
+    need ffmpeg, absent in this container).
+
+    The fake path fabricates frame payloads as md5(payload ||
+    frame_index) from the duration_ms metadata column, for synthetic
+    corpora whose payloads are random bytes."""
     if not fake:
-        raise NotImplementedError(
-            "real frame sampling needs ffmpeg/pyav (not in this container);"
-            " call with fake=True for the deterministic stub"
+
+        def real_fn(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            from aggregator_spark.operators.codecs import (
+                decode_avi,
+                encode_png,
+            )
+
+            for pdf in batches:
+                out = {
+                    "media_id": [],
+                    "frame_index": [],
+                    "frame_ts_ms": [],
+                    "frame_payload": [],
+                }
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    us_per_frame, frames = decode_avi(payload)
+                    duration_ms = len(frames) * us_per_frame // 1000
+                    n = max(1, int(duration_ms // every_ms))
+                    for i in range(n):
+                        ts_ms = i * every_ms
+                        fidx = min(
+                            len(frames) - 1, ts_ms * 1000 // us_per_frame
+                        )
+                        out["media_id"].append(mid)
+                        out["frame_index"].append(int(fidx))
+                        out["frame_ts_ms"].append(ts_ms)
+                        out["frame_payload"].append(
+                            encode_png(frames[fidx])
+                        )
+                yield pd.DataFrame(out)
+
+        return df.filter(df.kind == "video").mapInPandas(
+            real_fn, FRAME_SAMPLE_SCHEMA
         )
 
     def fn(batches: Iterator) -> Iterator:

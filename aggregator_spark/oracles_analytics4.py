@@ -146,3 +146,26 @@ def _media_features_oracle() -> str:
 
 
 ANALYTICS4_ORACLES["media_features"] = _media_features_oracle()
+
+
+def _video_frames_oracle() -> str:
+    from aggregator_spark.operators.media_fixture import (
+        N_VIDEO_KEYS,
+        video_lookup_values_sql,
+    )
+
+    return f"""
+        WITH lookup(k, frame_index, frame_ts_ms, frame_md5)
+        AS (VALUES
+        {video_lookup_values_sql()}
+        )
+        SELECT d.doc_id AS media_id,
+               CAST(l.frame_index AS BIGINT) AS frame_index,
+               CAST(l.frame_ts_ms AS BIGINT) AS frame_ts_ms,
+               l.frame_md5
+        FROM documents d
+        JOIN lookup l ON d.doc_id % {N_VIDEO_KEYS} = l.k
+    """
+
+
+ANALYTICS4_ORACLES["video_frames"] = _video_frames_oracle()

@@ -188,8 +188,8 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round) first, then the round-6 fix/new/changed entries, then the
 # queries with past error history (VERDICT r5 list), then the oldest
 # rows — entries last checked in round 1. Left for the r7 rotation:
-# tpch_q9/q13/q15/q17/q20/q21 (r1-age) and the r4-checked text/dedup/
-# embedding families (all pytest-green at both SFs meanwhile).
+# tpch_q8/q9/q13/q15/q17/q20/q21 (r1-age) and the r4-checked text/
+# dedup/embedding families (all pytest-green at both SFs meanwhile).
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline)
     "daily_counts",
@@ -205,11 +205,13 @@ DRIVER_WINDOW = [
     "cube_year",
     # round-6 fixes needing green proof: the r5 red row (array
     # serialization) and the two raw-timestamp queries the schema lint
-    # caught; plus the new skew-hardened as-of twin
+    # caught; plus the new skew-hardened as-of twin and the real-demux
+    # video sampler
     "user_type_arrays",
     "tpch_q3",
     "tpch_q18_big_orders",
     "asof_click_purchase_bucketed",
+    "video_frames",
     # round-6 changed: rows-only approximates now carrying runtime
     # accuracy gates (recall@k / rel-error assert_true in the plan)
     "ann_topk_lsh",
@@ -249,7 +251,6 @@ DRIVER_WINDOW = [
     "grouping_sets_daily",
     "tpch_q11_important_stock",
     "tpch_q2_min_supp",
-    "tpch_q8_market_share",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

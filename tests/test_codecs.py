@@ -245,3 +245,77 @@ def test_micro_matches_spark_round_sweep(spark):
     }
     for i, v in enumerate(vals):
         assert _micro(v) == got[i], (i, v, _micro(v), got[i])
+
+
+# ---- AVI (r6) ----
+
+
+def test_avi_roundtrip_multiframe():
+    from aggregator_spark.operators.codecs import decode_avi, encode_avi, is_avi
+
+    frames = [
+        _rng(i).integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        for i in range(4)
+    ]
+    payload = encode_avi(frames, fps=5)
+    assert is_avi(payload)
+    us, out = decode_avi(payload)
+    assert us == 200_000 and len(out) == 4
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+
+
+def test_avi_stride_padding_and_grayscale_promotion():
+    from aggregator_spark.operators.codecs import decode_avi, encode_avi
+
+    # width 7 → 21-byte rows pad to 24 (DIB 4-byte alignment)
+    g = (np.arange(35).reshape(5, 7) % 256).astype(np.uint8)
+    us, out = decode_avi(encode_avi([g], fps=2))
+    assert out[0].shape == (5, 7, 3)
+    assert np.array_equal(out[0][:, :, 0], g)
+    assert np.array_equal(out[0][:, :, 1], g)
+
+
+def test_avi_rejects_out_of_scope():
+    from aggregator_spark.operators.codecs import decode_avi, encode_avi
+
+    payload = bytearray(
+        encode_avi([np.zeros((4, 4), dtype=np.uint8)], fps=2)
+    )
+    # flip biCompression (strf offset: find the strf chunk, dword 6)
+    i = payload.find(b"strf")
+    struct.pack_into("<I", payload, i + 8 + 16, 1)  # BI_RLE8
+    with pytest.raises(UnsupportedMediaError, match="compression"):
+        decode_avi(bytes(payload))
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_video_frame_sampling_real_path(spark):
+    """sample_video_frames(fake=False) demuxes a real AVI: source-frame
+    selection per sampled instant, PNG payloads decodable by the image
+    codec, duration derived from the avih header."""
+    from aggregator_spark.operators.codecs import encode_avi
+    from aggregator_spark.operators.multimodal import sample_video_frames
+    from aggregator_spark.schemas import MEDIA
+
+    # 6 frames at 2 fps → 3000 ms; sample every 1000 ms → ts 0/1000/2000
+    # hitting source frames 0/2/4
+    frames = [
+        np.full((5, 5, 3), 40 * i, dtype=np.uint8) for i in range(6)
+    ]
+    avi = encode_avi(frames, fps=2)
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(avi), "video/avi", 5, 5, None)], MEDIA
+    )
+    out = sorted(
+        sample_video_frames(df, every_ms=1000, fake=False).collect(),
+        key=lambda r: r["frame_ts_ms"],
+    )
+    assert [(r["frame_index"], r["frame_ts_ms"]) for r in out] == [
+        (0, 0),
+        (2, 1000),
+        (4, 2000),
+    ]
+    px = decode_png(bytes(out[1]["frame_payload"]))
+    assert px.shape == (5, 5, 3) and int(px[0, 0, 0]) == 80
