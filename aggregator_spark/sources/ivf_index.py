@@ -40,7 +40,15 @@ def ivf_cache_dir(sf_dir: str, kmeans_rounds: int = 1) -> str:
     from aggregator_spark.sources.stamped_cache import cache_dir
 
     return cache_dir(
-        sf_dir, "embeddings.parquet", "ivf", extra=f"r{kmeans_rounds}"
+        sf_dir,
+        "embeddings.parquet",
+        "ivf",
+        extra=f"r{kmeans_rounds}",
+        # builder-code stamp: kmeans_fit lives in similarity.py
+        code_modules=(
+            "aggregator_spark.operators.similarity",
+            "aggregator_spark.sources.ivf_index",
+        ),
     )
 
 

@@ -33,6 +33,12 @@ def lsh_cache_dir(
         "embeddings.parquet",
         "lsh",
         extra=f"{n_tables}x{planes_per_table}x{n_dims}",
+        # builder-code stamp: signature logic lives in similarity.py
+        # (lsh_signature_index/_plane_weight) and this module
+        code_modules=(
+            "aggregator_spark.operators.similarity",
+            "aggregator_spark.sources.lsh_index",
+        ),
     )
 
 

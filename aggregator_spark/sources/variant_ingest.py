@@ -47,7 +47,12 @@ def ingest_events_variant(
 def variant_cache_dir(sf_dir: str) -> str:
     from aggregator_spark.sources.stamped_cache import cache_dir
 
-    return cache_dir(sf_dir, "events.parquet", "variant")
+    return cache_dir(
+        sf_dir,
+        "events.parquet",
+        "variant",
+        code_modules=("aggregator_spark.sources.variant_ingest",),
+    )
 
 
 def cached_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,18 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # bench-private cache root: the cold-ingest keys rmtree + rebuild
+    # their caches, which must not race a concurrent session's lazy
+    # DataFrames over the shared default root (hermetic cold timings)
+    import tempfile
+
+    from aggregator_spark.sources.stamped_cache import CACHE_ROOT_ENV
+
+    os.environ.setdefault(
+        CACHE_ROOT_ENV,
+        os.path.join(tempfile.gettempdir(), "aggregator_spark_bench_cache"),
+    )
+
     from aggregator_spark.session import get_spark
 
     spark = get_spark(app_name="aggregator-spark-bench")

@@ -52,3 +52,68 @@ def test_ann_index_caches_invalidate_on_source_change(spark, tmp_path):
     lsh2 = _cache_dir_of(cached_lsh_index(spark, sf))
     assert os.path.dirname(ivf2) != os.path.dirname(ivf1)
     assert os.path.dirname(lsh2) != os.path.dirname(lsh1)
+
+
+def test_code_token_changes_key_and_root_env_override(tmp_path, monkeypatch):
+    """r6: the cache key folds in (a) a hash of the builder modules'
+    source — a code change mints a new key instead of serving an index
+    built by old logic — and (b) an env-overridable cache root so bench
+    cold-builds are hermetic."""
+    from aggregator_spark.sources import stamped_cache as sc
+
+    sf = _stage(tmp_path, ["events"])
+    base = sc.cache_dir(sf, "events.parquet", "t")
+    # different builder code → different scope key (same content key)
+    a = sc.cache_dir(
+        sf, "events.parquet", "t",
+        code_modules=("aggregator_spark.sources.variant_ingest",),
+    )
+    b = sc.cache_dir(
+        sf, "events.parquet", "t",
+        code_modules=("aggregator_spark.sources.lsh_index",),
+    )
+    assert len({base, a, b}) == 3
+    assert base.rsplit("_", 1)[1] == a.rsplit("_", 1)[1]  # content key same
+
+    # env override moves the root
+    private = tmp_path / "private_cache"
+    monkeypatch.setenv(sc.CACHE_ROOT_ENV, str(private))
+    moved = sc.cache_dir(sf, "events.parquet", "t")
+    assert moved.startswith(str(private))
+    assert os.path.basename(moved) == os.path.basename(base)
+
+
+def test_materialize_is_atomic_and_sweeps_after_rename(spark, tmp_path, monkeypatch):
+    """Cold builds land in a .build-* scratch dir and rename into
+    place; stale content generations sweep afterwards, but scratch
+    dirs of in-flight builds survive the sweep."""
+    from aggregator_spark.sources import stamped_cache as sc
+
+    monkeypatch.setenv(sc.CACHE_ROOT_ENV, str(tmp_path / "root"))
+    sf = _stage(tmp_path, ["region"])
+    out1 = sc.cache_dir(sf, "region.parquet", "t")
+
+    seen_scratch = {}
+
+    def build(path):
+        seen_scratch["path"] = path
+        spark.range(3).write.parquet(path)
+
+    df = sc.materialize_cached(spark, out1, build)
+    assert df.count() == 3
+    assert seen_scratch["path"] != out1  # built in scratch, not in place
+    assert ".build-" in seen_scratch["path"]
+    assert not os.path.exists(seen_scratch["path"])  # renamed away
+
+    # an in-flight scratch dir of another generation must survive the
+    # sweep a new content generation triggers
+    inflight = f"{out1.rsplit('_', 1)[0]}_deadbeef.build-123-abc"
+    os.makedirs(inflight)
+    os.utime(os.path.join(sf, "region.parquet"))  # new content stamp
+    out2 = sc.cache_dir(sf, "region.parquet", "t")
+    assert out2 != out1
+    sc.materialize_cached(
+        spark, out2, lambda p: spark.range(4).write.parquet(p)
+    )
+    assert os.path.exists(inflight)  # scratch survived
+    assert not os.path.exists(out1)  # stale generation swept
