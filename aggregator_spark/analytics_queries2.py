@@ -437,6 +437,64 @@ def q_approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILES = [0.5, 0.95, 0.99]
+QUANTILE_ACCURACY = 100  # percentile_approx rank error ≤ 1/accuracy
+
+
+def q_approx_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-day value quantiles (p50/p95/p99) via
+    percentile_approx (Greenwald-Khanna sketch — mergeable, one scan,
+    bounded memory; the scale path where `median_value`'s exact
+    percentile is the oracle-checked small-data twin). No SQL oracle:
+    sketch outputs are engine-specific (rows-only check). The plan
+    carries a runtime RANK-error gate (operators/accuracy.py): for
+    every (day, q) the achieved rank fraction of the estimate must sit
+    within 1/accuracy (+ties slack) of q — the guarantee the sketch
+    actually makes, asserted against the same data in the same job."""
+    from aggregator_spark.operators.accuracy import (
+        attach_gate,
+        rank_error_check,
+    )
+
+    events = load_testdata(spark, sf_dir, "events")
+    daily = events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+    approx = daily.groupBy("day").agg(
+        F.percentile_approx(
+            "value", QUANTILES, QUANTILE_ACCURACY
+        ).alias("qs")
+    )
+    out = approx.select(
+        "day",
+        *[
+            F.round(F.element_at("qs", i + 1), 6).alias(f"p{int(q * 100)}")
+            for i, q in enumerate(QUANTILES)
+        ],
+    ).orderBy("day")
+    estimates = approx.select(
+        "day",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in QUANTILES]).alias("q"),
+                F.col("qs").alias("v"),
+            )
+        ).alias("e"),
+    ).select("day", F.col("e.q").alias("q"), F.col("e.v").alias("v"))
+    # +0.01 slack over the 1/accuracy contract: achieved-rank uses <=,
+    # so duplicate values at the estimate can only push the fraction
+    # up by the tie mass; event values are near-continuous doubles
+    check = rank_error_check(
+        estimates,
+        daily.select("day", "value"),
+        ["day"],
+        "q",
+        "v",
+        "value",
+        1.0 / QUANTILE_ACCURACY + 0.01,
+        "approx_quantiles_daily",
+    )
+    return attach_gate(out, check)
+
+
 def q_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted two-stage aggregation (operators/skew.py): results
     identical to a direct groupBy — the oracle IS the direct form —
@@ -468,4 +526,5 @@ ANALYTICS2_QUERIES = {
     "median_value": q_median_value,
     "grouping_sets_daily": q_grouping_sets,
     "approx_distinct_daily": q_approx_distinct_daily,
+    "approx_quantiles_daily": q_approx_quantiles_daily,
 }

@@ -78,6 +78,49 @@ def recall_check(
     )
 
 
+def rank_error_check(
+    estimates: DataFrame,
+    data: DataFrame,
+    on: list[str],
+    q_col: str,
+    value_est_col: str,
+    data_value_col: str,
+    bound: float,
+    label: str,
+) -> DataFrame:
+    """One-row check for quantile sketches: for every (group, q)
+    estimate v, the achieved rank fraction of v in the group's data
+    must sit within ``bound`` of q — the contract approx-percentile
+    actually makes (rank error ≤ 1/accuracy), unlike value-space error
+    which is unbounded on skewed data.
+
+    ``estimates`` carries (on..., q_col, value_est_col); ``data``
+    carries (on..., data_value_col). One join on the group key (the
+    estimate side is tiny — groups × quantiles — and broadcast), one
+    partial-aggregated group-by: scales like the sketch itself.
+    """
+    j = data.join(F.broadcast(estimates), on)
+    achieved = j.groupBy(*on, q_col, value_est_col).agg(
+        F.avg(
+            (F.col(data_value_col) <= F.col(value_est_col)).cast("double")
+        ).alias("achieved_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # discreteness slack: with n values the achievable rank fractions
+    # quantize at 1/n, and the <=-rank of a correct estimate can sit a
+    # full step past q — so each group earns 1.5/n on top of the
+    # sketch bound (vanishes at scale, dominates at tiny groups)
+    err = F.abs(F.col("achieved_q") - F.col(q_col)) - 1.5 / F.col("n")
+    return achieved.agg(F.max(err).alias("max_rank_err")).select(
+        (F.col("max_rank_err") <= F.lit(bound)).alias("ok"),
+        F.format_string(
+            f"{label}: max rank error (less 1.5/n slack) %.4f exceeds "
+            f"bound {bound}",
+            F.col("max_rank_err"),
+        ).alias("msg"),
+    )
+
+
 def rel_error_check(
     approx: DataFrame,
     exact: DataFrame,

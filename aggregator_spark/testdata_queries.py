@@ -188,7 +188,7 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round) first, then the round-6 fix/new/changed entries, then the
 # queries with past error history (VERDICT r5 list), then the oldest
 # rows — entries last checked in round 1. Left for the r7 rotation:
-# tpch_q8/q9/q13/q15/q17/q20/q21 (r1-age) and the r4-checked text/
+# tpch_q2/q8/q9/q13/q15/q17/q20/q21 (r1-age) and the r4-checked text/
 # dedup/embedding families (all pytest-green at both SFs meanwhile).
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline)
@@ -212,11 +212,13 @@ DRIVER_WINDOW = [
     "tpch_q18_big_orders",
     "asof_click_purchase_bucketed",
     "video_frames",
-    # round-6 changed: rows-only approximates now carrying runtime
-    # accuracy gates (recall@k / rel-error assert_true in the plan)
+    # round-6 changed/new: rows-only approximates carrying runtime
+    # accuracy gates (recall@k / rel-error / rank-error assert_true in
+    # the plan); approx_quantiles_daily is new in r6
     "ann_topk_lsh",
     "ann_topk_ivf",
     "approx_distinct_daily",
+    "approx_quantiles_daily",
     # past-error-history re-pins (VERDICT r5 §next-round item 2)
     "embedding_normalize",
     "embedding_quantize",
@@ -250,7 +252,6 @@ DRIVER_WINDOW = [
     "median_value",
     "grouping_sets_daily",
     "tpch_q11_important_stock",
-    "tpch_q2_min_supp",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
@@ -262,6 +263,7 @@ DRIVER_WINDOW_ROWS_ONLY = {
     "ann_topk_lsh",
     "ann_topk_ivf",
     "approx_distinct_daily",
+    "approx_quantiles_daily",
 }
 
 

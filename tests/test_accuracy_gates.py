@@ -58,3 +58,24 @@ def test_rel_error_check_missing_key_violates(spark):
         approx, exact, ["k"], "approx", "exact", 0.05, "t"
     ).collect()[0]
     assert row["ok"] is False
+
+
+def test_approx_quantiles_passes_contract(spark, sf_dir):
+    rows = QUERIES["approx_quantiles_daily"](spark, sf_dir).collect()
+    assert rows and set(rows[0].asDict()) == {"day", "p50", "p95", "p99"}
+    for r in rows:
+        assert r["p50"] <= r["p95"] <= r["p99"]
+
+
+def test_rank_error_check_flags_bad_estimate(spark):
+    from aggregator_spark.operators.accuracy import rank_error_check
+
+    data = spark.range(1000).select(
+        F.lit("g").alias("k"), F.col("id").cast("double").alias("value")
+    )
+    # claim the 0.5-quantile is 900 → achieved rank ~0.9, error ~0.4
+    est = spark.createDataFrame([("g", 0.5, 900.0)], ["k", "q", "v"])
+    row = rank_error_check(
+        est, data, ["k"], "q", "v", "value", 0.02, "t"
+    ).collect()[0]
+    assert row["ok"] is False and "exceeds bound" in row["msg"]
