@@ -229,13 +229,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_image_features,
         extract_audio_features,
     )
-    from aggregator_spark.operators.util import scatter
 
-    # scatter before the CPU-bound codec stage: the documents scan is a
-    # single parquet split at test SFs and mapInPandas inherits its
-    # partitioning (SCALE.md Python-boundary policy; measured 3.4s→0.9s
-    # at sf0.1 on 32 cores)
-    docs = scatter(load_testdata(spark, sf_dir, "documents").select("doc_id"))
+    # Deliberately NOT scatter()ed: the fixture payloads are ~100-byte
+    # synthetics, so the repartition exchange costs more than the codec
+    # work it would parallelize (measured 0.9s→1.6s at sf0.1). At real
+    # payload scale the media table arrives as many splits (scatter
+    # no-ops) and the codec work dominates — the policy case SCALE.md
+    # describes; this query's job is the value-checked codec round-trip.
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
     media_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -312,10 +313,9 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_video_payload,
     )
     from aggregator_spark.operators.multimodal import sample_video_frames
-    from aggregator_spark.operators.util import scatter
 
-    # scatter before the CPU-bound demux stage (see q_media_features)
-    docs = scatter(load_testdata(spark, sf_dir, "documents").select("doc_id"))
+    # not scatter()ed — same fixture-scale reasoning as q_media_features
+    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
     media_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
