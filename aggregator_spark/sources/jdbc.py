@@ -148,9 +148,6 @@ def index_ddl(dialect: str = "postgres") -> list[str]:
         collist = ", ".join(
             _q(c, dialect) + (" DESC" if desc else "") for c, desc in cols
         )
-        # the reference writes single-space separated column lists
-        if dialect == "postgres":
-            collist = collist.replace(", ", ", ")
         out.append(
             f"CREATE INDEX "
             + (f'"{name}"' if dialect == "derby" else name)

@@ -114,8 +114,17 @@ def materialize_cached(
         try:
             os.rename(scratch, out)
         except OSError:
-            # another session renamed its build in first — use theirs
-            shutil.rmtree(scratch, ignore_errors=True)
+            if os.path.exists(os.path.join(out, "_SUCCESS")):
+                # a concurrent session renamed its completed build in
+                # first — discard ours and use theirs
+                shutil.rmtree(scratch, ignore_errors=True)
+            else:
+                # `out` exists but is NOT a finished build (crashed
+                # pre-atomic-era build, or a partially-swept dir):
+                # replace it with our good build rather than discarding
+                # the fresh one and reading garbage forever
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(scratch, out)
         stem = out.rsplit("_", 1)[0]
         for old in glob.glob(f"{stem}_*"):
             if old != out and ".build-" not in os.path.basename(old):

@@ -79,3 +79,38 @@ def test_rank_error_check_flags_bad_estimate(spark):
         est, data, ["k"], "q", "v", "value", 0.02, "t"
     ).collect()[0]
     assert row["ok"] is False and "exceeds bound" in row["msg"]
+
+
+def test_rel_error_check_exact_zero(spark):
+    from aggregator_spark.operators.accuracy import rel_error_check
+
+    exact = spark.createDataFrame([("a", 0), ("b", 100)], ["k", "exact"])
+    # exact==0 with approx==0 is fine; approx!=0 must violate, not
+    # silently NULL out of max()
+    ok_row = rel_error_check(
+        spark.createDataFrame([("a", 0), ("b", 100)], ["k", "approx"]),
+        exact, ["k"], "approx", "exact", 0.05, "t",
+    ).collect()[0]
+    assert ok_row["ok"] is True
+    bad_row = rel_error_check(
+        spark.createDataFrame([("a", 50), ("b", 100)], ["k", "approx"]),
+        exact, ["k"], "approx", "exact", 0.05, "t",
+    ).collect()[0]
+    assert bad_row["ok"] is False
+
+
+def test_rank_error_check_orphan_estimate_group_violates(spark):
+    from aggregator_spark.operators.accuracy import rank_error_check
+
+    data = spark.range(100).select(
+        F.lit("g").alias("k"), F.col("id").cast("double").alias("value")
+    )
+    # estimate for a group with NO data rows must fail, not pass
+    # vacuously through an inner join
+    est = spark.createDataFrame(
+        [("g", 0.5, 49.0), ("ghost", 0.5, 1.0)], ["k", "q", "v"]
+    )
+    row = rank_error_check(
+        est, data, ["k"], "q", "v", "value", 0.05, "t"
+    ).collect()[0]
+    assert row["ok"] is False

@@ -29,8 +29,6 @@ import __spark_entry__ as entry_mod
 
 QUERIES = entry_mod.queries()
 
-SF_DIR = "/root/testdata/sf0.001"
-
 
 def _offending(dt: T.DataType, path: str) -> list[str]:
     bad: list[str] = []
@@ -51,8 +49,8 @@ def _offending(dt: T.DataType, path: str) -> list[str]:
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_unhashable_or_tz_trap_columns(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
+def test_no_unhashable_or_tz_trap_columns(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
     bad: list[str] = []
     for field in df.schema.fields:
         bad.extend(_offending(field.dataType, field.name))

@@ -117,3 +117,22 @@ def test_materialize_is_atomic_and_sweeps_after_rename(spark, tmp_path, monkeypa
     )
     assert os.path.exists(inflight)  # scratch survived
     assert not os.path.exists(out1)  # stale generation swept
+
+
+def test_materialize_replaces_unfinished_generation(spark, tmp_path, monkeypatch):
+    """A leftover target dir WITHOUT _SUCCESS (crashed pre-atomic
+    build) must be replaced by the fresh build — not treated as a lost
+    race, which would discard the good build and read garbage forever."""
+    from aggregator_spark.sources import stamped_cache as sc
+
+    monkeypatch.setenv(sc.CACHE_ROOT_ENV, str(tmp_path / "root"))
+    sf = _stage(tmp_path, ["region"])
+    out = sc.cache_dir(sf, "region.parquet", "t2")
+    os.makedirs(out)  # corrupt: exists, no _SUCCESS
+    with open(os.path.join(out, "part-garbage"), "w") as f:
+        f.write("not parquet")
+    df = sc.materialize_cached(
+        spark, out, lambda p: spark.range(5).write.parquet(p)
+    )
+    assert df.count() == 5
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
