@@ -241,3 +241,46 @@ def test_decontaminate_broadcasts_probes(plans):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p.split("BroadcastHashJoin")[0]
+
+
+# ---- round-6 operators ----
+
+
+def test_accuracy_gate_is_broadcast_not_cartesian(plans):
+    # the one-row accuracy gate rides a broadcast nested-loop join
+    # (1-row build side) — never a CartesianProduct, and the assert
+    # survives in the plan (not pruned; see operators/accuracy.py)
+    for name in ("approx_distinct_daily", "approx_quantiles_daily"):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" in p, name
+        # assert_true lowers to raise_error inside the gate filter
+        assert "raise_error" in p, name
+
+
+def test_asof_bucketed_windows_on_key_and_bucket(plans):
+    # the carry-forward window must partition on (key, bucket) — the
+    # skew spread this operator exists for — and no cartesian anywhere
+    p = plans("asof_click_purchase_bucketed")
+    assert "CartesianProduct" not in p
+    assert "__k" in p and "__b" in p
+    # per-bucket summary aggregates partially before its exchange
+    assert "partial_" in p or "HashAggregate" in p
+
+
+def test_video_frames_no_shuffle(plans):
+    # encode → demux → sample is a pure per-row pipeline: zero
+    # exchanges before the final sort for output determinism
+    p = plans("video_frames")
+    body = p.split("Sort")[0]  # everything feeding the output sort
+    assert "CartesianProduct" not in p
+    assert "Exchange" not in body or "rangepartitioning" in body.lower()
+
+
+def test_ann_gate_keeps_bucket_routing(plans):
+    # the recall gate must not change the LSH candidate plan: bucket
+    # equi-join on the signature index, no cartesian, no sort-merge of
+    # the corpus
+    p = plans("ann_topk_lsh")
+    assert "CartesianProduct" not in p
+    assert "raise_error" in p
