@@ -350,6 +350,40 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.contamination_flags(docs, probes, n=DECONTAM_N)
 
 
+SEMDEDUP_THRESHOLD = 0.4
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 0.25
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup): nearest-centroid clustering confines the quadratic
+    cosine comparison to within-cluster pairs; one survivor (lowest
+    vec_id) per duplicate group."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=SEMDEDUP_THRESHOLD)
+
+
+def q_dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end production fuzzy dedup (operators/dedup.py:
+    minhash_dedup_keep): LSH candidates -> exact-Jaccard verification on
+    candidates only -> connected components -> keep-one flag."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.minhash_dedup_keep(docs, threshold=JACCARD_THRESHOLD).orderBy(
+        "doc_id"
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing by source char mass
+    (operators/corpus.py:temperature_mix) — alpha<1 flattens the mix
+    toward small sources; deterministic md5 selector."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return C.temperature_mix(
+        docs, alpha=TEMP_ALPHA, target_frac=TEMP_TARGET
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetitious-text metrics
     (operators/text.py:repetition_metrics) — per-doc top-2/3-gram char
@@ -389,4 +423,7 @@ LLM_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "decontaminate_docs": q_decontaminate_docs,
     "repetition_metrics": q_repetition_metrics,
+    "semantic_dedup": q_semantic_dedup,
+    "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
+    "temperature_mix": q_temperature_mix,
 }

@@ -193,3 +193,87 @@ def unigram_logprob(
             ).alias("nll"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.25,
+    stratum_col: str = "source",
+    mass_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-weighted corpus mixing (the multilingual-training
+    resampling scheme, cf. mC4/XLM-R): per-stratum sampling weight
+    w_s = mass_s^alpha, so alpha < 1 flattens the mix toward small
+    strata while alpha = 1 keeps natural proportions. Every document
+    gets a keep flag such that the expected kept count is
+    target_frac * N, distributed across strata proportionally to w_s.
+
+    Determinism across engines: the stratum mass and doc counts are
+    exact integers; the weight is quantized to integer micro-units with
+    floor (never round — cross-engine round ties differ) so the
+    normalizer Z is an exact integer sum, order-independent; the
+    per-stratum keep threshold is then one fixed-shape double
+    expression over exact integers, bit-identical on any IEEE engine;
+    the selector is the first 8 hex digits of md5(doc_id) as a uniform
+    fraction — a pure filter, reproducible across retries, no RNG.
+    alpha = 0.5 (the default) computes the weight via sqrt, which IEEE
+    requires correctly rounded — bit-identical on every engine; other
+    alphas go through pow, which is only faithfully rounded, so the
+    micro-unit quantization could differ by 1 ulp between engines at
+    pathological masses (fine operationally, not oracle-pinned).
+
+    Scale shape: one tiny per-stratum aggregate (|strata| rows)
+    broadcast back over the corpus; the corpus itself never shuffles.
+    Returns (doc_id, stratum, keep).
+    """
+    weights = (
+        docs.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(
+            F.sum(mass_col).cast("long").alias("mass"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .withColumn(
+            "wq",
+            F.floor(
+                (
+                    F.sqrt(F.col("mass").cast("double"))
+                    if alpha == 0.5
+                    else F.pow(F.col("mass").cast("double"), F.lit(float(alpha)))
+                )
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    totals = weights.agg(
+        F.sum("wq").alias("z"), F.sum("c").alias("n_total")
+    )
+    rates = weights.crossJoin(F.broadcast(totals)).select(
+        "stratum",
+        F.least(
+            F.lit(1.0),
+            (
+                F.lit(float(target_frac))
+                * F.col("n_total").cast("double")
+                * F.col("wq").cast("double")
+            )
+            / (F.col("z").cast("double") * F.col("c").cast("double")),
+        ).alias("thr"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col).alias("stratum"))
+        .join(F.broadcast(rates), "stratum")
+        .select(id_col, "stratum", (frac < F.col("thr")).alias("keep"))
+    )

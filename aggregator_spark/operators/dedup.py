@@ -321,3 +321,89 @@ def simhash64(
     return scatter(docs).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(_simhash_batches(), "doc_id long, simhash string")
+
+
+def verified_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs
+    (doc_a, doc_b): the verification stage of a production MinHash
+    pipeline. Shingling is restricted to docs that appear in a candidate
+    pair (semi-join), then the same sparse shingle-intersection shape as
+    ``ngram_jaccard_pairs`` — but the final inner join against the
+    candidate set discards any non-candidate collision, so total work is
+    O(candidate docs × shingles), not O(corpus²). Returns
+    (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    cand = candidates.select("doc_a", "doc_b")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pairs = doc_shingles(docs, id_col, text_col, n).join(
+        cand_docs, "doc_id", "semi"
+    )
+    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = pairs.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pairs.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_dedup_keep(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """The full production fuzzy-dedup pipeline in one operator:
+    MinHash-LSH candidate generation -> exact-Jaccard verification on
+    candidates only -> connected components over verified edges ->
+    keep-one-per-component flag (survivor = min doc_id = the component
+    label). Returns (doc_id, component, keep) for EVERY document.
+
+    This is the composition a corpus cleaner actually runs (candidate
+    recall from LSH, precision restored by exact verification, then
+    transitive closure so A~B~C collapses to one survivor even when
+    A~C itself is below threshold). Every stage is the scale-proven
+    primitive it reuses: banded bucket join (no all-pairs), semi-join
+    bounded verification, O(log^2)-round star components."""
+    from aggregator_spark.operators.components import dedup_clusters
+
+    cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n)
+    edges = verified_jaccard_pairs(docs, cand, id_col, text_col, n, threshold)
+    comp = dedup_clusters(docs, edges.select("doc_a", "doc_b"), id_col)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )

@@ -839,3 +839,66 @@ def kmeans_fit(embeddings: DataFrame, iterations: int = 2,
         res = _assign_step(base, assignment, id_col)
         assignment = res.select(id_col, "assigned")
     return res.select(id_col, "assigned", "dist")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then drop any vector
+    whose cluster contains a LOWER-id vector with cosine >= threshold —
+    one survivor per semantic duplicate group, quadratic work confined
+    to within-cluster pairs.
+
+    Returns (id, cluster, keep). Scale shape: the all-pairs comparison
+    that makes naive embedding dedup O(n²) becomes an equi-join on the
+    cluster id — per-cluster pair cost is bounded by cluster size, and
+    cluster count grows with the corpus, so per-task work stays flat as
+    long as k scales with n (the SemDeDup contract). Centroids ride the
+    kmeans_assign broadcast; the corpus shuffles ONCE on cluster id.
+    Cosines are rounded to 6 decimals before the threshold compare so
+    the keep set is float-order-independent (oracle-stable)."""
+    assign = kmeans_assign(embeddings, id_col, vec_col, label_col).select(
+        F.col(id_col), F.col("assigned").alias("cluster")
+    )
+    base = _with_vec_norm(embeddings, id_col, vec_col)
+    v = base.join(assign, id_col)
+    a = v.select(
+        F.col(id_col).alias("a_id"),
+        "cluster",
+        F.col("vec").alias("a_vec"),
+        F.col("vnorm").alias("a_norm"),
+    )
+    b = v.select(
+        F.col(id_col).alias("b_id"),
+        "cluster",
+        F.col("vec").alias("b_vec"),
+        F.col("vnorm").alias("b_norm"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        v.select(id_col, "cluster")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col, "cluster", F.col("_dropped").isNull().alias("keep")
+        )
+    )

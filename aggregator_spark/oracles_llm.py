@@ -582,3 +582,136 @@ LLM_ORACLES["repetition_metrics"] = r"""
     LEFT JOIN b2 ON t.doc_id = b2.doc_id
     LEFT JOIN b3 ON t.doc_id = b3.doc_id
 """
+
+
+# ---- round-7 additions: SemDeDup, end-to-end fuzzy dedup, mixing ----
+
+from aggregator_spark.llm_queries import (  # noqa: E402
+    SEMDEDUP_THRESHOLD,
+    TEMP_TARGET,
+)
+
+# nearest-centroid assignment CTEs shared with the kmeans_assign oracle
+_ASSIGN_CTES = """
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    cent AS (
+      SELECT c_label, list(m ORDER BY dim) AS cvec FROM (
+        SELECT label AS c_label, dim, AVG(x) AS m
+        FROM (SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY label, dim)
+      GROUP BY c_label),
+    scored AS (
+      SELECT vec_id, c_label,
+             round(list_distance(vec, cvec), 6) AS dist
+      FROM base CROSS JOIN cent),
+    asg AS (
+      SELECT vec_id, c_label AS cluster
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY dist, c_label) AS rn
+            FROM scored)
+      WHERE rn = 1)
+"""
+
+LLM_ORACLES["semantic_dedup"] = f"""
+    WITH {_ASSIGN_CTES},
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM asg a JOIN asg b
+        ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      JOIN base va ON va.vec_id = a.vec_id
+      JOIN base vb ON vb.vec_id = b.vec_id
+      WHERE round(list_dot_product(va.vec, vb.vec)
+            / (sqrt(list_dot_product(va.vec, va.vec))
+               * sqrt(list_dot_product(vb.vec, vb.vec))), 6)
+            >= {SEMDEDUP_THRESHOLD})
+    SELECT g.vec_id, g.cluster, (d.vec_id IS NULL) AS keep
+    FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+"""
+
+# end-to-end fuzzy dedup: LSH candidates (same CTEs as dedup_components)
+# -> exact-Jaccard verification over the distinct shingle sets -> same
+# recursive-CTE transitive closure -> keep = (doc_id = component)
+LLM_ORACLES["dedup_fuzzy_keep"] = f"""
+    WITH RECURSIVE {_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+         {_MH_COLS}
+      FROM sh),
+    buckets AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    ver AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS ic,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b)
+      WHERE ic > 0
+        AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+           (d.doc_id = COALESCE(c.component, d.doc_id)) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+def _hex8_to_bigint(hexpr: str) -> str:
+    """First-8-hex-digit value as an exact BIGINT (DuckDB has no conv)."""
+    parts = [
+        f"CAST(strpos('0123456789abcdef', substr({hexpr}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + "\n             + ".join(parts) + ")"
+
+
+LLM_ORACLES["temperature_mix"] = f"""
+    WITH w AS (
+      SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS mass,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source),
+    wq AS (
+      SELECT stratum, c,
+             CAST(floor(sqrt(CAST(mass AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS wq
+      FROM w),
+    tot AS (
+      SELECT CAST(SUM(wq) AS BIGINT) AS z,
+             CAST(SUM(c) AS BIGINT) AS n_total
+      FROM wq),
+    r AS (
+      SELECT stratum,
+             least(CAST(1.0 AS DOUBLE),
+                   CAST({TEMP_TARGET} AS DOUBLE)
+                   * CAST(n_total AS DOUBLE) * CAST(wq AS DOUBLE)
+                   / (CAST(z AS DOUBLE) * CAST(c AS DOUBLE))) AS thr
+      FROM wq CROSS JOIN tot),
+    dh AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8
+      FROM documents)
+    SELECT dh.doc_id, dh.source AS stratum,
+           (CAST({_hex8_to_bigint("dh.h8")} AS DOUBLE)
+            / CAST(4294967296.0 AS DOUBLE) < r.thr) AS keep
+    FROM dh JOIN r ON dh.source = r.stratum
+"""

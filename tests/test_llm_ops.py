@@ -319,3 +319,101 @@ def test_lsh_index_geometry_guard(spark, sf_dir):
     idx = lsh_signature_index(emb, n_tables=4, planes_per_table=3)
     with _pytest.raises(ValueError, match="geometry"):
         ann_topk_lsh(emb, query_ids=[0], k=3, indexed=idx)  # expects 12x5
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every cluster's lowest vec_id survives; every dropped vector has
+    a surviving (or lower-id) cluster-mate at cosine >= threshold is
+    oracle-checked — here we pin the structural contract."""
+    from aggregator_spark.operators.similarity import semantic_dedup
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4).collect()
+    assert len(out) == emb.count()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for rows in by_cluster.values():
+        lowest = min(rows, key=lambda r: r["vec_id"])
+        assert lowest["keep"], "lowest id in a cluster can never drop"
+    assert any(not r["keep"] for r in out), (
+        "corpus has planted embedding near-dups; SemDeDup dropped none"
+    )
+
+
+def test_minhash_dedup_keep_pipeline(spark, sf_dir):
+    """End-to-end keep-list: one survivor per component, survivor = min
+    member id, verified edges are exactly the candidate pairs whose
+    true n-gram Jaccard clears the threshold."""
+    from aggregator_spark.operators.dedup import (
+        minhash_dedup_keep,
+        verified_jaccard_pairs,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = minhash_dedup_keep(docs, threshold=0.5).collect()
+    assert len(out) == docs.count()
+    comps = {}
+    for r in out:
+        comps.setdefault(r["component"], []).append(r)
+    for comp, rows in comps.items():
+        assert comp == min(r["doc_id"] for r in rows)
+        keepers = [r for r in rows if r["keep"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == comp
+    assert any(len(v) > 1 for v in comps.values()), "no dup groups found"
+
+    # verification == exact jaccard restricted to the candidate set
+    cand = lsh_candidate_pairs(docs)
+    ver = {
+        (r["doc_a"], r["doc_b"])
+        for r in verified_jaccard_pairs(docs, cand, threshold=0.5).collect()
+    }
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert ver == (exact & cand_set)
+
+
+def test_temperature_mix_rates(spark, sf_dir):
+    """alpha=1 reproduces natural proportions (every stratum keeps
+    ~target_frac of itself); alpha=0.5 up-weights light strata: the
+    lightest stratum's keep THRESHOLD must exceed the heaviest's."""
+    from aggregator_spark.operators.corpus import temperature_mix
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    out = temperature_mix(docs, alpha=0.5, target_frac=0.25)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    kept = sum(r["keep"] for r in rows)
+    # expected 125 of 500; md5 selector variance — loose band
+    assert 0.15 * len(rows) <= kept <= 0.35 * len(rows)
+
+    # alpha=1: natural proportions — wq ∝ mass, so every stratum's
+    # threshold is target * N * mass_s / (sum_mass * c_s); with mass
+    # roughly proportional to doc count the thresholds cluster near
+    # target_frac. Just pin that the alpha knob changes the mix.
+    masses = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("m"))
+        .collect()
+    }
+    light = min(masses, key=masses.get)
+    heavy = max(masses, key=masses.get)
+    k05 = {
+        (r["stratum"], r["doc_id"]): r["keep"]
+        for r in rows
+    }
+    # flattening: keep fraction of the light stratum under alpha=0.5
+    # >= its fraction under alpha=1 (and vice versa for the heavy one)
+    rows1 = temperature_mix(docs, alpha=1.0, target_frac=0.25).collect()
+    k1 = {(r["stratum"], r["doc_id"]): r["keep"] for r in rows1}
+
+    def frac(k, s):
+        sel = [v for (st, _), v in k.items() if st == s]
+        return sum(sel) / len(sel)
+
+    assert frac(k05, light) >= frac(k1, light)
+    assert frac(k05, heavy) <= frac(k1, heavy)

@@ -284,3 +284,31 @@ def test_ann_gate_keeps_bucket_routing(plans):
     p = plans("ann_topk_lsh")
     assert "CartesianProduct" not in p
     assert "raise_error" in p
+
+
+def test_temperature_mix_broadcasts_rates(plans):
+    """The corpus side never shuffles: the per-stratum aggregate is the
+    only hash exchange besides the single-partition totals; the rate
+    table joins back by broadcast."""
+    p = plans("temperature_mix")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_semantic_dedup_no_cartesian(plans):
+    """SemDeDup's within-cluster pair comparison must be an equi-join
+    on the cluster id (hash-partitionable), never an all-pairs
+    cartesian/broadcast-nested-loop over the corpus."""
+    p = plans("semantic_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_dedup_fuzzy_keep_bucketed_not_allpairs(plans):
+    """The end-to-end dedup pipeline stays banded: candidate generation
+    joins on (band, bucket) and verification on the shingle key — no
+    cartesian anywhere in the composed plan."""
+    p = plans("dedup_fuzzy_keep")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
