@@ -384,6 +384,17 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SPAN_N = 16
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span stats (operators/dedup.py:
+    dup_span_stats) — per-doc count/fraction of word 16-gram positions
+    occurring verbatim in another document."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.dup_span_stats(docs, n=DUP_SPAN_N)
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetitious-text metrics
     (operators/text.py:repetition_metrics) — per-doc top-2/3-gram char
@@ -426,4 +437,5 @@ LLM_QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
     "temperature_mix": q_temperature_mix,
+    "dup_span_stats": q_dup_span_stats,
 }

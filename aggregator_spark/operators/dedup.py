@@ -407,3 +407,68 @@ def minhash_dedup_keep(
         "component",
         (F.col("doc_id") == F.col("component")).alias("keep"),
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+) -> DataFrame:
+    """Cross-document exact duplicated-span signal (the bounded form of
+    suffix-array substring dedup, cf. Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better": long verbatim spans
+    shared across documents are boilerplate/mirror text): for every doc,
+    how many of its word n-gram positions (n=16 ≈ the paper's 50-token
+    threshold scaled to word grams) also occur in at least one OTHER
+    document. Returns (doc_id, n_spans, n_dup_spans, dup_frac).
+
+    Scale shape: gram doc-frequency is one partial-agg'd groupBy on the
+    gram key; the dup-gram set joins back by the same key (shuffle join
+    on both sides' natural key — a broadcast would not survive a real
+    corpus's duplicated-gram volume). Raw text never shuffles; only
+    (doc_id, gram) pairs do, and the per-doc tallies are cardinality ≤
+    docs."""
+    from aggregator_spark.operators.text import word_ngrams, word_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
+    )
+    g = toks.filter(F.size("ts") >= n).select(
+        "doc_id", F.explode(word_ngrams(F.col("ts"), n)).alias("gram")
+    )
+    dup = (
+        g.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    n_dup = (
+        g.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_dup_spans", F.lit(0))
+                    / F.col("n_spans"),
+                    6,
+                )
+            )
+            .alias("dup_frac"),
+        )
+    )

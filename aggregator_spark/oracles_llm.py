@@ -715,3 +715,42 @@ LLM_ORACLES["temperature_mix"] = f"""
             / CAST(4294967296.0 AS DOUBLE) < r.thr) AS keep
     FROM dh JOIN r ON dh.source = r.stratum
 """
+
+
+from aggregator_spark.llm_queries import DUP_SPAN_N  # noqa: E402
+
+# cross-document duplicated spans: same word tokenizer as the
+# decontamination oracle; a gram position is "dup" when its gram occurs
+# in >= 2 distinct documents
+LLM_ORACLES["dup_span_stats"] = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS ts
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             array_to_string(ts[i:i+{DUP_SPAN_N - 1}], ' ') AS gram
+      FROM toks,
+           UNNEST(generate_series(1, len(ts) - {DUP_SPAN_N - 1})) AS u(i)
+      WHERE len(ts) >= {DUP_SPAN_N}),
+    dup AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+      WHERE df >= 2),
+    nd AS (
+      SELECT g.doc_id, COUNT(*) AS n_dup_spans
+      FROM g JOIN dup ON g.gram = dup.gram
+      GROUP BY g.doc_id),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM g GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(nd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN COALESCE(t.n_spans, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(COALESCE(nd.n_dup_spans, 0) / t.n_spans, 6)
+           END AS dup_frac
+    FROM documents d
+    LEFT JOIN tot t ON d.doc_id = t.doc_id
+    LEFT JOIN nd ON d.doc_id = nd.doc_id
+"""
