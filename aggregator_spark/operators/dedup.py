@@ -396,12 +396,31 @@ def minhash_dedup_keep(
     transitive closure so A~B~C collapses to one survivor even when
     A~C itself is below threshold). Every stage is the scale-proven
     primitive it reuses: banded bucket join (no all-pairs), semi-join
-    bounded verification, O(log^2)-round star components."""
-    from aggregator_spark.operators.components import dedup_clusters
+    bounded verification, O(log^2)-round star components.
 
+    The candidate-pair table is localCheckpoint'ed eagerly: the
+    verification plan references it from three sides (candidate-doc
+    semi-join, pair filter) and without the checkpoint each reference
+    re-runs the whole shingle->minhash->band pipeline. Its blocks (and
+    the verification intermediates) are released as soon as the
+    component labels are materialized — the returned plan references
+    only docs and the labels checkpoint."""
+    from aggregator_spark.operators.components import (
+        _persistent_ids,
+        _unpersist_ids,
+        dedup_clusters,
+    )
+
+    spark = docs.sparkSession
+    before = _persistent_ids(spark)
     cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n)
+    cand = cand.localCheckpoint(eager=True)
+    tmp_ids = _persistent_ids(spark) - before
     edges = verified_jaccard_pairs(docs, cand, id_col, text_col, n, threshold)
+    # dedup_clusters materializes the labels eagerly (checkpointed per
+    # round) — after it returns, the candidate blocks are unreachable
     comp = dedup_clusters(docs, edges.select("doc_a", "doc_b"), id_col)
+    _unpersist_ids(spark, tmp_ids)
     return comp.select(
         "doc_id",
         "component",
@@ -423,45 +442,59 @@ def dup_span_stats(
     threshold scaled to word grams) also occur in at least one OTHER
     document. Returns (doc_id, n_spans, n_dup_spans, dup_frac).
 
-    Scale shape: gram doc-frequency is one partial-agg'd groupBy on the
-    gram key; the dup-gram set joins back by the same key (shuffle join
-    on both sides' natural key — a broadcast would not survive a real
-    corpus's duplicated-gram volume). Raw text never shuffles; only
-    (doc_id, gram) pairs do, and the per-doc tallies are cardinality ≤
-    docs."""
+    Scale shape: grams shuffle as 8-byte xxhash64 keys, never as the
+    ~100-byte 16-word strings (a 64-bit hash collision merges two
+    unrelated grams — negligible for a *statistic* even at trillions
+    of grams, and impossible to hit at oracle-checked SFs); the gram
+    stream is generated ONCE (both downstream aggregates hang off the
+    same (doc_id, gh) exchange, which Spark reuses), per-doc span
+    totals come straight from the token count with no explode at all,
+    and the dup-gram set joins back on its natural key (deliberately
+    NOT broadcast — real corpora have huge duplicated-gram sets). Raw
+    text never shuffles; per-doc tallies are cardinality ≤ docs."""
     from aggregator_spark.operators.text import word_ngrams, word_tokens
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
     )
-    g = toks.filter(F.size("ts") >= n).select(
-        "doc_id", F.explode(word_ngrams(F.col("ts"), n)).alias("gram")
+    # per-doc gram-position occurrence counts on hashed keys; one
+    # exchange on (doc_id, gh) feeds both the doc-frequency filter and
+    # the per-doc dup tally (ReusedExchange — gram-gen runs once)
+    occ = (
+        toks.filter(F.size("ts") >= n)
+        .select(
+            "doc_id", F.explode(word_ngrams(F.col("ts"), n)).alias("gram")
+        )
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
+        .groupBy("doc_id", "gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
     )
     dup = (
-        g.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))  # rows = distinct docs
         .filter(F.col("df") >= 2)
-        .select("gram")
+        .select("gh")
     )
     n_dup = (
-        g.join(dup, "gram")
+        occ.join(dup, "gh")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .agg(F.sum("occ").alias("n_dup_spans"))
     )
-    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    totals = toks.select(
+        "doc_id",
+        F.greatest(
+            F.size("ts") - (n - 1), F.lit(0)
+        ).cast("bigint").alias("n_spans"),
+    )
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(totals, "doc_id", "left")
-        .join(n_dup, "doc_id", "left")
+        totals.join(n_dup, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            "n_spans",
             F.coalesce("n_dup_spans", F.lit(0))
             .cast("bigint")
             .alias("n_dup_spans"),
-            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+            F.when(F.col("n_spans") == 0, F.lit(0.0))
             .otherwise(
                 F.round(
                     F.coalesce("n_dup_spans", F.lit(0))
