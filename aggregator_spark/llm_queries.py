@@ -395,6 +395,61 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_span_stats(docs, n=DUP_SPAN_N)
 
 
+DUP_FRAC_MAX = 0.5
+
+
+def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate decision layer of a training-data pipeline in
+    ONE plan: Gopher word-shape filter AND language identified AND not
+    benchmark-contaminated AND duplicated-span fraction under
+    threshold. The full production decision is this conjunction ∧
+    `dedup_fuzzy_keep` (fuzzy dedup runs as its own stage on the
+    quality survivors — kept as a separate catalog entry so each
+    stage's cost and correctness are graded on their own).
+
+    Returns (doc_id, gopher_pass, lang_pred, contaminated, dup_frac,
+    keep)."""
+    from aggregator_spark.operators.text import contamination_flags
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    m = X.gopher_metrics(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        m["gopher_pass"].alias("gopher_pass"),
+        X.lang_id(F.col("text")).alias("lang_pred"),
+    )
+    toks = docs.select("doc_id", X.word_tokens(F.col("text")).alias("ts"))
+    probes = (
+        toks.filter(
+            (F.col("doc_id") % DECONTAM_MOD == 0)
+            & (F.size("ts") >= DECONTAM_N)
+        )
+        .select(F.concat_ws(" ", F.slice("ts", 1, DECONTAM_N)).alias("probe"))
+        .distinct()
+    )
+    contam = contamination_flags(docs, probes, n=DECONTAM_N).select(
+        "doc_id", "contaminated"
+    )
+    spans = D.dup_span_stats(docs, n=DUP_SPAN_N).select("doc_id", "dup_frac")
+    return (
+        quality.join(contam, "doc_id")
+        .join(spans, "doc_id")
+        .select(
+            "doc_id",
+            "gopher_pass",
+            "lang_pred",
+            "contaminated",
+            "dup_frac",
+            (
+                F.col("gopher_pass")
+                & (F.col("lang_pred") != "und")
+                & ~F.col("contaminated")
+                & (F.col("dup_frac") <= DUP_FRAC_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetitious-text metrics
     (operators/text.py:repetition_metrics) — per-doc top-2/3-gram char
@@ -438,4 +493,5 @@ LLM_QUERIES = {
     "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
     "temperature_mix": q_temperature_mix,
     "dup_span_stats": q_dup_span_stats,
+    "corpus_keep_list": q_corpus_keep_list,
 }

@@ -754,3 +754,24 @@ LLM_ORACLES["dup_span_stats"] = f"""
     LEFT JOIN tot t ON d.doc_id = t.doc_id
     LEFT JOIN nd ON d.doc_id = nd.doc_id
 """
+
+
+from aggregator_spark.llm_queries import DUP_FRAC_MAX  # noqa: E402
+
+# quality-gate decision layer: conjunction of four already-oracled
+# signals, each reused verbatim as a subquery so the composed oracle
+# can never drift from its parts
+LLM_ORACLES["corpus_keep_list"] = f"""
+    SELECT g.doc_id, g.gopher_pass, l.lang_pred, c.contaminated,
+           s.dup_frac,
+           (g.gopher_pass AND l.lang_pred <> 'und'
+            AND NOT c.contaminated
+            AND s.dup_frac <= {DUP_FRAC_MAX}) AS keep
+    FROM (SELECT doc_id, gopher_pass FROM ({LLM_ORACLES["gopher_quality"]})) g
+    JOIN (SELECT doc_id, lang_pred FROM ({LLM_ORACLES["lang_id"]})) l
+      USING (doc_id)
+    JOIN (SELECT doc_id, contaminated
+          FROM ({LLM_ORACLES["decontaminate_docs"]})) c USING (doc_id)
+    JOIN (SELECT doc_id, dup_frac
+          FROM ({LLM_ORACLES["dup_span_stats"]})) s USING (doc_id)
+"""

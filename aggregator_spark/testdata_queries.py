@@ -247,17 +247,18 @@ DRIVER_WINDOW = [
     "tpch_q19_disjunctive",
     "tpch_q22_idle",
     "value_bands",
-    "json_props",
     # round-7 additions (never driver-checked -> must sit in the
     # window): SemDeDup semantic dedup, the end-to-end verified fuzzy
     # dedup pipeline, temperature-weighted corpus mixing, duplicated-
-    # span stats. Displaced string_funcs / median_value /
-    # grouping_sets_daily / tpch_q11_important_stock (r1-green,
-    # pytest-pinned) to the r7 rotation pool.
+    # span stats, and the composed quality-gate keep list. Displaced
+    # json_props / string_funcs / median_value / grouping_sets_daily /
+    # tpch_q11_important_stock (r1-green, pytest-pinned) to the r7
+    # rotation pool.
     "semantic_dedup",
     "dedup_fuzzy_keep",
     "temperature_mix",
     "dup_span_stats",
+    "corpus_keep_list",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
