@@ -1,0 +1,105 @@
+"""Exact distributed heavy hitters via mergeable Misra–Gries.
+
+Two-pass frequent-items plan, the standard way to compute EXACT heavy
+hitters over a corpus too large to group-count in full:
+
+1. **Candidate pass (map-side, shuffle-free).** Each partition runs a
+   mergeable Misra–Gries summary (Agarwal et al., "Mergeable
+   Summaries", PODS'12) over its items with ``k_mg`` counters. MG
+   guarantees every item whose partition count exceeds
+   ``n_p / (k_mg + 1)`` survives the partition's summary. By the
+   averaging argument, any item with GLOBAL count > n / k_out (for
+   k_out <= k_mg) must exceed that bar in at least one partition, so
+   the union of per-partition survivor sets is a SUPERSET of the true
+   heavy hitters. Only candidate tokens leave the executors — at most
+   ``k_mg`` per partition, independent of data size.
+
+2. **Exact verification pass.** The (tiny) candidate set is broadcast
+   back against the item stream; only candidate rows are group-counted
+   (partial aggregation collapses each partition to <= |candidates|
+   rows before the shuffle), and the exact global threshold
+   ``cnt * k_out > n_total`` keeps precisely the true heavy hitters.
+
+Net shuffle: O(partitions x k_mg) candidate strings + one 1-row total,
+versus a full-vocabulary group-count for the naive plan. At 100 TB the
+candidate pass reads everything but moves almost nothing; correctness
+is exact because pass 2 recounts for real.
+
+The reference has no frequent-items operator; this is beyond-reference
+coverage for the training-data-pipeline family (heavy token/n-gram
+detection feeds stopword and boilerplate lists).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _mg_partition_factory(k_mg: int, item_col: str):
+    """Build a mapInPandas function running mergeable Misra-Gries with
+    ``k_mg`` counters over one partition's ``item_col`` values."""
+
+    def mg_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            # weighted update: exact within-batch counts merged into
+            # the running summary (vectorized; no per-row Python loop)
+            for tok, c in pdf[item_col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k_mg:
+                # mergeable-summaries compress: subtract the
+                # (k_mg+1)-th largest count from every counter and
+                # drop the non-positive ones — the total subtracted
+                # mass per item over the whole partition is bounded by
+                # n_p/(k_mg+1), which is what the survivor guarantee
+                # needs
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[k_mg]
+                counters = {
+                    t: c - sub for t, c in counters.items() if c > sub
+                }
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return mg_partition
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "token",
+    k_out: int = 640,
+    k_mg: int | None = None,
+) -> DataFrame:
+    """Exact items with global count strictly greater than n/k_out.
+
+    Returns (item_col, cnt) — EXACT counts, because the MG pass only
+    proposes candidates and the broadcast recount decides. ``k_mg``
+    defaults to 4*k_out: any slack >= k_out keeps the superset
+    guarantee; extra slack cuts false candidates (wasted recount keys)
+    at the cost of a bigger per-partition dict.
+    """
+    if k_mg is None:
+        k_mg = 4 * k_out
+    if k_mg < k_out:
+        raise ValueError("k_mg must be >= k_out for the superset guarantee")
+
+    cand = (
+        items.mapInPandas(
+            _mg_partition_factory(k_mg, item_col),
+            schema=f"{item_col} string",
+        )
+        .distinct()
+    )
+    total = items.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        items.join(F.broadcast(cand), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k_out > F.col("n_total"))
+        .select(item_col, "cnt")
+    )

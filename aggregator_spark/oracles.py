@@ -104,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
     from aggregator_spark.oracles_analytics6 import ANALYTICS6_ORACLES
     from aggregator_spark.oracles_analytics7 import ANALYTICS7_ORACLES
     from aggregator_spark.oracles_analytics8 import ANALYTICS8_ORACLES
+    from aggregator_spark.oracles_analytics9 import ANALYTICS9_ORACLES
     from aggregator_spark.oracles_graph import GRAPH_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
 
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(ANALYTICS6_ORACLES)
     oracles.update(ANALYTICS7_ORACLES)
     oracles.update(ANALYTICS8_ORACLES)
+    oracles.update(ANALYTICS9_ORACLES)
     oracles.update(GRAPH_ORACLES)
     oracles.update(LLM_ORACLES)
     return oracles

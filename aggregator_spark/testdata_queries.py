@@ -283,6 +283,7 @@ def queries():
     from aggregator_spark.analytics_queries6 import ANALYTICS6_QUERIES
     from aggregator_spark.analytics_queries7 import ANALYTICS7_QUERIES
     from aggregator_spark.analytics_queries8 import ANALYTICS8_QUERIES
+    from aggregator_spark.analytics_queries9 import ANALYTICS9_QUERIES
     from aggregator_spark.graph_queries import GRAPH_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
@@ -305,6 +306,7 @@ def queries():
     qs.update(ANALYTICS6_QUERIES)
     qs.update(ANALYTICS7_QUERIES)
     qs.update(ANALYTICS8_QUERIES)
+    qs.update(ANALYTICS9_QUERIES)
     qs.update(GRAPH_QUERIES)
     qs.update(LLM_QUERIES)
     ordered = {name: qs[name] for name in DRIVER_WINDOW}
