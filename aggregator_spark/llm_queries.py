@@ -395,6 +395,23 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_span_stats(docs, n=DUP_SPAN_N)
 
 
+NEW_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "new crawl batch" (~20%)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup of a new batch against the existing
+    corpus (operators/dedup.py:minhash_dedup_incremental): new docs'
+    LSH buckets joined against the full bucket table — existing docs
+    are never compared to each other — then exact-Jaccard verify and
+    component resolution over new ∪ touched nodes only."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.minhash_dedup_incremental(
+        docs,
+        F.col("doc_id") % NEW_BATCH_MOD == 0,
+        threshold=JACCARD_THRESHOLD,
+    ).orderBy("doc_id")
+
+
 DUP_FRAC_MAX = 0.5
 
 
@@ -491,6 +508,7 @@ LLM_QUERIES = {
     "repetition_metrics": q_repetition_metrics,
     "semantic_dedup": q_semantic_dedup,
     "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
+    "dedup_incremental": q_dedup_incremental,
     "temperature_mix": q_temperature_mix,
     "dup_span_stats": q_dup_span_stats,
     "corpus_keep_list": q_corpus_keep_list,

@@ -214,6 +214,52 @@ def minhash_signatures(
     return ids.join(mins, "doc_id", "left")
 
 
+def lsh_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Per-doc LSH bucket keys: MinHash signatures hashed per band →
+    one (doc_id, band, bucket) row per band. The shared candidate-
+    generation seam for the self-join (``lsh_candidate_pairs``) and the
+    incremental new-vs-corpus join (``minhash_dedup_incremental``).
+
+    Zero-shingle docs (all-NULL signatures) are excluded — see
+    ``lsh_candidate_pairs`` for why."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, n).filter(
+        F.col("mh_0").isNotNull()
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).cast("binary")
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -231,35 +277,7 @@ def lsh_candidate_pairs(
     banding: concat_ws skips NULLs, so they would otherwise all hash to
     the single md5('') bucket and become mutual candidates (an O(m²)
     blowup that also marks unrelated short docs as duplicates)."""
-    if k % bands:
-        raise ValueError("k must be divisible by bands")
-    rows_per_band = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, n).filter(
-        F.col("mh_0").isNotNull()
-    )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            ).cast("binary")
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
     l = buckets.select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )
@@ -425,6 +443,86 @@ def minhash_dedup_keep(
         "doc_id",
         "component",
         (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+def minhash_dedup_incremental(
+    docs: DataFrame,
+    is_new,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Incremental fuzzy dedup: a NEW batch (rows where the ``is_new``
+    Column is true) deduped against the EXISTING corpus (the rest) and
+    within itself, without ever comparing existing docs to each other —
+    the shape a crawl pipeline runs per snapshot against its index.
+
+    Candidate generation joins only the new batch's LSH buckets against
+    the full bucket table, so candidate cost is O(new-batch buckets),
+    not O(corpus buckets²); existing×existing pairs are never formed.
+    Verification and component resolution run on the new ∪ touched
+    node set only — the untouched corpus is never shuffled past the
+    bucket join.
+
+    Returns one row per NEW doc: (doc_id, component,
+    matched_existing, keep) where ``matched_existing`` means the doc's
+    duplicate component contains (possibly transitively) an existing
+    doc, and ``keep`` = not matched_existing AND doc is the min-id new
+    doc of its component — i.e. exactly the batch rows a cleaner would
+    append to the corpus.
+    """
+    from aggregator_spark.operators.components import dedup_clusters
+
+    ids = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        is_new.alias("is_new"),
+    )
+    buckets = lsh_buckets(ids, "doc_id", "text", k, bands, n)
+    new_ids = ids.filter("is_new").select("doc_id")
+    new_buckets = buckets.join(new_ids, "doc_id", "semi")
+    l = new_buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cand = cand.localCheckpoint(eager=True)
+    edges = verified_jaccard_pairs(ids, cand, "doc_id", "text", n, threshold)
+    touched = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    nodes = new_ids.union(touched).distinct()
+    comp = dedup_clusters(nodes, edges.select("doc_a", "doc_b"), "doc_id")
+    labeled = comp.join(
+        ids.select("doc_id", "is_new"), "doc_id"
+    )
+    flags = labeled.groupBy("component").agg(
+        F.max((~F.col("is_new")).cast("int")).alias("has_existing"),
+        F.min(F.when(F.col("is_new"), F.col("doc_id"))).alias("min_new"),
+    )
+    return (
+        labeled.filter("is_new")
+        .join(flags, "component")
+        .select(
+            "doc_id",
+            "component",
+            (F.col("has_existing") == 1).alias("matched_existing"),
+            (
+                (F.col("has_existing") == 0)
+                & (F.col("doc_id") == F.col("min_new"))
+            ).alias("keep"),
+        )
     )
 
 

@@ -775,3 +775,67 @@ LLM_ORACLES["corpus_keep_list"] = f"""
     JOIN (SELECT doc_id, dup_frac
           FROM ({LLM_ORACLES["dup_span_stats"]})) s USING (doc_id)
 """
+
+
+from aggregator_spark.llm_queries import NEW_BATCH_MOD  # noqa: E402
+
+# incremental fuzzy dedup: same signature/banding CTEs, but candidate
+# pairs are restricted to those touching the "new batch"
+# (doc_id % NEW_BATCH_MOD = 0) — existing x existing pairs are never
+# formed — then the same exact-Jaccard verify and transitive closure
+# over the touched subgraph; output rows are the NEW docs only
+LLM_ORACLES["dedup_incremental"] = f"""
+    WITH RECURSIVE {_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+         {_MH_COLS}
+      FROM sh),
+    buckets AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id <> b.doc_id
+        AND (a.doc_id % {NEW_BATCH_MOD} = 0
+             OR b.doc_id % {NEW_BATCH_MOD} = 0)),
+    ver AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS ic,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b)
+      WHERE ic > 0
+        AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+            >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             (d.doc_id % {NEW_BATCH_MOD} = 0) AS is_new
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      WHERE d.doc_id % {NEW_BATCH_MOD} = 0 OR c.node IS NOT NULL),
+    flags AS (
+      SELECT component,
+             MAX(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS has_existing,
+             MIN(CASE WHEN is_new THEN doc_id END) AS min_new
+      FROM lab GROUP BY component)
+    SELECT l.doc_id, l.component,
+           (f.has_existing = 1) AS matched_existing,
+           (f.has_existing = 0 AND l.doc_id = f.min_new) AS keep
+    FROM lab l JOIN flags f USING (component)
+    WHERE l.is_new
+    ORDER BY l.doc_id
+"""

@@ -244,9 +244,6 @@ DRIVER_WINDOW = [
     "tpch_q10_returns",
     "tpch_q14_promo",
     "tpch_q16_supplier_cnt",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle",
-    "value_bands",
     # round-7 additions (never driver-checked -> must sit in the
     # window): SemDeDup semantic dedup, the end-to-end verified fuzzy
     # dedup pipeline, temperature-weighted corpus mixing, duplicated-
@@ -259,6 +256,14 @@ DRIVER_WINDOW = [
     "temperature_mix",
     "dup_span_stats",
     "corpus_keep_list",
+    # late round-6 additions (never driver-checked): incremental
+    # new-batch-vs-corpus fuzzy dedup, Misra-Gries exact heavy
+    # hitters, moment-exact per-group regression. Displaced
+    # tpch_q19_disjunctive / tpch_q22_idle / value_bands (r1-green,
+    # re-verified in this round's full-sweep) to the r7 pool.
+    "dedup_incremental",
+    "heavy_bigrams",
+    "regr_value_by_type",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -417,3 +417,45 @@ def test_temperature_mix_rates(spark, sf_dir):
 
     assert frac(k05, light) >= frac(k1, light)
     assert frac(k05, heavy) <= frac(k1, heavy)
+
+
+def test_incremental_dedup_semantics(spark):
+    """Handcrafted corpus pinning every incremental-dedup outcome: new
+    matching existing (dropped), new-new pair (min kept), transitive
+    new-new-existing chain (all dropped), unique new (kept), and
+    existing-existing dup pairs (never formed, never emitted)."""
+    from aggregator_spark.operators.dedup import minhash_dedup_incremental
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    B = "red orange yellow green blue indigo violet umber sienna ochre"
+    C = "one two three four five six seven eight nine ten eleven"
+    E = "north south east west up down left right front back over"
+    F_ = "spin south east west up down left right front back over"
+    G = "spin south east west up down left right front back under"
+    H = "dog cat bird fish mouse horse sheep goat cow pig hen"
+    docs = spark.createDataFrame(
+        [
+            (1, A),      # existing, duplicated by new 10
+            (2, E),      # existing, end of the 45-40-2 chain
+            (3, H),      # existing dup pair with 4: must NOT pair
+            (4, H),
+            (10, A),     # new == existing 1 -> dropped
+            (20, B),     # new-new pair: min id -> kept
+            (25, B),     # -> dropped (survivor is 20)
+            (30, C),     # unique new -> kept
+            (40, F_),    # chain middle
+            (45, G),     # chain end: reaches existing 2 via 40
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_dedup_incremental(
+        docs, F.col("doc_id") >= 10, threshold=0.5
+    ).collect()
+    got = {r["doc_id"]: (r["matched_existing"], r["keep"]) for r in rows}
+    assert set(got) == {10, 20, 25, 30, 40, 45}, "only NEW docs in output"
+    assert got[10] == (True, False)
+    assert got[20] == (False, True)
+    assert got[25] == (False, False)
+    assert got[30] == (False, True)
+    assert got[40] == (True, False)
+    assert got[45] == (True, False)
