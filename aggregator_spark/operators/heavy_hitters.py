@@ -38,6 +38,24 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
+def mg_merge(counters: dict, add: dict, k_mg: int) -> dict:
+    """One mergeable-summaries step: add exact ``add`` counts into the
+    running Misra-Gries summary, then compress back to ``k_mg`` entries
+    by subtracting the (k_mg+1)-th largest count from every counter and
+    dropping the non-positive ones. The total subtracted mass per item
+    over a whole stream of merges is bounded by n/(k_mg+1) — the
+    survivor/error guarantee both the batch and streaming operators
+    rely on. Shared by the batch candidate pass and the streaming
+    per-shard state update."""
+    for tok, c in add.items():
+        counters[tok] = counters.get(tok, 0) + int(c)
+    if len(counters) > k_mg:
+        vals = sorted(counters.values(), reverse=True)
+        sub = vals[k_mg]
+        counters = {t: c - sub for t, c in counters.items() if c > sub}
+    return counters
+
+
 def _mg_partition_factory(k_mg: int, item_col: str):
     """Build a mapInPandas function running mergeable Misra-Gries with
     ``k_mg`` counters over one partition's ``item_col`` values."""
@@ -49,20 +67,11 @@ def _mg_partition_factory(k_mg: int, item_col: str):
         for pdf in batches:
             # weighted update: exact within-batch counts merged into
             # the running summary (vectorized; no per-row Python loop)
-            for tok, c in pdf[item_col].value_counts().items():
-                counters[tok] = counters.get(tok, 0) + int(c)
-            if len(counters) > k_mg:
-                # mergeable-summaries compress: subtract the
-                # (k_mg+1)-th largest count from every counter and
-                # drop the non-positive ones — the total subtracted
-                # mass per item over the whole partition is bounded by
-                # n_p/(k_mg+1), which is what the survivor guarantee
-                # needs
-                vals = sorted(counters.values(), reverse=True)
-                sub = vals[k_mg]
-                counters = {
-                    t: c - sub for t, c in counters.items() if c > sub
-                }
+            counters = mg_merge(
+                counters,
+                {t: int(c) for t, c in pdf[item_col].value_counts().items()},
+                k_mg,
+            )
         yield pd.DataFrame({item_col: list(counters.keys())})
 
     return mg_partition
