@@ -73,8 +73,11 @@ def q_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/heavy_hitters.py). Same tokenizer as ``top_tokens``.
     """
     from aggregator_spark.operators.heavy_hitters import heavy_hitters
+    from aggregator_spark.operators.util import scatter
 
-    docs = load_testdata(spark, sf_dir, "documents")
+    # the bigram transform + MG pass are CPU-bound: don't inherit the
+    # small scan's single split (scatter is a no-op at real scale)
+    docs = scatter(load_testdata(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     bigrams = F.when(
         F.size(toks) >= 2,

@@ -497,9 +497,14 @@ def minhash_dedup_incremental(
     )
     cand = cand.localCheckpoint(eager=True)
     edges = verified_jaccard_pairs(ids, cand, "doc_id", "text", n, threshold)
+    # node set for labeling: derived from the CHECKPOINTED candidate
+    # pairs, not from the verified edges — a superset (candidates that
+    # fail verification label themselves as singletons, which the
+    # is_new output filter discards), but it keeps ``edges`` referenced
+    # exactly once so the shingle→verify pipeline runs once
     touched = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     nodes = new_ids.union(touched).distinct()

@@ -96,13 +96,15 @@ def heavy_hitters(
     if k_mg < k_out:
         raise ValueError("k_mg must be >= k_out for the superset guarantee")
 
-    cand = (
-        items.mapInPandas(
-            _mg_partition_factory(k_mg, item_col),
-            schema=f"{item_col} string",
-        )
-        .distinct()
-    )
+    # three references to ``items`` = three scans, but each scan is an
+    # embarrassingly-parallel read; an A/B against a localCheckpoint'ed
+    # single-pass summary (candidates + per-partition totals in one MG
+    # pass) measured THIS form consistently faster — the checkpoint's
+    # blocking materialization barrier cost more than the extra scans
+    cand = items.mapInPandas(
+        _mg_partition_factory(k_mg, item_col),
+        schema=f"{item_col} string",
+    ).distinct()
     total = items.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         items.join(F.broadcast(cand), item_col)
