@@ -395,6 +395,19 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_span_stats(docs, n=DUP_SPAN_N)
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup signal (operators/dedup.py:
+    ngram_containment_pairs): |∩| / min(|A|,|B|) over word-3-gram sets
+    — catches short-inside-long duplication that Jaccard misses."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(
+        docs, threshold=CONTAINMENT_THRESHOLD
+    ).orderBy("doc_a", "doc_b")
+
+
 NEW_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "new crawl batch" (~20%)
 
 
@@ -495,6 +508,7 @@ LLM_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
+    "ngram_containment_pairs": q_ngram_containment,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "dedup_components": q_dedup_components,

@@ -180,6 +180,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram CONTAINMENT above threshold:
+    ``|sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|)`` — the asymmetric dedup
+    signal Jaccard structurally misses (a short doc quoted verbatim
+    inside a long one has tiny Jaccard but containment ≈ 1; cf. Broder
+    1997's resemblance-vs-containment distinction). Returns
+    (doc_a, doc_b, containment) with doc_a < doc_b, rounded to 6
+    decimals.
+
+    Same sparse shingle-join shape (and same scale positioning) as
+    ``ngram_jaccard_pairs``: this exact form is the correctness
+    baseline; at corpus scale candidates come from LSH or a df-cap and
+    only candidate pairs get this exact measure."""
+    pairs = doc_shingles(docs, id_col, text_col, n, max_df)
+    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = pairs.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = pairs.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("na", "nb"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -839,3 +839,27 @@ LLM_ORACLES["dedup_incremental"] = f"""
     WHERE l.is_new
     ORDER BY l.doc_id
 """
+
+
+from aggregator_spark.llm_queries import CONTAINMENT_THRESHOLD  # noqa: E402
+
+# asymmetric containment: same shingle CTEs as the jaccard baseline,
+# denominator = the smaller shingle set
+LLM_ORACLES["ngram_containment_pairs"] = f"""
+    WITH {_SHINGLES},
+    ps AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ps GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ps a JOIN ps b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT doc_a, doc_b,
+             round(n_common / least(sa.n, sb.n), 6) AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    WHERE containment >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""

@@ -243,7 +243,6 @@ DRIVER_WINDOW = [
     "tpch_q7_nation_pairs",
     "tpch_q10_returns",
     "tpch_q14_promo",
-    "tpch_q16_supplier_cnt",
     # round-7 additions (never driver-checked -> must sit in the
     # window): SemDeDup semantic dedup, the end-to-end verified fuzzy
     # dedup pipeline, temperature-weighted corpus mixing, duplicated-
@@ -264,6 +263,7 @@ DRIVER_WINDOW = [
     "dedup_incremental",
     "heavy_bigrams",
     "regr_value_by_type",
+    "ngram_containment_pairs",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -459,3 +459,26 @@ def test_incremental_dedup_semantics(spark):
     assert got[30] == (False, True)
     assert got[40] == (True, False)
     assert got[45] == (True, False)
+
+
+def test_containment_catches_short_inside_long(spark):
+    """A short doc quoted verbatim inside a much longer one: Jaccard
+    stays below any dedup threshold, containment hits 1.0 — the
+    asymmetric case the containment operator exists for."""
+    from aggregator_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == [], "jaccard should NOT flag the containment pair"
