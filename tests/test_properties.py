@@ -239,3 +239,40 @@ def test_versioned_merge_equals_dict_semantics(tmp_path_factory, base, updates):
         r["id"]: r["val"] for r in read_table(spark, root).collect()
     }
     assert got == expected
+
+
+@given(
+    stream=st.lists(
+        st.lists(st.sampled_from("abcdefghij"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+    k_mg=st.integers(2, 6),
+)
+@SET
+def test_mg_merge_bounds(stream, k_mg):
+    """Pure-Python Misra-Gries invariants under arbitrary batch splits:
+    summary size <= k_mg; stored <= true; under-estimate <= n/(k_mg+1);
+    every item with true count > n/(k_mg+1) survives. (No Spark — this
+    is the kernel both the batch candidate pass and the streaming state
+    update run.)"""
+    from collections import Counter
+
+    from aggregator_spark.operators.heavy_hitters import mg_merge
+
+    counters = {}
+    truth = Counter()
+    n = 0
+    for batch in stream:
+        truth.update(batch)
+        n += len(batch)
+        counters = mg_merge(counters, dict(Counter(batch)), k_mg)
+
+    assert len(counters) <= k_mg
+    bound = n // (k_mg + 1)
+    for item, est in counters.items():
+        assert est <= truth[item]
+        assert truth[item] - est <= bound
+    for item, true_cnt in truth.items():
+        if true_cnt > bound:
+            assert item in counters, (item, true_cnt, bound, dict(counters))
