@@ -495,6 +495,34 @@ def minhash_dedup_keep(
     )
 
 
+def lsh_candidate_pairs_incremental(
+    docs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Candidate pairs touching the NEW batch only: the batch's LSH
+    buckets (semi-joined down to ``new_ids``) joined against the full
+    bucket table — existing×existing pairs are never formed. Returns
+    distinct (doc_a < doc_b) pairs where at least one side is new."""
+    buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
+    new_buckets = buckets.join(new_ids, "doc_id", "semi")
+    l = new_buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def minhash_dedup_incremental(
     docs: DataFrame,
     is_new,
@@ -530,21 +558,10 @@ def minhash_dedup_incremental(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
         is_new.alias("is_new"),
     )
-    buckets = lsh_buckets(ids, "doc_id", "text", k, bands, n)
     new_ids = ids.filter("is_new").select("doc_id")
-    new_buckets = buckets.join(new_ids, "doc_id", "semi")
-    l = new_buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    r = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-        )
-        .distinct()
-    )
-    cand = cand.localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs_incremental(
+        ids, new_ids, "doc_id", "text", k, bands, n
+    ).localCheckpoint(eager=True)
     edges = verified_jaccard_pairs(ids, cand, "doc_id", "text", n, threshold)
     # node set for labeling: derived from the CHECKPOINTED candidate
     # pairs, not from the verified edges — a superset (candidates that

@@ -312,3 +312,62 @@ def test_dedup_fuzzy_keep_bucketed_not_allpairs(plans):
     p = plans("dedup_fuzzy_keep")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_dedup_incremental_semi_joins_batch_buckets(spark, plans):
+    """Incremental dedup's candidate join must restrict the left side
+    to the NEW batch's buckets (semi join against new ids) — never a
+    full bucket self-join — and stay equi-keyed (no cartesian). The
+    candidate stage is asserted directly (the composed query
+    localCheckpoints it, which hides its plan behind the RDD scan);
+    the composed plan is still checked for cartesian-freedom."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+    )
+    from aggregator_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, SF, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 5 == 0).alias("is_new")
+    )
+    cand = lsh_candidate_pairs_incremental(
+        docs, docs.filter("is_new").select("doc_id")
+    )
+    cp = spark._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in cp
+    assert "CartesianProduct" not in cp
+
+    p = plans("dedup_incremental")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_heavy_bigrams_broadcast_recount(plans):
+    """The exact recount joins the item stream against BROADCAST
+    candidates; the only wide shuffle left is the candidate-filtered
+    partial-aggregated group-count."""
+    p = plans("heavy_bigrams")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_containment_sparse_shingle_join(plans):
+    """Containment rides the same sparse shingle equi-join as the
+    jaccard baseline — no cartesian pair enumeration."""
+    p = plans("ngram_containment_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
+def test_regr_single_aggregate(plans):
+    """The regression is ONE map-side-partial hash aggregate over the
+    fact — no window, no join, no second shuffle of raw rows."""
+    p = plans("regr_value_by_type")
+    assert "HashAggregate" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    # exactly one exchange pair for the groupBy (plus AQE reads)
+    assert p.count("+- Exchange") <= 2
