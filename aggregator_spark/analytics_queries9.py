@@ -62,7 +62,13 @@ def q_regr_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - (num / denx) * F.col("sx")) / F.col("n"), 6
         ).alias("intercept"),
         F.round((num * num) / (denx * deny), 6).alias("r2"),
-        F.round(num / F.sqrt(denx * deny), 6).alias("corr_xy"),
+        # greatest(...,0): denx*deny is a true-zero quantity computed
+        # from rounded doubles and can land epsilon-negative; DuckDB's
+        # sqrt raises on a negative argument (Spark returns NaN) —
+        # clamping makes both engines yield NULL via x/0 instead
+        F.round(
+            num / F.sqrt(F.greatest(denx * deny, F.lit(0.0))), 6
+        ).alias("corr_xy"),
     ).orderBy("event_type")
 
 

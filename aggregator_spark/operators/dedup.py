@@ -136,20 +136,13 @@ def doc_shingles(
     return pairs
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = DEFAULT_SHINGLE,
-    threshold: float = 0.5,
-    max_df: int | None = None,
-) -> DataFrame:
-    """All-pairs n-gram Jaccard above threshold via sparse shingle join.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
-    to 6 decimals (cross-engine float safety)."""
-    pairs = doc_shingles(docs, id_col, text_col, n, max_df)
+def shingle_pair_overlap(pairs: DataFrame) -> DataFrame:
+    """The sparse shingle-intersection scaffold shared by every exact
+    pair measure (Jaccard, capped Jaccard, containment, candidate
+    verification): from (doc_id, shingle) rows, the co-occurring pairs
+    with intersection and set sizes — (doc_a < doc_b, n_common, na,
+    nb). Pairs with zero common shingles never appear (sparse join)."""
     sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
     a = pairs.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pairs.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -164,10 +157,25 @@ def ngram_jaccard_pairs(
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
     )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard above threshold via sparse shingle join.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    to 6 decimals (cross-engine float safety)."""
+    overlap = shingle_pair_overlap(
+        doc_shingles(docs, id_col, text_col, n, max_df)
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        overlap.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -200,27 +208,11 @@ def ngram_containment_pairs(
     ``ngram_jaccard_pairs``: this exact form is the correctness
     baseline; at corpus scale candidates come from LSH or a df-cap and
     only candidate pairs get this exact measure."""
-    pairs = doc_shingles(docs, id_col, text_col, n, max_df)
-    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-
-    a = pairs.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = pairs.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    overlap = shingle_pair_overlap(
+        doc_shingles(docs, id_col, text_col, n, max_df)
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        overlap.withColumn(
             "containment",
             F.round(F.col("n_common") / F.least("na", "nb"), 6),
         )
@@ -415,21 +407,9 @@ def verified_jaccard_pairs(
     pairs = doc_shingles(docs, id_col, text_col, n).join(
         cand_docs, "doc_id", "semi"
     )
-    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = pairs.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = pairs.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    overlap = shingle_pair_overlap(pairs)
     return (
-        cand.join(inter, ["doc_a", "doc_b"])
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(overlap, ["doc_a", "doc_b"])
         .withColumn(
             "jaccard",
             F.round(

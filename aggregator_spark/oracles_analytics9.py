@@ -34,7 +34,8 @@ ANALYTICS9_ORACLES = {
                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
                  AS r2,
                round((n * sxy - sx * sy)
-                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                     / sqrt(greatest((n * sxx - sx * sx)
+                                     * (n * syy - sy * sy), 0.0)),
                      6) AS corr_xy
         FROM m
         ORDER BY event_type

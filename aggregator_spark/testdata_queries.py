@@ -257,7 +257,8 @@ DRIVER_WINDOW = [
     "corpus_keep_list",
     # late round-6 additions (never driver-checked): incremental
     # new-batch-vs-corpus fuzzy dedup, Misra-Gries exact heavy
-    # hitters, moment-exact per-group regression. Displaced
+    # hitters, moment-exact per-group regression, asymmetric n-gram
+    # containment. Displaced tpch_q16_supplier_cnt /
     # tpch_q19_disjunctive / tpch_q22_idle / value_bands (r1-green,
     # re-verified in this round's full-sweep) to the r7 pool.
     "dedup_incremental",

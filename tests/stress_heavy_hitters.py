@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from stress_util import last_stage_id, shuffle_totals
+from stress_util import shuffle_totals
 
 N_HOT = 100
 K_OUT = 400  # bar: cnt > n/400; hot tokens sit at ~n/200 each
@@ -37,8 +37,8 @@ def synth(spark, n: int):
     hot = F.concat(
         F.lit("hot_"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_HOT))
     )
-    # tail ids drawn from a domain of n/8 values: ~n/16 distinct junk
-    # tokens appearing O(1) times each
+    # tail ids drawn from a domain of n/8 values: ~n/8 distinct junk
+    # tokens appearing ~4 times each (n/2 draws over n/8 values)
     tail = F.concat(
         F.lit("tail_"),
         F.pmod(F.xxhash64("id", F.lit(3)), F.lit(max(n // 8, 1))),
@@ -79,7 +79,6 @@ def main() -> None:
         ("naive_groupcount", naive(items)),
         ("mg_two_pass", heavy_hitters(items, "token", k_out=K_OUT)),
     ):
-        stage0 = last_stage_id(spark) + 1
         rd0, wr0 = shuffle_totals(spark)
         t0 = time.perf_counter()
         rows = df.collect()

@@ -11,12 +11,11 @@ from aggregator_spark.operators.heavy_hitters import heavy_hitters
 
 
 def _zipfish(spark, n_rows: int, parts: int):
-    """Deterministic skewed items: item_j appears ~n/(j+1) times —
-    heavy head, long tail — spread across ``parts`` partitions."""
+    """Deterministic skewed items spread across ``parts`` partitions:
+    item_j covers the 2^j residues in [2^j-1, 2^(j+1)-1) of id%1024,
+    so item_9 is ~half the rows, item_8 ~a quarter, ... item_0 ~1/1024
+    — geometric head-heavy skew with an 11-item support."""
     df = spark.range(n_rows, numPartitions=parts)
-    # id -> smallest j with sum_{i<=j} n/(i+1) > id, approximated by
-    # a modular scheme that is deterministic and heavily skewed:
-    # half the rows are item_0, a quarter item_1, etc.
     item = F.concat(
         F.lit("item_"),
         F.floor(F.log2(F.col("id") % 1024 + 1)).cast("int"),

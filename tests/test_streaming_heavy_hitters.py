@@ -16,7 +16,9 @@ SHARDS = 4
 
 
 def _skewed_tokens(spark, n_rows: int, offset: int = 0):
-    # half item_0, quarter item_1, ... heavy head + tail, deterministic
+    # geometric skew over 11 items: item_9 ~half the rows, item_8 ~a
+    # quarter, ... item_0 ~1/1024 (deterministic; see _zipfish in
+    # test_heavy_hitters.py)
     return spark.range(offset, offset + n_rows).select(
         F.concat(
             F.lit("item_"),
