@@ -87,3 +87,39 @@ def test_orc_predicate_pushdown_in_plan(spark, tmp_path):
     assert "PushedFilters" in plan and "event_type" in plan.split(
         "PushedFilters"
     )[1].split("\n")[0]
+
+
+def test_json_corrupt_record_contract(spark, tmp_path):
+    """PERMISSIVE JSON loads must surface garbage lines in
+    _corrupt_record (other fields NULL) instead of aborting — and
+    FAILFAST must abort, so a pipeline can choose its failure mode."""
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"event_id": 1, "user_id": 7}\n'
+        "this is not json\n"
+        '{"event_id": 2, "user_id": 8}\n'
+    )
+    schema = "event_id long, user_id long, _corrupt_record string"
+    rows = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(str(p))
+        .collect()
+    )
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1 and bad[0]["event_id"] is None
+    assert {r["event_id"] for r in rows if r["_corrupt_record"] is None} == {
+        1,
+        2,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        (
+            spark.read.schema("event_id long, user_id long")
+            .option("mode", "FAILFAST")
+            .json(str(p))
+            .collect()
+        )
