@@ -483,13 +483,29 @@ def lsh_candidate_pairs_incremental(
     k: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs touching the NEW batch only: the batch's LSH
     buckets (semi-joined down to ``new_ids``) joined against the full
     bucket table — existing×existing pairs are never formed. Returns
-    distinct (doc_a < doc_b) pairs where at least one side is new."""
-    buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
-    new_buckets = buckets.join(new_ids, "doc_id", "semi")
+    distinct (doc_a < doc_b) pairs where at least one side is new.
+
+    With ``corpus_buckets`` (the previous run's persisted
+    (doc_id, band, bucket) table for the EXISTING docs), signatures are
+    computed for the batch only — the per-snapshot cost a production
+    index makes batch-proportional; without it the whole corpus is
+    re-signed (the self-contained form the catalog query uses)."""
+    if corpus_buckets is None:
+        buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
+        new_buckets = buckets.join(new_ids, "doc_id", "semi")
+    else:
+        new_docs = docs.join(
+            new_ids.select(F.col("doc_id").alias(id_col)), id_col, "semi"
+        )
+        new_buckets = lsh_buckets(new_docs, id_col, text_col, k, bands, n)
+        buckets = corpus_buckets.select("doc_id", "band", "bucket").union(
+            new_buckets
+        )
     l = new_buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     return (
@@ -512,11 +528,14 @@ def minhash_dedup_incremental(
     k: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental fuzzy dedup: a NEW batch (rows where the ``is_new``
     Column is true) deduped against the EXISTING corpus (the rest) and
     within itself, without ever comparing existing docs to each other —
     the shape a crawl pipeline runs per snapshot against its index.
+    Pass ``corpus_buckets`` (persisted from the prior run) to skip
+    re-signing the corpus — see ``lsh_candidate_pairs_incremental``.
 
     Candidate generation joins only the new batch's LSH buckets against
     the full bucket table, so candidate cost is O(new-batch buckets),
@@ -540,7 +559,7 @@ def minhash_dedup_incremental(
     )
     new_ids = ids.filter("is_new").select("doc_id")
     cand = lsh_candidate_pairs_incremental(
-        ids, new_ids, "doc_id", "text", k, bands, n
+        ids, new_ids, "doc_id", "text", k, bands, n, corpus_buckets
     ).localCheckpoint(eager=True)
     edges = verified_jaccard_pairs(ids, cand, "doc_id", "text", n, threshold)
     # node set for labeling: derived from the CHECKPOINTED candidate

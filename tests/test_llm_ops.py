@@ -482,3 +482,35 @@ def test_containment_catches_short_inside_long(spark):
     ]
     jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == [], "jaccard should NOT flag the containment pair"
+
+
+def test_incremental_dedup_stored_buckets_identical(spark):
+    """The batch-proportional path (persisted corpus buckets) must give
+    bit-identical output to the self-contained path that re-signs the
+    whole corpus."""
+    from aggregator_spark.operators.dedup import (
+        lsh_buckets,
+        minhash_dedup_incremental,
+    )
+    from aggregator_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, "/root/testdata/sf0.001", "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    corpus_buckets = lsh_buckets(
+        docs.filter(~is_new).select("doc_id", "text")
+    )
+
+    def key(rows):
+        return sorted(
+            (r["doc_id"], r["component"], r["matched_existing"], r["keep"])
+            for r in rows
+        )
+
+    plain = key(minhash_dedup_incremental(docs, is_new).collect())
+    stored = key(
+        minhash_dedup_incremental(
+            docs, is_new, corpus_buckets=corpus_buckets
+        ).collect()
+    )
+    assert plain == stored
+    assert plain, "empty result would vacuously pass"
