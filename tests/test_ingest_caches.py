@@ -136,3 +136,25 @@ def test_materialize_replaces_unfinished_generation(spark, tmp_path, monkeypatch
     )
     assert df.count() == 5
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_minhash_bucket_cache_invalidates_and_matches_fresh(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.dedup import lsh_buckets
+    from aggregator_spark.schemas import load_testdata
+    from aggregator_spark.sources.minhash_index import cached_minhash_buckets
+
+    sf = _stage(tmp_path, ["documents"])
+    first = _cache_dir_of(cached_minhash_buckets(spark, sf))
+    again = _cache_dir_of(cached_minhash_buckets(spark, sf))
+    assert first == again
+    os.utime(os.path.join(sf, "documents.parquet"))
+    rebuilt = _cache_dir_of(cached_minhash_buckets(spark, sf))
+    assert os.path.dirname(rebuilt) != os.path.dirname(first)
+
+    # cache contents are bit-identical to a fresh computation
+    cached = cached_minhash_buckets(spark, sf)
+    fresh = lsh_buckets(load_testdata(spark, sf, "documents"))
+    assert cached.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(cached).count() == 0
