@@ -489,6 +489,7 @@ def lsh_candidate_pairs_incremental(
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
     corpus_buckets: DataFrame | None = None,
+    new_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs touching the NEW batch only: the batch's LSH
     buckets (semi-joined down to ``new_ids``) joined against the full
@@ -499,14 +500,17 @@ def lsh_candidate_pairs_incremental(
     (doc_id, band, bucket) table for the EXISTING docs), signatures are
     computed for the batch only — the per-snapshot cost a production
     index makes batch-proportional; without it the whole corpus is
-    re-signed (the self-contained form the catalog query uses)."""
+    re-signed (the self-contained form). ``new_docs`` (the batch rows,
+    when the caller already has them as a pushed filter) skips the
+    docs⋈new_ids semi join in that branch."""
     if corpus_buckets is None:
         buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
         new_buckets = buckets.join(new_ids, "doc_id", "semi")
     else:
-        new_docs = docs.join(
-            new_ids.select(F.col("doc_id").alias(id_col)), id_col, "semi"
-        )
+        if new_docs is None:
+            new_docs = docs.join(
+                new_ids.select(F.col("doc_id").alias(id_col)), id_col, "semi"
+            )
         new_buckets = lsh_buckets(new_docs, id_col, text_col, k, bands, n)
         buckets = corpus_buckets.select("doc_id", "band", "bucket").union(
             new_buckets
@@ -564,7 +568,8 @@ def minhash_dedup_incremental(
     )
     new_ids = ids.filter("is_new").select("doc_id")
     cand = lsh_candidate_pairs_incremental(
-        ids, new_ids, "doc_id", "text", k, bands, n, corpus_buckets
+        ids, new_ids, "doc_id", "text", k, bands, n, corpus_buckets,
+        new_docs=ids.filter("is_new"),
     ).localCheckpoint(eager=True)
     edges = verified_jaccard_pairs(ids, cand, "doc_id", "text", n, threshold)
     # node set for labeling: derived from the CHECKPOINTED candidate
