@@ -102,3 +102,42 @@ ANALYTICS9_QUERIES = {
     "regr_value_by_type": q_regr_value_by_type,
     "heavy_bigrams": q_heavy_bigrams,
 }
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit as one plan (operators/dq.py): key
+    uniqueness, null checks, range checks, and the lake-side analogue
+    of the reference's FK constraints (main.py:499-527) as anti-join
+    orphan counts — a mix of passing and deliberately-failing checks so
+    the report demonstrably counts."""
+    from aggregator_spark.operators import dq
+
+    events = load_testdata(spark, sf_dir, "events")
+    orders = load_testdata(spark, sf_dir, "orders")
+    customer = load_testdata(spark, sf_dir, "customer")
+    lineitem = load_testdata(spark, sf_dir, "lineitem")
+    return dq.dq_report(
+        [
+            dq.check_unique(events, ["event_id"], "events_event_id_unique"),
+            dq.check_not_null(
+                events, "user_id", "events_user_id_not_null"
+            ),
+            dq.check_in_range(
+                events, "value", 0.0, 100.0, "events_value_in_0_100"
+            ),
+            dq.check_unique(
+                customer, ["c_custkey"], "customer_custkey_unique"
+            ),
+            dq.check_referential(
+                orders, "o_custkey", customer, "c_custkey",
+                "orders_custkey_fk",
+            ),
+            dq.check_referential(
+                lineitem, "l_orderkey", orders, "o_orderkey",
+                "lineitem_orderkey_fk",
+            ),
+        ]
+    )
+
+
+ANALYTICS9_QUERIES["dq_report"] = q_dq_report

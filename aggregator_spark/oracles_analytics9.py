@@ -57,3 +57,40 @@ ANALYTICS9_ORACLES = {
         ORDER BY token
     """,
 }
+
+ANALYTICS9_ORACLES["dq_report"] = """
+    SELECT * FROM (
+      SELECT 'events_event_id_unique' AS "check",
+             CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0)
+                  AS BIGINT) AS failed
+      FROM (SELECT event_id, COUNT(*) AS n FROM events GROUP BY event_id)
+      UNION ALL
+      SELECT 'events_user_id_not_null',
+             CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'events_value_in_0_100',
+             CAST(COUNT(CASE WHEN value < 0 OR value > 100 THEN 1 END)
+                  AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'customer_custkey_unique',
+             CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0)
+                  AS BIGINT)
+      FROM (SELECT c_custkey, COUNT(*) AS n FROM customer
+            GROUP BY c_custkey)
+      UNION ALL
+      SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT)
+      FROM orders o
+      WHERE o.o_custkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk', CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    )
+    ORDER BY "check"
+"""

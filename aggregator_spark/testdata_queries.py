@@ -242,7 +242,6 @@ DRIVER_WINDOW = [
     "tpch_q4_semi",
     "tpch_q7_nation_pairs",
     "tpch_q10_returns",
-    "tpch_q14_promo",
     # round-7 additions (never driver-checked -> must sit in the
     # window): SemDeDup semantic dedup, the end-to-end verified fuzzy
     # dedup pipeline, temperature-weighted corpus mixing, duplicated-
@@ -265,6 +264,9 @@ DRIVER_WINDOW = [
     "heavy_bigrams",
     "regr_value_by_type",
     "ngram_containment_pairs",
+    # data-quality audit report (operators/dq.py) — displaced
+    # tpch_q14_promo (r1-green, re-verified) to the r7 pool
+    "dq_report",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
