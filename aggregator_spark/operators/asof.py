@@ -290,6 +290,89 @@ def asof_join_auto(
     return asof_join(left, right, **kw)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str],
+    lower_seconds: float,
+    upper_seconds: float,
+    bucket_seconds: float | None = None,
+) -> DataFrame:
+    """Bounded time-range (interval) join: every (left, right) pair
+    with the same ``on`` key and
+
+        left_time + lower_seconds  <=  right_time  <  left_time + upper_seconds
+
+    (half-open, microsecond precision). The third member of the time-
+    join family: as-of takes the single newest match, band joins a
+    static value range, this takes ALL matches inside a sliding window
+    — the "events within the preceding day" feature-engineering shape.
+
+    Scale design — the classic bucketed range join (what a plain
+    SQL inequality join would execute as a per-key cross product):
+    each right row lands in exactly ONE time bucket of width
+    ``bucket_seconds`` (default: the window width, so a probe touches
+    at most 2 buckets); each left row is replicated to the handful of
+    buckets its window overlaps. The join is then a pure equi-join on
+    (key, bucket) with the exact range predicate evaluated inside it —
+    shuffle keyed by (key, bucket), per-pair output produced exactly
+    once (right-bucket uniqueness), no nested-loop anywhere. Probe-side
+    replication factor = ceil(window/bucket)+1, a constant chosen by
+    the caller, independent of data volume.
+
+    Returns left's columns plus ``right_cols`` prefixed ``r_``.
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    if bucket_seconds is None:
+        bucket_seconds = upper_seconds - lower_seconds
+    b_us = int(bucket_seconds * 1_000_000)
+    lo_us = int(lower_seconds * 1_000_000)
+    up_us = int(upper_seconds * 1_000_000)
+    if b_us <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    lcols = list(left.columns)
+    rcols = list(right_cols)
+    lt = F.unix_micros(F.col(left_time).cast("timestamp"))
+    rt = F.unix_micros(F.col(right_time).cast("timestamp"))
+
+    probe = left.select(
+        F.col(on).alias("__lk"),
+        lt.alias("__lt"),
+        F.struct(*lcols).alias("__l"),
+    ).withColumn(
+        "__lb",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__lt") + F.lit(lo_us)) / F.lit(b_us)),
+                F.floor((F.col("__lt") + F.lit(up_us)) / F.lit(b_us)),
+            )
+        ),
+    )
+    build = right.select(
+        F.col(on).alias("__rk"),
+        rt.alias("__rt"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__r"),
+    ).withColumn("__rb", F.floor(F.col("__rt") / F.lit(b_us)))
+
+    joined = probe.join(
+        build,
+        (F.col("__lk") == F.col("__rk"))
+        & (F.col("__lb") == F.col("__rb"))
+        & (F.col("__rt") >= F.col("__lt") + F.lit(lo_us))
+        & (F.col("__rt") < F.col("__lt") + F.lit(up_us)),
+        "inner",
+    )
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__r.{c}").alias(f"r_{c}") for c in rcols],
+    )
+
+
 def band_join(
     fact: DataFrame,
     value_col: str,

@@ -195,6 +195,82 @@ def unigram_logprob(
     )
 
 
+BIGRAM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAMBDA,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    next step up from ``unigram_logprob`` in cheap LM-based quality
+    filtering (the KenLM-perplexity-filter shape, cf. CCNet):
+
+        P(w2 | w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * c(w2)/N
+
+    where c(w1 w2) is the corpus bigram count, c(w1 ·) the count of
+    bigrams starting with w1 (so the conditional sums to exactly 1),
+    c(w2)/N the corpus unigram distribution, and lam defaults to 0.75
+    (exactly representable in binary — the interpolation itself adds
+    no cross-engine rounding). Returns (doc_id, n_bigrams, nll) with
+    nll = round(avg(-ln P), 6) over the document's bigram occurrences;
+    docs with fewer than 2 tokens have no bigrams and are absent
+    (same totality contract as unigram_logprob).
+
+    Scale shape: identical to the unigram operator's — bigram
+    construction is a JVM higher-order transform (no Python), the
+    model tables (bigram counts, first-word totals, unigram counts)
+    join back on their natural keys as plain shuffle joins
+    (deliberately NOT broadcast: real LM vocabularies don't fit), and
+    only the single-row corpus total broadcasts.
+    """
+    from aggregator_spark.operators.text import normalized_text
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalized_text(F.col(text_col)), " ").alias("ts"),
+    )
+    # unigram table from ALL tokens (the same distribution
+    # unigram_logprob scores against)
+    uni_occ = toks.select(F.explode("ts").alias("w2"))
+    uni = uni_occ.groupBy("w2").agg(F.count(F.lit(1)).alias("c_w2"))
+    total = uni.agg(F.sum("c_w2").alias("n_total"))
+
+    occ = toks.filter(F.size("ts") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at("ts", i).alias("w1"),
+                    F.element_at("ts", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+
+    big = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    first = big.groupBy("w1").agg(F.sum("c_big").alias("c_w1"))
+
+    p = (
+        F.lit(float(lam)) * (F.col("c_big") / F.col("c_w1"))
+        + F.lit(1.0 - float(lam)) * (F.col("c_w2") / F.col("n_total"))
+    )
+    return (
+        occ.join(big, ["w1", "w2"])
+        .join(first, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("nll"),
+        )
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     alpha: float = 0.5,

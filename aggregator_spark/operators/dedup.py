@@ -683,3 +683,96 @@ def dup_span_stats(
             .alias("dup_frac"),
         )
     )
+
+
+def dedup_span_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the transform counterpart of
+    ``dup_span_stats`` (Lee et al. 2022 remove, not just measure,
+    repeated substrings): every word n-gram occurrence that also
+    appears elsewhere in the corpus is deleted EXCEPT the globally
+    first occurrence (minimal (doc_id, position) — deterministic,
+    order-free), and each document is rebuilt from its surviving token
+    positions. A token survives iff no removed span covers it, so
+    overlapping duplicated spans merge into one excised region, the
+    way boilerplate headers/footers actually dedup.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text) for EVERY input
+    document — clean_text is the canonical (lowercased, single-space)
+    token form, empty when the whole document was duplicated spans.
+
+    Scale shape: grams shuffle as (8-byte xxhash64, position) pairs —
+    never the ~100-byte gram strings (a collision could excise a real
+    span; negligible odds, and the accepted trade of hash-based
+    substring dedup at corpus scale). The keep/kill decision per gram
+    is one aggregation (count + min position-pair) joined back on the
+    hash key; covered positions explode from flagged starts as ints
+    (×n replication of a *subset* — only duplicated positions);
+    reconstruction groups (position, token) pairs per doc — the one
+    place raw text shuffles, unavoidable for a rewrite, keyed by
+    doc_id and linear in output size.
+    """
+    from aggregator_spark.operators.text import word_ngrams, word_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
+    )
+    grams = (
+        toks.filter(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("ts"), n)).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.xxhash64("gram").alias("gh"),
+        )
+    )
+    stats = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    flagged = grams.join(stats, "gh").filter(
+        (F.col("df") >= 2)
+        & ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    covered = flagged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokpos = toks.select(
+        "doc_id", F.posexplode("ts").alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select("doc_id", F.size("ts").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -231,10 +231,6 @@ DRIVER_WINDOW = [
     "session_window_native",
     # stability spread: every remaining entry whose only driver row is
     # from round 1
-    "tpch_q5",
-    "tpch_q6",
-    "unpivot_daily",
-    "rollup_orders",
     "set_ops_users",
     "pivot_daily",
     "distinct_users_daily",
@@ -267,6 +263,15 @@ DRIVER_WINDOW = [
     # data-quality audit report (operators/dq.py) — displaced
     # tpch_q14_promo (r1-green, re-verified) to the r7 pool
     "dq_report",
+    # catalog batch 10 (never driver-checked): interval join,
+    # expanding z-score outliers, bigram LM scoring, duplicated-span
+    # removal rewrite. Displaced tpch_q5 / tpch_q6 / unpivot_daily /
+    # rollup_orders (r1-green, re-verified in this round's sweep) to
+    # the r7 pool.
+    "clicks_before_purchase",
+    "zscore_outliers",
+    "bigram_logprob",
+    "dedup_span_rewrite",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
@@ -292,6 +297,7 @@ def queries():
     from aggregator_spark.analytics_queries7 import ANALYTICS7_QUERIES
     from aggregator_spark.analytics_queries8 import ANALYTICS8_QUERIES
     from aggregator_spark.analytics_queries9 import ANALYTICS9_QUERIES
+    from aggregator_spark.analytics_queries10 import ANALYTICS10_QUERIES
     from aggregator_spark.graph_queries import GRAPH_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
@@ -315,6 +321,7 @@ def queries():
     qs.update(ANALYTICS7_QUERIES)
     qs.update(ANALYTICS8_QUERIES)
     qs.update(ANALYTICS9_QUERIES)
+    qs.update(ANALYTICS10_QUERIES)
     qs.update(GRAPH_QUERIES)
     qs.update(LLM_QUERIES)
     ordered = {name: qs[name] for name in DRIVER_WINDOW}
