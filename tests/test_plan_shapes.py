@@ -371,3 +371,46 @@ def test_regr_single_aggregate(plans):
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     # exactly one exchange pair for the groupBy (plus AQE reads)
     assert p.count("+- Exchange") <= 2
+
+
+def test_interval_join_is_equi_not_nested_loop(plans):
+    """The bounded time-range join compiles to an EQUI join on
+    (key, time bucket) with the range predicate inside it — never a
+    nested-loop/cartesian per-key cross product (what a plain
+    inequality join would plan as). The probe-side bucket explode is
+    the Generate."""
+    p = plans("clicks_before_purchase")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "Generate" in p  # probe replicated to its ≤2 buckets
+
+
+def test_zscore_single_window_exchange(plans):
+    """Expanding moments are ONE hash exchange on the key feeding one
+    Window — no self-join, no second shuffle of raw events."""
+    p = plans("zscore_outliers")
+    assert "Window" in p
+    assert "Join" not in p
+    assert p.count("+- Exchange") == 1
+
+
+def test_span_rewrite_hash_joins_only(plans):
+    """Span removal: gram-hash equi joins + a LeftAnti position join +
+    the per-doc rebuild aggregate (ObjectHashAggregate carries the
+    collect_list) — no cartesian anywhere, raw text shuffles only for
+    the rebuild."""
+    p = plans("dedup_span_rewrite")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+    assert "LeftAnti" in p
+    assert "ObjectHashAggregate" in p
+
+
+def test_bigram_logprob_only_scalar_bnlj(plans):
+    """The LM joins are hash joins on their natural keys; the single
+    BroadcastNestedLoopJoin is the 1-row corpus total (same shape as
+    unigram_logprob) — never a vocab-sized nested loop."""
+    p = plans("bigram_logprob")
+    assert "CartesianProduct" not in p
+    # count tree nodes, not the detail-section repeats
+    assert p.count("+- BroadcastNestedLoopJoin") == 1
