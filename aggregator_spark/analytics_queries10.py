@@ -86,9 +86,68 @@ def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_span_rewrite(docs)
 
 
+# fixed probe queries for the BM25 entry (terms from the corpus vocab)
+BM25_QUERIES = [
+    (0, "spark join hash"),
+    (1, "window merge sort"),
+    (2, "stream batch filter"),
+]
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch round trip (operators/sketches.py): build the
+    depth×width counter table over event user_ids, point-estimate
+    every distinct user, compare to the exact count. The md5 hash
+    family makes the whole sketch deterministic — unlike the HLL
+    entries this one HASH-MATCHES its oracle (and the CMS guarantee
+    shows up as overcount >= 0 on every row)."""
+    from aggregator_spark.operators.sketches import cms_build, cms_estimate
+
+    events = load_testdata(spark, sf_dir, "events")
+    counters = cms_build(events, "user_id")
+    probes = events.select("user_id").where(
+        F.col("user_id").isNotNull()
+    ).distinct()
+    est = cms_estimate(counters, probes, "user_id")
+    true = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    return est.join(true, "user_id").select(
+        "user_id",
+        "est_cnt",
+        "true_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 per probe query over the documents table
+    (operators/retrieval.py) — retrieval-based data selection /
+    decontamination-by-search."""
+    from aggregator_spark.operators.retrieval import bm25_search
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return bm25_search(docs, BM25_QUERIES)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English sub-corpus
+    (operators/corpus.py:dsir_weights) — hashed-unigram importance
+    sampling for data selection."""
+    from aggregator_spark.operators.corpus import dsir_weights
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return dsir_weights(docs, target_filter=F.col("lang") == "en")
+
+
 ANALYTICS10_QUERIES = {
     "clicks_before_purchase": q_clicks_before_purchase,
     "zscore_outliers": q_zscore_outliers,
     "bigram_logprob": q_bigram_logprob,
     "dedup_span_rewrite": q_dedup_span_rewrite,
+    "cms_user_counts": q_cms_user_counts,
+    "bm25_search": q_bm25_search,
+    "dsir_weights": q_dsir_weights,
 }

@@ -271,6 +271,98 @@ def bigram_logprob(
     )
 
 
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) weights under a hashed-unigram feature model: score every
+    document by how target-like its token distribution is,
+
+        logw(d) = sum_{token in d} ln p_target(h(token))
+                                 - ln p_raw(h(token))
+
+    where h buckets tokens by md5 mod n_buckets (an explicit,
+    engine-reproducible hash — collisions ARE the feature model, the
+    paper's "hashed n-gram" trick that caps the model at n_buckets
+    regardless of vocabulary), and both distributions are
+    Laplace-smoothed bucket frequencies: (c_b + 1)/(total + B). The
+    raw distribution comes from the whole corpus, the target from the
+    rows matching ``target_filter``. Resampling keeps documents with
+    the highest weights — rows are returned for ALL docs so the caller
+    picks the threshold/temperature.
+
+    Returns (doc_id, n_tokens, logw) with logw rounded to 6 decimals
+    (docs with zero tokens get logw = 0.0).
+
+    Scale shape: two fixed-size bucket aggregates (n_buckets rows
+    each, map-side partial) joined into ONE broadcast ratio table; the
+    corpus token stream joins it on the bucket key map-side and
+    collapses per doc — the corpus never shuffles raw text, and model
+    size is n_buckets forever.
+    """
+    from aggregator_spark.operators.text import normalized_text
+
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.alias("is_target"),
+        F.explode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "").select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).cast("int").alias("bucket"),
+    )
+    model = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.count(F.when(F.col("is_target"), 1)).alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    ratios = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + F.lit(1)).cast("double")
+                / (F.col("t_tgt") + F.lit(n_buckets)).cast("double")
+            )
+            - F.log(
+                (F.col("c_raw") + F.lit(1)).cast("double")
+                / (F.col("t_raw") + F.lit(n_buckets)).cast("double")
+            )
+        ).alias("lr"),
+    )
+    weights = (
+        occ.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("logw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(weights, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logw", F.lit(0.0)).alias("logw"),
+        )
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     alpha: float = 0.5,

@@ -67,3 +67,103 @@ def monthly_distinct_users(events: DataFrame) -> DataFrame:
         daily, F.date_trunc("month", "day").cast("date"), "month"
     )
     return monthly.select("month", "est_users")
+
+
+# ----------------------------------------------------------- Count-Min
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_bucket(row: int, key: F.Column, width: int) -> F.Column:
+    """Row-salted md5 bucket: first 8 hex digits of md5("r:key") mod
+    width — an explicit, engine-reproducible hash family (NOT the
+    engine's internal hash), so the sketch contents are deterministic
+    and the DuckDB oracle can rebuild them bit-for-bit."""
+    h8 = F.substring(
+        F.md5(
+            F.concat(F.lit(f"{row}:"), key.cast("string")).cast("binary")
+        ),
+        1,
+        8,
+    )
+    return (F.conv(h8, 16, 10).cast("long") % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-Min sketch of the key column's frequency distribution as
+    a (row, bucket, cnt) counter table — depth × width rows TOTAL,
+    regardless of key cardinality.
+
+    This is the mergeable frequency twin of the HLL layer above: the
+    counter table is a plain additive aggregate, so per-partition /
+    per-day sketches merge by summing counters (map-side partial agg
+    does it for free), and the build is ONE pass + one depth×width
+    shuffle. Point estimates are biased UP only (est >= true count,
+    the classic CMS guarantee: each row's counter sums every colliding
+    key; the min over rows is the tightest).
+
+    Unlike the HLL estimates, the whole structure is deterministic
+    (md5 hash family) — estimates hash-match across engines and runs.
+    """
+    key = F.col(key_col)
+    base = df.filter(key.isNotNull())
+    rows = [
+        base.select(
+            F.lit(r).alias("row"),
+            _cms_bucket(r, key, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    unioned = rows[0]
+    for r in rows[1:]:
+        unioned = unioned.unionByName(r)
+    return unioned.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate every probe key against a counter table from
+    ``cms_build``: est = min over rows of the key's counter. Probes
+    replicate ×depth and equi-join the depth×width counter table —
+    broadcast-sized by construction. Returns (key_col, est_cnt)."""
+    key = F.col(key_col)
+    expanded = probes.filter(key.isNotNull()).select(
+        key.alias(key_col),
+        F.explode(
+            F.array(*[F.lit(r) for r in range(depth)])
+        ).alias("row"),
+    )
+    expanded = expanded.withColumn(
+        "bucket", _cms_bucket_dyn(F.col("row"), F.col(key_col), width)
+    )
+    return (
+        expanded.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+    )
+
+
+def _cms_bucket_dyn(row: F.Column, key: F.Column, width: int) -> F.Column:
+    """_cms_bucket with the row index as a column (probe-side form)."""
+    h8 = F.substring(
+        F.md5(
+            F.concat(row.cast("string"), F.lit(":"), key.cast("string"))
+            .cast("binary")
+        ),
+        1,
+        8,
+    )
+    return (F.conv(h8, 16, 10).cast("long") % width).cast("int")

@@ -12,10 +12,15 @@ dup_span_stats)."""
 
 from __future__ import annotations
 
-from aggregator_spark.analytics_queries10 import CLICK_WINDOW_SECONDS
+from aggregator_spark.analytics_queries10 import (
+    BM25_QUERIES,
+    CLICK_WINDOW_SECONDS,
+)
 from aggregator_spark.operators.anomaly import MIN_PRIOR, SIGMAS
-from aggregator_spark.operators.corpus import BIGRAM_LAMBDA
-from aggregator_spark.oracles_llm import NORM
+from aggregator_spark.operators.corpus import BIGRAM_LAMBDA, DSIR_BUCKETS
+from aggregator_spark.operators.retrieval import BM25_B, BM25_K1, TOP_K
+from aggregator_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+from aggregator_spark.oracles_llm import NORM, _hex8_to_bigint
 
 _WORD_TOKS = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
@@ -129,3 +134,103 @@ ANALYTICS10_ORACLES = {
         FROM toks x LEFT JOIN rebuilt r ON x.doc_id = r.doc_id
     """,
 }
+
+_CMS_ROWS = ", ".join(f"({r})" for r in range(CMS_DEPTH))
+_CMS_BUCKET = (
+    _hex8_to_bigint(
+        "md5(CAST(row_ AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"
+    )
+    + f" % {CMS_WIDTH}"
+)
+
+ANALYTICS10_ORACLES["cms_user_counts"] = f"""
+    WITH rows_ AS (SELECT * FROM (VALUES {_CMS_ROWS}) AS r(row_)),
+    occ AS (
+      SELECT row_, {_CMS_BUCKET} AS bucket
+      FROM events CROSS JOIN rows_ WHERE user_id IS NOT NULL),
+    counters AS (
+      SELECT row_, bucket, COUNT(*) AS cnt FROM occ GROUP BY row_, bucket),
+    probe AS (
+      SELECT user_id, row_, {_CMS_BUCKET} AS bucket
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+           CROSS JOIN rows_),
+    est AS (
+      SELECT p.user_id, MIN(c.cnt) AS est_cnt
+      FROM probe p JOIN counters c
+        ON p.row_ = c.row_ AND p.bucket = c.bucket
+      GROUP BY p.user_id),
+    tru AS (
+      SELECT user_id, COUNT(*) AS true_cnt FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+    FROM est JOIN tru USING (user_id)
+"""
+
+_BM25_QTERMS = ", ".join(
+    f"({qid}, '{term}')"
+    for qid, qtext in BM25_QUERIES
+    for term in dict.fromkeys(qtext.lower().split())
+)
+_WORD_TOKS_D = _WORD_TOKS  # documents word tokenizer (shared above)
+
+ANALYTICS10_ORACLES["bm25_search"] = f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORD_TOKS_D} AS ts FROM documents),
+    tf AS (
+      SELECT doc_id, len(ts) AS dl, t AS term, COUNT(*) AS tf
+      FROM toks, UNNEST(ts) AS u(t)
+      GROUP BY doc_id, len(ts), t),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (SELECT COUNT(*) AS n_docs, SUM(len(ts)) / COUNT(*) AS avgdl
+           FROM toks),
+    q(query_id, term) AS (VALUES {_BM25_QTERMS}),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * {BM25_K1 + 1.0})
+               / (tf + {BM25_K1} * ({1.0 - BM25_B}
+                                    + {BM25_B} * dl / avgdl)) AS part
+      FROM tf JOIN q USING (term) JOIN dfq USING (term) CROSS JOIN sc),
+    scored AS (
+      SELECT query_id, doc_id, round(SUM(part), 6) AS score
+      FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, CAST(rn AS INT) AS rank, score FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    WHERE rn <= {TOP_K}
+"""
+
+_DSIR_BUCKET = _hex8_to_bigint("md5(token)") + f" % {DSIR_BUCKETS}"
+
+ANALYTICS10_ORACLES["dsir_weights"] = f"""
+    WITH occ AS (
+      SELECT doc_id, (lang = 'en') AS is_target,
+             {_DSIR_BUCKET} AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split({NORM}, ' ')) AS token
+            FROM documents)
+      WHERE token <> ''),
+    model AS (
+      SELECT bucket, COUNT(*) AS c_raw,
+             COUNT(CASE WHEN is_target THEN 1 END) AS c_tgt
+      FROM occ GROUP BY bucket),
+    tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM model),
+    ratios AS (
+      SELECT bucket,
+             ln(CAST(c_tgt + 1 AS DOUBLE)
+                / CAST(t_tgt + {DSIR_BUCKETS} AS DOUBLE))
+           - ln(CAST(c_raw + 1 AS DOUBLE)
+                / CAST(t_raw + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+      FROM model CROSS JOIN tot),
+    w AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             round(SUM(lr), 6) AS logw
+      FROM occ JOIN ratios USING (bucket) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+           COALESCE(w.logw, 0.0) AS logw
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""

@@ -231,9 +231,6 @@ DRIVER_WINDOW = [
     "session_window_native",
     # stability spread: every remaining entry whose only driver row is
     # from round 1
-    "set_ops_users",
-    "pivot_daily",
-    "distinct_users_daily",
     "salted_type_counts",
     "tpch_q4_semi",
     "tpch_q7_nation_pairs",
@@ -272,6 +269,13 @@ DRIVER_WINDOW = [
     "zscore_outliers",
     "bigram_logprob",
     "dedup_span_rewrite",
+    # second wave of batch 10 (never driver-checked): deterministic
+    # Count-Min sketch round trip, BM25 retrieval top-k, DSIR
+    # importance weights. Displaced set_ops_users / pivot_daily /
+    # distinct_users_daily (r1-green, re-verified) to the r7 pool.
+    "cms_user_counts",
+    "bm25_search",
+    "dsir_weights",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

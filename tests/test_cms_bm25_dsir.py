@@ -1,0 +1,99 @@
+"""Semantics of the deterministic Count-Min sketch (guarantee +
+mergeability), BM25 ranking, and DSIR importance weights. Oracle
+hash-matches run in test_entry_oracle; these pin the properties the
+hash can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aggregator_spark.operators.corpus import dsir_weights
+from aggregator_spark.operators.retrieval import bm25_search
+from aggregator_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cms_never_underestimates_and_collides(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    counters = cms_build(events, "user_id", width=16)  # force collisions
+    probes = events.select("user_id").where(
+        F.col("user_id").isNotNull()
+    ).distinct()
+    est = cms_estimate(counters, probes, "user_id", width=16)
+    true = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    rows = est.join(true, "user_id").collect()
+    assert rows
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)  # CMS bound
+    # width 16 over ~dozens of keys MUST collide somewhere
+    assert any(r["est_cnt"] > r["true_cnt"] for r in rows)
+
+
+def test_cms_counters_merge_exactly(spark):
+    """Summing per-partition counter tables == building over the union
+    — the mergeable-sketch contract (what per-day pre-aggregation
+    relies on)."""
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_build(half_a, "user_id")
+        .unionByName(cms_build(half_b, "user_id"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = cms_build(events, "user_id")
+    a = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["row"], r["bucket"]): r["cnt"] for r in full.collect()}
+    assert a == b
+
+
+def test_bm25_ranks_matching_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),  # high tf for both terms
+            (2, "spark filter scan merge"),  # one term
+            (3, "window sort batch line"),  # no term
+            (4, "spark join"),  # both terms, shortest doc
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25_search(docs, [(0, "spark join")], top_k=3).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in got}
+    # docs without any query term never appear
+    assert 3 not in {r["doc_id"] for r in got}
+    # both-term docs outrank the single-term doc
+    assert set(by_rank[k] for k in (1, 2)) == {1, 4}
+    assert by_rank[3] == 2
+    # scores strictly ordered by rank
+    scores = [r["score"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target docs speak vocab A, others vocab B; a fresh A-speaking
+    # doc must weigh higher than a B-speaking one
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta gamma delta alpha beta", "en"))
+    for i in range(10, 20):
+        rows.append((i, "uno dos tres cuatro uno dos", "es"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_weights(
+            docs, target_filter=F.col("lang") == "en"
+        ).collect()
+    }
+    assert got[0] > got[15]  # target-like beats non-target-like
+    # weights are per-token sums: every en doc identical, every es doc
+    # identical (same token multiset)
+    assert len({got[i] for i in range(10)}) == 1
+    assert len({got[i] for i in range(10, 20)}) == 1
