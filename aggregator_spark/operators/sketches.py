@@ -75,19 +75,26 @@ CMS_DEPTH = 4
 CMS_WIDTH = 64
 
 
-def _cms_bucket(row: int, key: F.Column, width: int) -> F.Column:
+def _cms_bucket(row, key, width: int):
     """Row-salted md5 bucket: first 8 hex digits of md5("r:key") mod
     width — an explicit, engine-reproducible hash family (NOT the
     engine's internal hash), so the sketch contents are deterministic
-    and the DuckDB oracle can rebuild them bit-for-bit."""
+    and the DuckDB oracle can rebuild them bit-for-bit. ``row`` is a
+    Column (build side explodes the row index; probe side carries it
+    as data)."""
     h8 = F.substring(
         F.md5(
-            F.concat(F.lit(f"{row}:"), key.cast("string")).cast("binary")
+            F.concat(row.cast("string"), F.lit(":"), key.cast("string"))
+            .cast("binary")
         ),
         1,
         8,
     )
     return (F.conv(h8, 16, 10).cast("long") % width).cast("int")
+
+
+def _rows_array(depth: int):
+    return F.explode(F.array(*[F.lit(r) for r in range(depth)]))
 
 
 def cms_build(
@@ -103,28 +110,25 @@ def cms_build(
     This is the mergeable frequency twin of the HLL layer above: the
     counter table is a plain additive aggregate, so per-partition /
     per-day sketches merge by summing counters (map-side partial agg
-    does it for free), and the build is ONE pass + one depth×width
-    shuffle. Point estimates are biased UP only (est >= true count,
-    the classic CMS guarantee: each row's counter sums every colliding
-    key; the min over rows is the tightest).
+    does it for free), and the build is ONE scan (the depth
+    replication is an in-row explode, not repeated scans) + one
+    depth×width shuffle. Point estimates are biased UP only (est >=
+    true count, the classic CMS guarantee: each row's counter sums
+    every colliding key; the min over rows is the tightest).
 
     Unlike the HLL estimates, the whole structure is deterministic
     (md5 hash family) — estimates hash-match across engines and runs.
     """
     key = F.col(key_col)
-    base = df.filter(key.isNotNull())
-    rows = [
-        base.select(
-            F.lit(r).alias("row"),
-            _cms_bucket(r, key, width).alias("bucket"),
+    return (
+        df.filter(key.isNotNull())
+        .select(key.alias("__k"))
+        .select(_rows_array(depth).alias("row"), F.col("__k"))
+        .select(
+            "row", _cms_bucket(F.col("row"), F.col("__k"), width).alias("bucket")
         )
-        for r in range(depth)
-    ]
-    unioned = rows[0]
-    for r in rows[1:]:
-        unioned = unioned.unionByName(r)
-    return unioned.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -141,29 +145,13 @@ def cms_estimate(
     broadcast-sized by construction. Returns (key_col, est_cnt)."""
     key = F.col(key_col)
     expanded = probes.filter(key.isNotNull()).select(
-        key.alias(key_col),
-        F.explode(
-            F.array(*[F.lit(r) for r in range(depth)])
-        ).alias("row"),
+        key.alias(key_col), _rows_array(depth).alias("row")
     )
     expanded = expanded.withColumn(
-        "bucket", _cms_bucket_dyn(F.col("row"), F.col(key_col), width)
+        "bucket", _cms_bucket(F.col("row"), F.col(key_col), width)
     )
     return (
         expanded.join(F.broadcast(counters), ["row", "bucket"])
         .groupBy(key_col)
         .agg(F.min("cnt").cast("long").alias("est_cnt"))
     )
-
-
-def _cms_bucket_dyn(row: F.Column, key: F.Column, width: int) -> F.Column:
-    """_cms_bucket with the row index as a column (probe-side form)."""
-    h8 = F.substring(
-        F.md5(
-            F.concat(row.cast("string"), F.lit(":"), key.cast("string"))
-            .cast("binary")
-        ),
-        1,
-        8,
-    )
-    return (F.conv(h8, 16, 10).cast("long") % width).cast("int")

@@ -414,3 +414,34 @@ def test_bigram_logprob_only_scalar_bnlj(plans):
     assert "CartesianProduct" not in p
     # count tree nodes, not the detail-section repeats
     assert p.count("+- BroadcastNestedLoopJoin") == 1
+
+
+def test_cms_build_single_scan(plans):
+    """The depth replication is an in-row explode (Generate), not a
+    union of per-row scans — exactly two events scans total (counter
+    build + true counts; the probe keys reuse the distinct)."""
+    p = plans("cms_user_counts")
+    assert "Union" not in p
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_topk_is_group_limit(plans):
+    """The per-query top-k cut compiles to WindowGroupLimit (rank
+    pushdown) — candidates are pruned before the final window, never a
+    global sort of all scored docs."""
+    p = plans("bm25_search")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    # the only nested loop is the broadcast 1-row scalars
+    assert p.count("+- BroadcastNestedLoopJoin") == 1
+
+
+def test_dsir_model_broadcast(plans):
+    """The n_buckets-sized ratio model broadcasts back over the token
+    stream (corpus text never shuffles); the 1-row totals are the only
+    nested loop."""
+    p = plans("dsir_weights")
+    assert "CartesianProduct" not in p
+    assert p.count("+- BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in p
