@@ -125,11 +125,14 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-5 per probe query over the documents table
     (operators/retrieval.py) — retrieval-based data selection /
-    decontamination-by-search."""
-    from aggregator_spark.operators.retrieval import bm25_search
+    decontamination-by-search. Served from the ingest-time postings
+    index (sources/bm25_index.py, `bm25_index_build` bench key);
+    results are bit-identical to the inline build (pytest-pinned), so
+    the oracle needs no cache knowledge."""
+    from aggregator_spark.operators.retrieval import bm25_score
+    from aggregator_spark.sources.bm25_index import cached_bm25_postings
 
-    docs = load_testdata(spark, sf_dir, "documents")
-    return bm25_search(docs, BM25_QUERIES)
+    return bm25_score(cached_bm25_postings(spark, sf_dir), BM25_QUERIES)
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,12 +9,19 @@ Okapi BM25 with the standard parameters (k1=1.2, b=0.75):
                                 / (tf + k1 * (1 - b + b * dl/avgdl))
     idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
 
-Scale shape: the per-doc term-frequency table is the only corpus-sized
-intermediate, and the tiny query-term list joins INTO it (broadcast),
-so only matching postings survive — the classic term-at-a-time
-scoring join; document-frequency stats are computed once per corpus
-and join on the term key; the two corpus scalars (N, avgdl) broadcast
-as a 1-row aggregate. Top-k per query is a window over candidates
+Split ingest/query the way a search system is: ``bm25_postings`` is
+the tokenize-and-count pass (the expensive, once-per-corpus part —
+materialized at ingest via sources/bm25_index.py, the inverted-index
+analog of the MinHash bucket index); ``bm25_score`` serves queries
+from the postings table alone — document frequency and the corpus
+scalars are cheap aggregates OVER POSTINGS, raw text is never touched
+at query time.
+
+Scale shape: the postings table is the only corpus-sized intermediate,
+and the tiny query-term list joins INTO it (broadcast), so only
+matching postings survive — the classic term-at-a-time scoring join;
+at warehouse scale the postings table is written bucketed by term so
+that join is co-located. Top-k per query is a window over candidates
 (cardinality ≤ matching docs × queries), never a global sort. Ranking
 ties: scores are rounded to 6 decimals FIRST and doc_id breaks ties,
 so the cut is total and engine-independent.
@@ -31,36 +38,46 @@ BM25_B = 0.75
 TOP_K = 5
 
 
-def bm25_search(
-    docs: DataFrame,
+def bm25_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings: (doc_id, dl, term, tf) — one row per
+    distinct term per document, dl = document token count. This is the
+    ingest pass; everything BM25 needs derives from it."""
+    from aggregator_spark.operators.text import word_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
+    )
+    return (
+        toks.select(
+            "doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term")
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_score(
+    postings: DataFrame,
     queries: Sequence[tuple[int, str]],
-    id_col: str = "doc_id",
-    text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
     top_k: int = TOP_K,
 ) -> DataFrame:
-    """Top-k BM25 matches per probe query: (query_id, doc_id, rank,
-    score) with score rounded to 6 decimals; rank 1-based by
-    (rounded score desc, doc_id asc). Queries are (id, text) pairs —
-    tokenized with the same word tokenizer as the corpus."""
-    from aggregator_spark.operators.text import word_tokens
-
-    spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
-    )
-    tf = (
-        toks.select("doc_id", F.size("ts").alias("dl"), F.explode("ts").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scalars = toks.agg(
+    """Top-k BM25 matches per probe query over a postings table:
+    (query_id, doc_id, rank, score) with score rounded to 6 decimals;
+    rank 1-based by (rounded score desc, doc_id asc). Queries are
+    (id, text) pairs — whitespace-split, lowercased (the corpus-side
+    tokenization already happened at postings build)."""
+    spark = postings.sparkSession
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus scalars from postings: docs = distinct doc rows, dl is
+    # repeated per (doc, term) so take it once per doc
+    per_doc = postings.select("doc_id", "dl").distinct()
+    scalars = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum(F.size("ts")) / F.count(F.lit(1))
-        ).alias("avgdl"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
 
     qterms = spark.createDataFrame(
@@ -73,8 +90,13 @@ def bm25_search(
     )
 
     contrib = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "term").select("term", "df")), "term")
+        postings.join(F.broadcast(qterms), "term")
+        .join(
+            F.broadcast(
+                dfreq.join(F.broadcast(qterms), "term").select("term", "df")
+            ),
+            "term",
+        )
         .crossJoin(F.broadcast(scalars))
         .select(
             "query_id",
@@ -107,4 +129,20 @@ def bm25_search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("query_id", "doc_id", F.col("rank").cast("int"), "score")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """One-shot form: build postings inline and score (the cached
+    ingest path is sources/bm25_index.py:cached_bm25_postings)."""
+    return bm25_score(
+        bm25_postings(docs, id_col, text_col), queries, k1, b, top_k
     )

@@ -183,8 +183,11 @@ ANALYTICS10_ORACLES["bm25_search"] = f"""
       FROM toks, UNNEST(ts) AS u(t)
       GROUP BY doc_id, len(ts), t),
     dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    sc AS (SELECT COUNT(*) AS n_docs, SUM(len(ts)) / COUNT(*) AS avgdl
-           FROM toks),
+    -- corpus scalars from the postings (docs with >= 1 token), the
+    -- same derivation the Spark side uses so an indexed-corpus serve
+    -- needs nothing beyond the postings table
+    sc AS (SELECT COUNT(*) AS n_docs, SUM(dl) / COUNT(*) AS avgdl
+           FROM (SELECT DISTINCT doc_id, dl FROM tf)),
     q(query_id, term) AS (VALUES {_BM25_QTERMS}),
     contrib AS (
       SELECT q.query_id, tf.doc_id,

@@ -92,6 +92,10 @@ def main() -> None:
         cached_minhash_buckets,
         minhash_cache_dir,
     )
+    from aggregator_spark.sources.bm25_index import (
+        bm25_cache_dir,
+        cached_bm25_postings,
+    )
     from aggregator_spark.sources.variant_ingest import (
         cached_events_variant,
         variant_cache_dir,
@@ -102,6 +106,7 @@ def main() -> None:
         ("ann_ivf_index_build", ivf_cache_dir, cached_ivf_assignment),
         ("ann_lsh_index_build", lsh_cache_dir, cached_lsh_index),
         ("dedup_bucket_index_build", minhash_cache_dir, cached_minhash_buckets),
+        ("bm25_index_build", bm25_cache_dir, cached_bm25_postings),
     ]
     for key, dir_fn, cache_fn in ingests:
         shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)

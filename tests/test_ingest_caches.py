@@ -158,3 +158,23 @@ def test_minhash_bucket_cache_invalidates_and_matches_fresh(spark, tmp_path):
     fresh = lsh_buckets(load_testdata(spark, sf, "documents"))
     assert cached.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(cached).count() == 0
+
+
+def test_bm25_postings_cache_invalidates_and_matches_fresh(spark, tmp_path):
+    from aggregator_spark.operators.retrieval import bm25_postings
+    from aggregator_spark.schemas import load_testdata
+    from aggregator_spark.sources.bm25_index import cached_bm25_postings
+
+    sf = _stage(tmp_path, ["documents"])
+    first = _cache_dir_of(cached_bm25_postings(spark, sf))
+    again = _cache_dir_of(cached_bm25_postings(spark, sf))
+    assert first == again
+    os.utime(os.path.join(sf, "documents.parquet"))
+    rebuilt = _cache_dir_of(cached_bm25_postings(spark, sf))
+    assert os.path.dirname(rebuilt) != os.path.dirname(first)
+
+    # cache contents are bit-identical to a fresh tokenization
+    cached = cached_bm25_postings(spark, sf)
+    fresh = bm25_postings(load_testdata(spark, sf, "documents"))
+    assert cached.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(cached).count() == 0
