@@ -130,9 +130,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are bit-identical to the inline build (pytest-pinned), so
     the oracle needs no cache knowledge."""
     from aggregator_spark.operators.retrieval import bm25_score
-    from aggregator_spark.sources.bm25_index import cached_bm25_postings
+    from aggregator_spark.sources.bm25_index import cached_bm25_index
 
-    return bm25_score(cached_bm25_postings(spark, sf_dir), BM25_QUERIES)
+    idx = cached_bm25_index(spark, sf_dir)
+    return bm25_score(
+        idx["postings"],
+        BM25_QUERIES,
+        dfreq=idx["dfreq"],
+        scalars=idx["scalars"],
+    )
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,19 +58,11 @@ def bm25_postings(
     )
 
 
-def bm25_score(
-    postings: DataFrame,
-    queries: Sequence[tuple[int, str]],
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    top_k: int = TOP_K,
-) -> DataFrame:
-    """Top-k BM25 matches per probe query over a postings table:
-    (query_id, doc_id, rank, score) with score rounded to 6 decimals;
-    rank 1-based by (rounded score desc, doc_id asc). Queries are
-    (id, text) pairs — whitespace-split, lowercased (the corpus-side
-    tokenization already happened at postings build)."""
-    spark = postings.sparkSession
+def bm25_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(document-frequency table, 1-row corpus scalars) derived from a
+    postings table — the other two members of the index. Both are
+    plain additive/distinct aggregates, so per-ingest-batch partials
+    roll up exactly (df adds, n_docs adds, avgdl from summed dl)."""
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus scalars from postings: docs = distinct doc rows, dl is
     # repeated per (doc, term) so take it once per doc
@@ -79,6 +71,32 @@ def bm25_score(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
+    return dfreq, scalars
+
+
+def bm25_score(
+    postings: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = TOP_K,
+    dfreq: DataFrame | None = None,
+    scalars: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 matches per probe query over a postings table:
+    (query_id, doc_id, rank, score) with score rounded to 6 decimals;
+    rank 1-based by (rounded score desc, doc_id asc). Queries are
+    (id, text) pairs — whitespace-split, lowercased (the corpus-side
+    tokenization already happened at postings build).
+
+    Pass the precomputed ``dfreq``/``scalars`` from the ingest-time
+    index to skip the full-postings aggregates — at warehouse scale
+    recomputing df per query is a full index scan."""
+    spark = postings.sparkSession
+    if dfreq is None or scalars is None:
+        built = bm25_stats(postings)
+        dfreq = dfreq if dfreq is not None else built[0]
+        scalars = scalars if scalars is not None else built[1]
 
     qterms = spark.createDataFrame(
         [

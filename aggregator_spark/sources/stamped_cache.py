@@ -97,36 +97,71 @@ def cache_dir(
     )
 
 
+def _ensure_built(
+    out: str, build: Callable[[str], None], done: Callable[[str], bool]
+) -> None:
+    """Atomic build-and-rename shared by the single- and multi-table
+    materializers: the build lands in a unique scratch dir and renames
+    into place (atomic on one filesystem); a lost race discards the
+    duplicate build. Stale generations (same prefix+scope key,
+    different content key) are swept after the rename — in-flight
+    ``.build-*`` scratch dirs are never touched."""
+    if done(out):
+        return
+    scratch = f"{out}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build(scratch)
+    try:
+        os.rename(scratch, out)
+    except OSError:
+        if done(out):
+            # a concurrent session renamed its completed build in
+            # first — discard ours and use theirs
+            shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            # `out` exists but is NOT a finished build (crashed
+            # pre-atomic-era build, or a partially-swept dir):
+            # replace it with our good build rather than discarding
+            # the fresh one and reading garbage forever
+            shutil.rmtree(out, ignore_errors=True)
+            os.rename(scratch, out)
+    stem = out.rsplit("_", 1)[0]
+    for old in glob.glob(f"{stem}_*"):
+        if old != out and ".build-" not in os.path.basename(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+
 def materialize_cached(
     spark: SparkSession,
     out: str,
     build: Callable[[str], None],
 ) -> DataFrame:
-    """Build unless ``out``'s _SUCCESS marker exists. The build lands
-    in a unique scratch dir and renames into place (atomic on one
-    filesystem); a lost race discards the duplicate build. Stale
-    generations (same prefix+scope key, different content key) are
-    swept after the rename — in-flight ``.build-*`` scratch dirs are
-    never touched."""
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        scratch = f"{out}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        build(scratch)
-        try:
-            os.rename(scratch, out)
-        except OSError:
-            if os.path.exists(os.path.join(out, "_SUCCESS")):
-                # a concurrent session renamed its completed build in
-                # first — discard ours and use theirs
-                shutil.rmtree(scratch, ignore_errors=True)
-            else:
-                # `out` exists but is NOT a finished build (crashed
-                # pre-atomic-era build, or a partially-swept dir):
-                # replace it with our good build rather than discarding
-                # the fresh one and reading garbage forever
-                shutil.rmtree(out, ignore_errors=True)
-                os.rename(scratch, out)
-        stem = out.rsplit("_", 1)[0]
-        for old in glob.glob(f"{stem}_*"):
-            if old != out and ".build-" not in os.path.basename(old):
-                shutil.rmtree(old, ignore_errors=True)
+    """Build unless ``out``'s _SUCCESS marker exists; see
+    ``_ensure_built`` for the atomicity/race/sweep contract."""
+    _ensure_built(
+        out, build, lambda d: os.path.exists(os.path.join(d, "_SUCCESS"))
+    )
     return spark.read.parquet(out)
+
+
+def materialize_cached_tables(
+    spark: SparkSession,
+    out: str,
+    build: Callable[[str], None],
+    tables: tuple[str, ...],
+) -> dict[str, DataFrame]:
+    """Multi-table variant for ingest artifacts that are a SET of
+    datasets (e.g. an inverted index: postings + term stats + corpus
+    scalars): ``build(scratch)`` writes one parquet dataset per name
+    under ``scratch/<name>``; the whole set renames into place in one
+    atomic step, so readers never see a partial index. Done = every
+    member's _SUCCESS marker."""
+
+    def done(d: str) -> bool:
+        return all(
+            os.path.exists(os.path.join(d, t, "_SUCCESS")) for t in tables
+        )
+
+    _ensure_built(out, build, done)
+    return {
+        t: spark.read.parquet(os.path.join(out, t)) for t in tables
+    }
