@@ -151,6 +151,29 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, target_filter=F.col("lang") == "en")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py): the first 8 learned
+    merges over the documents corpus — an ITERATIVE trainer whose
+    rounds hash-match an unrolled relational oracle exactly (the
+    sentinel-string trick makes greedy merge application a literal
+    replace-all on both engines)."""
+    from aggregator_spark.operators.bpe import bpe_train
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return bpe_train(docs)
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained BPE dictionary: token
+    instances join the word→symbols table; per-doc token/symbol counts
+    plus the full encoded stream (operators/bpe.py:bpe_encode)."""
+    from aggregator_spark.operators.bpe import bpe_encode, bpe_train_full
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    _, word_states = bpe_train_full(docs)
+    return bpe_encode(docs, word_states)
+
+
 ANALYTICS10_QUERIES = {
     "clicks_before_purchase": q_clicks_before_purchase,
     "zscore_outliers": q_zscore_outliers,
@@ -159,4 +182,6 @@ ANALYTICS10_QUERIES = {
     "cms_user_counts": q_cms_user_counts,
     "bm25_search": q_bm25_search,
     "dsir_weights": q_dsir_weights,
+    "bpe_merges": q_bpe_merges,
+    "bpe_encode_docs": q_bpe_encode_docs,
 }

@@ -1,0 +1,189 @@
+"""Byte-Pair Encoding tokenizer training — the vocabulary-learning
+step of an LLM data pipeline (Sennrich et al. 2016): repeatedly merge
+the most frequent adjacent symbol pair across the corpus.
+
+Representation trick that makes the whole trainer engine-portable:
+each word's symbol sequence is a SENTINEL STRING ``|s1|s2|...|sn|``
+(tokens are [a-z0-9]+ so '|' never collides). Applying a merge (L, R)
+is then ONE literal replace-all of ``|L|R|`` with ``|LR|`` — and
+literal replace-all is left-to-right non-overlapping on every engine,
+which is EXACTLY greedy BPE semantics (in ``|a|a|a|``, replacing
+``|a|a|`` consumes the shared sentinel, so the scan resumes after the
+replacement: one merge at position 1, the trailing ``a`` left alone).
+No per-row loops, no UDFs: pair counting is an explode + sum, merge
+application is a string function, both fully expressible in the DuckDB
+oracle too — an ITERATIVE trainer whose rounds hash-match a
+relational oracle exactly (same unrolled-rounds discipline as the
+k-means oracle).
+
+Classic trainer shape: BPE trains on the WORD-FREQUENCY table, not
+the raw corpus — the reduction from N token instances to V distinct
+words is the first aggregation, and every round after that costs O(V)
+no matter how big the corpus is. Encoding then JOINS token instances
+against the final word→symbols table on the word key (never re-runs
+the merge chain over the corpus). The per-round argmax pulls ONE row
+to the driver (same bounded-collect discipline as the k-means
+centroids); the words table is localCheckpoint'ed per round (the
+iterative-lineage idiom pinned in SCALE.md).
+
+Determinism: pair counts are exact integer sums; the argmax breaks
+ties by (count desc, left asc, right asc) — a total order, so the
+learned merge table is bit-identical across engines, runs, and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+BPE_MERGES = 8
+SENT = "|"
+
+
+def _symbols(state):
+    return F.filter(F.split(state, r"\|"), lambda x: x != F.lit(""))
+
+
+def word_freq_states(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, state, freq): the word-frequency table with each word as
+    its initial sentinel string of single-character symbols."""
+    from aggregator_spark.operators.text import word_tokens
+
+    words = (
+        docs.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.select(
+        "word",
+        F.concat(
+            F.lit(SENT), F.regexp_replace("word", "(.)", f"$1{SENT}")
+        ).alias("state"),
+        "freq",
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    syms = _symbols(F.col("state"))
+    return (
+        words.filter(F.size(syms) >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("l_sym"),
+                        F.element_at(syms, i + 1).alias("r_sym"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l_sym", "p.r_sym")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+
+
+def _apply_merge(state, left: str, right: str):
+    return F.replace(
+        state,
+        F.lit(f"{SENT}{left}{SENT}{right}{SENT}"),
+        F.lit(f"{SENT}{left}{right}{SENT}"),
+    )
+
+
+def bpe_train_full(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Learn the first ``n_merges`` BPE merges over the corpus.
+    Returns (merge table, final word states): the merge table is
+    (merge_rank, l_sym, r_sym, merged, pair_count) in learning order;
+    the word states are (word, state, freq) after all merges — the
+    encoding dictionary."""
+    spark = docs.sparkSession
+    words = word_freq_states(docs, text_col).localCheckpoint(eager=True)
+
+    learned = []
+    for rank in range(1, n_merges + 1):
+        rows = (
+            _pair_counts(words)
+            .orderBy(
+                F.col("pair_count").desc(), F.col("l_sym"), F.col("r_sym")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        best = rows[0]
+        left, right = best["l_sym"], best["r_sym"]
+        learned.append(
+            (rank, left, right, left + right, best["pair_count"])
+        )
+        words = words.select(
+            "word",
+            _apply_merge(F.col("state"), left, right).alias("state"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    merges = spark.createDataFrame(
+        learned,
+        "merge_rank int, l_sym string, r_sym string, merged string,"
+        " pair_count long",
+    )
+    return merges, words
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge table only — see ``bpe_train_full``."""
+    return bpe_train_full(docs, n_merges, text_col)[0]
+
+
+def bpe_encode(
+    docs: DataFrame,
+    word_states: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode a corpus with a trained dictionary: every token instance
+    joins the (word → final symbols) table on the word key; returns
+    (doc_id, n_tokens, n_symbols, encoded) where ``encoded`` is the
+    space-joined symbol stream of the whole document in token order
+    and ``n_symbols`` its length — the compression the learned
+    vocabulary buys. The dictionary join is the only shuffle beyond
+    the per-doc reassembly; the merge chain never re-runs over the
+    corpus."""
+    from aggregator_spark.operators.text import word_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
+    )
+    dict_df = word_states.select(
+        "word", _symbols(F.col("state")).alias("syms")
+    )
+    per_tok = (
+        toks.select("doc_id", F.posexplode("ts").alias("i", "word"))
+        .join(dict_df, "word")
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.size("syms")).cast("long").alias("n_symbols"),
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "syms"))),
+                        lambda s: s["syms"],
+                    )
+                ),
+            ).alias("encoded"),
+        )
+    )

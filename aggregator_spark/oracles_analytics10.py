@@ -206,6 +206,77 @@ ANALYTICS10_ORACLES["bm25_search"] = f"""
     WHERE rn <= {TOP_K}
 """
 
+def _bpe_levels_sql(n_merges: int) -> str:
+    """CTE chain for the unrolled BPE trainer (same discipline as the
+    k-means oracle): w0 = word-frequency table with sentinel-string
+    states; per round, p{i} counts adjacent symbol pairs, m{i} is the
+    deterministic argmax, w{i} applies the merge as a literal
+    replace-all (left-to-right non-overlapping == greedy BPE)."""
+    parts = [
+        f"""w0 AS (
+      SELECT word,
+             '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS state,
+             freq
+      FROM (SELECT word, COUNT(*) AS freq
+            FROM (SELECT unnest({_WORD_TOKS}) AS word FROM documents)
+            GROUP BY word))"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+      SELECT syms[j] AS l_sym, syms[j+1] AS r_sym,
+             SUM(freq) AS pair_count
+      FROM (SELECT list_filter(string_split(state, '|'), x -> x <> '')
+                     AS syms,
+                   freq
+            FROM w{i - 1}),
+           UNNEST(generate_series(1, len(syms) - 1)) AS u(j)
+      WHERE len(syms) >= 2
+      GROUP BY syms[j], syms[j+1])""")
+        parts.append(f"""m{i} AS (
+      SELECT l_sym, r_sym, l_sym || r_sym AS merged, pair_count
+      FROM p{i} ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1)""")
+        parts.append(f"""w{i} AS (
+      SELECT word,
+             replace(state, '|' || m.l_sym || '|' || m.r_sym || '|',
+                     '|' || m.l_sym || m.r_sym || '|') AS state,
+             freq
+      FROM w{i - 1}, m{i} m)""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l_sym, r_sym, merged,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_levels_sql(n_merges)}\n    {unions}"
+
+
+def _bpe_encode_sql(n_merges: int) -> str:
+    return f"""
+    WITH {_bpe_levels_sql(n_merges)},
+    enc AS (
+      SELECT t.doc_id, t.i,
+             list_filter(string_split(w.state, '|'), x -> x <> '')
+               AS syms
+      FROM (SELECT doc_id, j AS i, ts[j] AS word
+            FROM (SELECT doc_id, {_WORD_TOKS} AS ts FROM documents),
+                 UNNEST(generate_series(1, len(ts))) AS u(j)) t
+      JOIN w{n_merges} w ON t.word = w.word)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_symbols,
+           string_agg(array_to_string(syms, ' '), ' ' ORDER BY i)
+             AS encoded
+    FROM enc GROUP BY doc_id
+"""
+
+
+from aggregator_spark.operators.bpe import BPE_MERGES  # noqa: E402
+
+ANALYTICS10_ORACLES["bpe_merges"] = _bpe_merges_sql(BPE_MERGES)
+ANALYTICS10_ORACLES["bpe_encode_docs"] = _bpe_encode_sql(BPE_MERGES)
+
 _DSIR_BUCKET = _hex8_to_bigint("md5(token)") + f" % {DSIR_BUCKETS}"
 
 ANALYTICS10_ORACLES["dsir_weights"] = f"""

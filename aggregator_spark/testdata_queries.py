@@ -231,8 +231,6 @@ DRIVER_WINDOW = [
     "session_window_native",
     # stability spread: every remaining entry whose only driver row is
     # from round 1
-    "salted_type_counts",
-    "tpch_q4_semi",
     "tpch_q7_nation_pairs",
     "tpch_q10_returns",
     # round-7 additions (never driver-checked -> must sit in the
@@ -276,6 +274,11 @@ DRIVER_WINDOW = [
     "cms_user_counts",
     "bm25_search",
     "dsir_weights",
+    # BPE tokenizer training + corpus encoding (never driver-checked).
+    # Displaced salted_type_counts / tpch_q4_semi (r1-green,
+    # re-verified) to the r7 pool.
+    "bpe_merges",
+    "bpe_encode_docs",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

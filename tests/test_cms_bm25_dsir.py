@@ -97,3 +97,41 @@ def test_dsir_prefers_target_like_docs(spark):
     # identical (same token multiset)
     assert len({got[i] for i in range(10)}) == 1
     assert len({got[i] for i in range(10, 20)}) == 1
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def test_bpe_greedy_overlap_and_learning_order(spark):
+    from aggregator_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa bc bc bc")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=3).collect()]
+    # words: aaa(x2), bc(x3). pair counts round 1: (a,a)=4 (two per
+    # "aaa" — overlapping positions BOTH count), (b,c)=3
+    assert got[0] == (1, "a", "a", "aa", 4)
+    # greedy left-to-right application: |a|a|a| -> |aa|a| (NOT |a|aa|),
+    # so round 2 sees (aa,a)=2 and (b,c)=3 -> (b,c) wins
+    assert got[1] == (2, "b", "c", "bc", 3)
+    assert got[2] == (3, "aa", "a", "aaa", 2)
+
+
+def test_bpe_encode_reconstructs_words(spark):
+    from aggregator_spark.operators.bpe import bpe_encode, bpe_train_full
+
+    docs = spark.createDataFrame(
+        [(1, "the theme then"), (2, "theme theme the")],
+        "doc_id long, text string",
+    )
+    merges, states = bpe_train_full(docs, n_merges=4)
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, states).collect()}
+    # symbols concatenate back to the original tokens, in order
+    assert enc[1]["encoded"].replace(" ", "") == "thethemethen"
+    assert enc[1]["n_tokens"] == 3
+    # merging strictly reduces (or preserves) symbol count vs chars
+    assert enc[1]["n_symbols"] < len("thethemethen")
+    # 'th'/'the' family should be learned from this corpus
+    merged = {r["merged"] for r in merges.collect()}
+    assert "th" in merged or "he" in merged

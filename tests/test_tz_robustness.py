@@ -113,6 +113,8 @@ TZ_SENSITIVE = [
     "daily_counts",
     "dim_date",
     "calendar_funcs",
+    "clicks_before_purchase",
+    "zscore_outliers",
     "sessionize",
     "profile_events",
     "session_window_native",
