@@ -96,6 +96,10 @@ def main() -> None:
         bm25_cache_dir,
         cached_bm25_postings,
     )
+    from aggregator_spark.sources.bpe_index import (
+        bpe_cache_dir,
+        cached_bpe_merges,
+    )
     from aggregator_spark.sources.variant_ingest import (
         cached_events_variant,
         variant_cache_dir,
@@ -107,6 +111,7 @@ def main() -> None:
         ("ann_lsh_index_build", lsh_cache_dir, cached_lsh_index),
         ("dedup_bucket_index_build", minhash_cache_dir, cached_minhash_buckets),
         ("bm25_index_build", bm25_cache_dir, cached_bm25_postings),
+        ("bpe_dict_build", bpe_cache_dir, cached_bpe_merges),
     ]
     for key, dir_fn, cache_fn in ingests:
         shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)

@@ -178,3 +178,27 @@ def test_bm25_postings_cache_invalidates_and_matches_fresh(spark, tmp_path):
     fresh = bm25_postings(load_testdata(spark, sf, "documents"))
     assert cached.exceptAll(fresh).count() == 0
     assert fresh.exceptAll(cached).count() == 0
+
+
+def test_bpe_dict_cache_invalidates_and_matches_fresh(spark, tmp_path):
+    from aggregator_spark.operators.bpe import bpe_train_full
+    from aggregator_spark.schemas import load_testdata
+    from aggregator_spark.sources.bpe_index import cached_bpe_index
+
+    sf = _stage(tmp_path, ["documents"])
+    first = _cache_dir_of(cached_bpe_index(spark, sf)["merges"])
+    again = _cache_dir_of(cached_bpe_index(spark, sf)["merges"])
+    assert first == again
+    os.utime(os.path.join(sf, "documents.parquet"))
+    rebuilt = _cache_dir_of(cached_bpe_index(spark, sf)["merges"])
+    assert os.path.dirname(rebuilt) != os.path.dirname(first)
+
+    # cached dictionary is bit-identical to retraining
+    idx = cached_bpe_index(spark, sf)
+    merges, states = bpe_train_full(load_testdata(spark, sf, "documents"))
+    assert sorted(map(tuple, idx["merges"].collect())) == sorted(
+        map(tuple, merges.collect())
+    )
+    assert sorted(map(tuple, idx["dict"].collect())) == sorted(
+        map(tuple, states.collect())
+    )
