@@ -3,18 +3,23 @@ step of an LLM data pipeline (Sennrich et al. 2016): repeatedly merge
 the most frequent adjacent symbol pair across the corpus.
 
 Representation trick that makes the whole trainer engine-portable:
-each word's symbol sequence is a SENTINEL STRING ``|s1|s2|...|sn|``
-(tokens are [a-z0-9]+ so '|' never collides). Applying a merge (L, R)
-is then ONE literal replace-all of ``|L|R|`` with ``|LR|`` — and
-literal replace-all is left-to-right non-overlapping on every engine,
-which is EXACTLY greedy BPE semantics (in ``|a|a|a|``, replacing
-``|a|a|`` consumes the shared sentinel, so the scan resumes after the
-replacement: one merge at position 1, the trailing ``a`` left alone).
-No per-row loops, no UDFs: pair counting is an explode + sum, merge
-application is a string function, both fully expressible in the DuckDB
-oracle too — an ITERATIVE trainer whose rounds hash-match a
-relational oracle exactly (same unrolled-rounds discipline as the
-k-means oracle).
+each word's symbol sequence is a DOUBLED-sentinel string
+``||s1||s2||...||sn||`` (tokens are [a-z0-9]+ so '|' never collides).
+Applying a merge (L, R) is then ONE literal replace-all of ``|L||R|``
+with ``|LR|``: the pattern consumes one bar from each outer gap and
+re-emits it, so the merged symbol's boundaries stay doubled — and
+because literal replace-all is left-to-right non-overlapping on every
+engine, consecutive occurrences of a SELF-pair share no characters
+and every adjacent pair merges, which is EXACTLY greedy BPE:
+``aaaa`` → ``||a||a||a||a||`` → ``||aa||aa||``. (A single-sentinel
+form ``|a|a|`` would under-merge even runs to ``[aa, a, a]`` because
+the second occurrence overlaps the first match's consumed closing
+bar — the doubling exists precisely to fix that; the odd case stays
+right: ``aaa`` → ``[aa, a]``.) No per-row loops, no UDFs: pair
+counting is an explode + sum, merge application is a string function,
+both fully expressible in the DuckDB oracle too — an ITERATIVE
+trainer whose rounds hash-match a relational oracle exactly (same
+unrolled-rounds discipline as the k-means oracle).
 
 Classic trainer shape: BPE trains on the WORD-FREQUENCY table, not
 the raw corpus — the reduction from N token instances to V distinct
@@ -57,7 +62,8 @@ def word_freq_states(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return words.select(
         "word",
         F.concat(
-            F.lit(SENT), F.regexp_replace("word", "(.)", f"$1{SENT}")
+            F.lit(SENT * 2),
+            F.regexp_replace("word", "(.)", f"$1{SENT}{SENT}"),
         ).alias("state"),
         "freq",
     )
@@ -85,9 +91,11 @@ def _pair_counts(words: DataFrame) -> DataFrame:
 
 
 def _apply_merge(state, left: str, right: str):
+    # |L||R| -> |LR|: one bar of each doubled outer gap is consumed
+    # and re-emitted, so boundaries stay doubled for later matches
     return F.replace(
         state,
-        F.lit(f"{SENT}{left}{SENT}{right}{SENT}"),
+        F.lit(f"{SENT}{left}{SENT}{SENT}{right}{SENT}"),
         F.lit(f"{SENT}{left}{right}{SENT}"),
     )
 

@@ -29,6 +29,7 @@ so the cut is total and engine-independent.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -36,6 +37,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 BM25_K1 = 1.2
 BM25_B = 0.75
 TOP_K = 5
+
+_QTOKEN = re.compile(r"[a-z0-9]+")
+
+
+def query_terms(qtext: str) -> list[str]:
+    """Query-side tokenization — the SAME token alphabet as the
+    corpus tokenizer (word_tokens: lowercase [a-z0-9]+ runs), so a
+    punctuated query like "spark-join" matches the postings for
+    "spark" and "join" instead of silently matching nothing.
+    Duplicates dropped (BM25 sums per distinct query term)."""
+    return list(dict.fromkeys(_QTOKEN.findall(qtext.lower())))
 
 
 def bm25_postings(
@@ -86,8 +98,8 @@ def bm25_score(
     """Top-k BM25 matches per probe query over a postings table:
     (query_id, doc_id, rank, score) with score rounded to 6 decimals;
     rank 1-based by (rounded score desc, doc_id asc). Queries are
-    (id, text) pairs — whitespace-split, lowercased (the corpus-side
-    tokenization already happened at postings build).
+    (id, text) pairs, tokenized with ``query_terms`` (same alphabet
+    as the corpus tokenizer).
 
     Pass the precomputed ``dfreq``/``scalars`` from the ingest-time
     index to skip the full-postings aggregates — at warehouse scale
@@ -102,19 +114,20 @@ def bm25_score(
         [
             (qid, term)
             for qid, qtext in queries
-            for term in dict.fromkeys(qtext.lower().split())
+            for term in query_terms(qtext)
         ],
         "query_id int, term string",
     )
 
+    # prune df to the DISTINCT probe terms: joining the per-(query,
+    # term) table here would duplicate a term shared by two queries
+    # and double-count every posting's contribution
+    qterm_df = dfreq.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
     contrib = (
         postings.join(F.broadcast(qterms), "term")
-        .join(
-            F.broadcast(
-                dfreq.join(F.broadcast(qterms), "term").select("term", "df")
-            ),
-            "term",
-        )
+        .join(F.broadcast(qterm_df), "term")
         .crossJoin(F.broadcast(scalars))
         .select(
             "query_id",

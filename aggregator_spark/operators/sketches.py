@@ -150,8 +150,16 @@ def cms_estimate(
     expanded = expanded.withColumn(
         "bucket", _cms_bucket(F.col("row"), F.col(key_col), width)
     )
+    # LEFT join: a probe key absent from the build data can hash to
+    # cells with no counter row — those cells hold 0, and min(0, ...)
+    # must see them (an inner join would silently over-estimate or
+    # drop the key entirely)
     return (
-        expanded.join(F.broadcast(counters), ["row", "bucket"])
+        expanded.join(F.broadcast(counters), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+        .agg(
+            F.min(F.coalesce("cnt", F.lit(0)))
+            .cast("long")
+            .alias("est_cnt")
+        )
     )

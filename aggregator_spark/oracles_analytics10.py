@@ -18,14 +18,16 @@ from aggregator_spark.analytics_queries10 import (
 )
 from aggregator_spark.operators.anomaly import MIN_PRIOR, SIGMAS
 from aggregator_spark.operators.corpus import BIGRAM_LAMBDA, DSIR_BUCKETS
-from aggregator_spark.operators.retrieval import BM25_B, BM25_K1, TOP_K
-from aggregator_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
-from aggregator_spark.oracles_llm import NORM, _hex8_to_bigint
-
-_WORD_TOKS = (
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
-    " x -> x <> '')"
+from aggregator_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    TOP_K,
+    query_terms,
 )
+from aggregator_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+from aggregator_spark.oracles_llm import NORM, WORD_TOKS, _hex8_to_bigint
+
+_WORD_TOKS = WORD_TOKS
 
 # shared variance expression (exact decimal sums -> double, same shape
 # as the Spark plan: s2/n - mean*mean clamped at 0)
@@ -171,7 +173,7 @@ ANALYTICS10_ORACLES["cms_user_counts"] = f"""
 _BM25_QTERMS = ", ".join(
     f"({qid}, '{term}')"
     for qid, qtext in BM25_QUERIES
-    for term in dict.fromkeys(qtext.lower().split())
+    for term in query_terms(qtext)
 )
 _WORD_TOKS_D = _WORD_TOKS  # documents word tokenizer (shared above)
 
@@ -215,7 +217,7 @@ def _bpe_levels_sql(n_merges: int) -> str:
     parts = [
         f"""w0 AS (
       SELECT word,
-             '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS state,
+             '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS state,
              freq
       FROM (SELECT word, COUNT(*) AS freq
             FROM (SELECT unnest({_WORD_TOKS}) AS word FROM documents)
@@ -235,12 +237,19 @@ def _bpe_levels_sql(n_merges: int) -> str:
         parts.append(f"""m{i} AS (
       SELECT l_sym, r_sym, l_sym || r_sym AS merged, pair_count
       FROM p{i} ORDER BY pair_count DESC, l_sym, r_sym LIMIT 1)""")
+        # LEFT JOIN ON TRUE, not a cross join: a round with no pair
+        # left (degenerate corpus) yields an empty m{i}, and a cross
+        # join would empty every later w{i} — the Spark trainer just
+        # stops merging, so the oracle must pass states through
         parts.append(f"""w{i} AS (
       SELECT word,
-             replace(state, '|' || m.l_sym || '|' || m.r_sym || '|',
-                     '|' || m.l_sym || m.r_sym || '|') AS state,
+             CASE WHEN m.l_sym IS NULL THEN state
+                  ELSE replace(state,
+                               '|' || m.l_sym || '||' || m.r_sym || '|',
+                               '|' || m.l_sym || m.r_sym || '|') END
+               AS state,
              freq
-      FROM w{i - 1}, m{i} m)""")
+      FROM w{i - 1} LEFT JOIN m{i} m ON TRUE)""")
     return ",\n    ".join(parts)
 
 

@@ -45,6 +45,13 @@ from aggregator_spark.operators.text import (
 )
 
 NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+# the word tokenizer (operators/text.py:word_tokens) as DuckDB SQL —
+# canonical definition; new oracles should use this, not a fresh copy
+WORD_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
 TOKS = r"string_split_regex(trim(text), '\s+')"
 NOSPACE_LEN = r"length(regexp_replace(trim(text), '\s+', '', 'g'))"
 

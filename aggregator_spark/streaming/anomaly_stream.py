@@ -75,38 +75,55 @@ def _zscore_fn(min_prior: int, sigmas: float):
         import pandas as pd
 
         (user_id,) = key
+        uid = None if user_id is None else int(user_id)
         n, s1, s2 = (0, 0, 0)
         if state.exists:
             n, s1, s2 = state.get
 
         out: dict[str, list] = {c.name: [] for c in OUT_SCHEMA.fields}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, v in zip(pdf["event_id"], pdf["value"]):
-                v = float(v)
-                vm = _micro6(v)
-                x = _dbl(vm)
-                z_micro = None
-                flag = False
-                if n > 0:
-                    mean = _dbl(s1) / n
-                    var = max(_dbl(s2) / n - mean * mean, 0.0)
-                    dev = x - mean
-                    if n >= min_prior:
-                        if var > 0.0:
-                            z = dev / math.sqrt(var)
-                            z_micro = math.floor(z * 1e6)
-                            flag = abs(dev) > sigmas * math.sqrt(var)
-                        else:
-                            flag = abs(dev) > 0.0
+        # one micro-batch can arrive as SEVERAL Arrow chunks (above
+        # arrow.maxRecordsPerBatch) — the (ts, id) ordering contract
+        # is per micro-batch, so concatenate before sorting; per-chunk
+        # sorts would interleave chunks in source order
+        chunks = [p for p in pdf_iter]
+        pdf = (
+            pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        ).sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            v = None if v is None else float(v)
+            if v is None or math.isnan(v):
+                # NULL value: the batch operator emits the row (its
+                # window count/sum skip nulls) but never flags it and
+                # contributes nothing to the running moments
                 out["event_id"].append(int(eid))
-                out["user_id"].append(int(user_id))
+                out["user_id"].append(uid)
                 out["n_prior"].append(n)
-                out["z_micro"].append(z_micro)
-                out["is_anomaly"].append(flag)
-                n += 1
-                s1 += vm
-                s2 += _micro6(v * v)
+                out["z_micro"].append(None)
+                out["is_anomaly"].append(False)
+                continue
+            vm = _micro6(v)
+            x = _dbl(vm)
+            z_micro = None
+            flag = False
+            if n > 0:
+                mean = _dbl(s1) / n
+                var = max(_dbl(s2) / n - mean * mean, 0.0)
+                dev = x - mean
+                if n >= min_prior:
+                    if var > 0.0:
+                        z = dev / math.sqrt(var)
+                        z_micro = math.floor(z * 1e6)
+                        flag = abs(dev) > sigmas * math.sqrt(var)
+                    else:
+                        flag = abs(dev) > 0.0
+            out["event_id"].append(int(eid))
+            out["user_id"].append(uid)
+            out["n_prior"].append(n)
+            out["z_micro"].append(z_micro)
+            out["is_anomaly"].append(flag)
+            n += 1
+            s1 += vm
+            s2 += _micro6(v * v)
 
         state.update((n, s1, s2))
         yield pd.DataFrame(out)

@@ -135,3 +135,89 @@ def test_bpe_encode_reconstructs_words(spark):
     # 'th'/'the' family should be learned from this corpus
     merged = {r["merged"] for r in merges.collect()}
     assert "th" in merged or "he" in merged
+
+
+def test_bpe_even_run_merges_every_pair(spark):
+    # the doubled-sentinel form: 'aaaa' + merge (a,a) -> [aa, aa];
+    # a single-sentinel replace would under-merge to [aa, a, a]
+    from aggregator_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    assert got[0] == (1, "a", "a", "aa", 9)  # 3 overlapping pairs x 3
+    # round 2 must see [aa, aa] per word -> pair (aa, aa) x 3
+    assert got[1] == (2, "aa", "aa", "aaaa", 3)
+
+
+def test_bpe_degenerate_corpus_oracle_parity(spark, tmp_path):
+    # fewer learnable pairs than n_merges: the Spark trainer stops
+    # early; the unrolled oracle must pass states through the empty
+    # rounds (LEFT JOIN guard), not cascade to an empty dictionary
+    import duckdb
+
+    from aggregator_spark.operators.bpe import bpe_encode, bpe_train_full
+    from aggregator_spark.oracles_analytics10 import (
+        _bpe_encode_sql,
+        _bpe_merges_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab x"), (2, "ab x x")], "doc_id long, text string"
+    )
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+
+    merges, states = bpe_train_full(docs, n_merges=8)
+    got_merges = sorted(tuple(r) for r in merges.collect())
+    want_merges = sorted(map(tuple, con.sql(_bpe_merges_sql(8)).fetchall()))
+    assert got_merges == want_merges
+    assert len(got_merges) == 1  # only (a,b) is learnable
+
+    got_enc = sorted(tuple(r) for r in bpe_encode(docs, states).collect())
+    want_enc = sorted(map(tuple, con.sql(_bpe_encode_sql(8)).fetchall()))
+    assert got_enc == want_enc
+    assert len(got_enc) == 2  # every doc present despite early stop
+    con.close()
+
+
+def test_cms_estimate_handles_absent_probe_keys(spark):
+    from aggregator_spark.operators.sketches import cms_build, cms_estimate
+
+    build = spark.createDataFrame(
+        [(i,) for i in range(20)], "k long"
+    )
+    counters = cms_build(build, "k", width=64)
+    probes = spark.createDataFrame(
+        [(5,), (999_999,)], "k long"
+    )
+    est = {r["k"]: r["est_cnt"] for r in cms_estimate(
+        counters, probes, "k", width=64
+    ).collect()}
+    assert est[5] >= 1  # present key: CMS lower bound holds
+    # absent key must appear in the output; with 20 keys over 4x64
+    # cells a fully-colliding absent key is all but impossible, so
+    # the min sees an empty (zero) cell
+    assert est[999_999] == 0
+
+
+def test_bm25_shared_term_across_queries_not_double_counted(spark):
+    from aggregator_spark.operators.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark scan"), (2, "spark merge"), (3, "sort batch")],
+        "doc_id long, text string",
+    )
+    solo = {
+        (r["doc_id"]): r["score"]
+        for r in bm25_search(docs, [(0, "spark")]).collect()
+    }
+    shared = bm25_search(docs, [(0, "spark"), (1, "spark")]).collect()
+    for r in shared:
+        assert r["score"] == solo[r["doc_id"]]
+    # punctuated query text tokenizes like the corpus side
+    hyph = bm25_search(docs, [(0, "spark-merge")]).collect()
+    assert {r["doc_id"] for r in hyph} == {1, 2}
