@@ -151,6 +151,95 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, target_filter=F.col("lang") == "en")
 
 
+PMI_WINDOW = 2  # skip-gram context width (offsets 1..2)
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations — the count statistic
+    word2vec/GloVe factorize: unordered token pairs co-occurring
+    within a ±2 window, PMI = ln((c_ab/P) / ((c_a/N)(c_b/N))), pairs
+    with count >= 5, top 50 by (rounded PMI desc, pair asc).
+
+    Scale shape: pair generation is a JVM higher-order transform (two
+    offset passes, no Python); pair counts collapse map-side; the
+    unigram model joins back on the token keys (vocab-keyed, not
+    broadcast); the two 1-row totals broadcast; top-k cuts on the
+    ROUNDED score so the boundary is engine-independent."""
+    from aggregator_spark.operators.text import word_tokens
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(word_tokens(F.col("text")).alias("ts"))
+
+    def offset_pairs(d: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size("ts") - d),
+            lambda i: F.struct(
+                F.least(
+                    F.element_at("ts", i), F.element_at("ts", i + d)
+                ).alias("l_tok"),
+                F.greatest(
+                    F.element_at("ts", i), F.element_at("ts", i + d)
+                ).alias("r_tok"),
+            ),
+        )
+
+    pair_arrays = [
+        toks.filter(F.size("ts") > d).select(
+            F.explode(offset_pairs(d)).alias("p")
+        )
+        for d in range(1, PMI_WINDOW + 1)
+    ]
+    pairs = pair_arrays[0]
+    for extra in pair_arrays[1:]:
+        pairs = pairs.unionByName(extra)
+    pair_counts = (
+        pairs.select("p.l_tok", "p.r_tok")
+        .filter(F.col("l_tok") != F.col("r_tok"))
+        .groupBy("l_tok", "r_tok")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= PMI_MIN_COUNT)
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pair_counts.agg(F.sum("pair_count").alias("p_total")).crossJoin(
+        F.broadcast(uni.agg(F.sum("c").alias("n_total")))
+    )
+    scored = (
+        pair_counts.join(
+            uni.select(F.col("tok").alias("l_tok"), F.col("c").alias("c_l")),
+            "l_tok",
+        )
+        .join(
+            uni.select(F.col("tok").alias("r_tok"), F.col("c").alias("c_r")),
+            "r_tok",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "l_tok",
+            "r_tok",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("pair_count") / F.col("p_total"))
+                    / (
+                        (F.col("c_l") / F.col("n_total"))
+                        * (F.col("c_r") / F.col("n_total"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "l_tok", "r_tok"
+    ).limit(PMI_TOP_K)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (operators/bpe.py): the first 8 learned
     merges over the documents corpus — an ITERATIVE trainer whose
@@ -184,6 +273,7 @@ ANALYTICS10_QUERIES = {
     "cms_user_counts": q_cms_user_counts,
     "bm25_search": q_bm25_search,
     "dsir_weights": q_dsir_weights,
+    "pmi_collocations": q_pmi_collocations,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_docs": q_bpe_encode_docs,
 }

@@ -286,6 +286,43 @@ from aggregator_spark.operators.bpe import BPE_MERGES  # noqa: E402
 ANALYTICS10_ORACLES["bpe_merges"] = _bpe_merges_sql(BPE_MERGES)
 ANALYTICS10_ORACLES["bpe_encode_docs"] = _bpe_encode_sql(BPE_MERGES)
 
+from aggregator_spark.analytics_queries10 import (  # noqa: E402
+    PMI_MIN_COUNT,
+    PMI_TOP_K,
+    PMI_WINDOW,
+)
+
+ANALYTICS10_ORACLES["pmi_collocations"] = f"""
+    WITH toks AS (
+      SELECT {_WORD_TOKS} AS ts FROM documents),
+    pairs AS (
+      SELECT least(ts[i], ts[i+d]) AS l_tok,
+             greatest(ts[i], ts[i+d]) AS r_tok
+      FROM toks,
+           (VALUES {", ".join(f"({d})" for d in range(1, PMI_WINDOW + 1))})
+             AS o(d),
+           UNNEST(generate_series(1, len(ts) - d)) AS u(i)
+      WHERE len(ts) > d AND ts[i] <> ts[i+d]),
+    pc AS (
+      SELECT l_tok, r_tok, COUNT(*) AS pair_count
+      FROM pairs GROUP BY l_tok, r_tok
+      HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+    tot AS (
+      SELECT (SELECT SUM(pair_count) FROM pc) AS p_total,
+             (SELECT SUM(c) FROM uni) AS n_total)
+    SELECT l_tok, r_tok, CAST(pair_count AS BIGINT) AS pair_count,
+           round(ln((pair_count / p_total)
+                    / ((lu.c / n_total) * (ru.c / n_total))), 6) AS pmi
+    FROM pc
+    JOIN uni lu ON pc.l_tok = lu.tok
+    JOIN uni ru ON pc.r_tok = ru.tok
+    CROSS JOIN tot
+    ORDER BY pmi DESC, l_tok, r_tok LIMIT {PMI_TOP_K}
+"""
+
 _DSIR_BUCKET = _hex8_to_bigint("md5(token)") + f" % {DSIR_BUCKETS}"
 
 ANALYTICS10_ORACLES["dsir_weights"] = f"""

@@ -232,7 +232,6 @@ DRIVER_WINDOW = [
     # stability spread: every remaining entry whose only driver row is
     # from round 1
     "tpch_q7_nation_pairs",
-    "tpch_q10_returns",
     # round-7 additions (never driver-checked -> must sit in the
     # window): SemDeDup semantic dedup, the end-to-end verified fuzzy
     # dedup pipeline, temperature-weighted corpus mixing, duplicated-
@@ -279,6 +278,9 @@ DRIVER_WINDOW = [
     # re-verified) to the r7 pool.
     "bpe_merges",
     "bpe_encode_docs",
+    # PPMI collocations (never driver-checked). Displaced
+    # tpch_q10_returns (r1-green, re-verified) to the r7 pool.
+    "pmi_collocations",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
