@@ -115,6 +115,23 @@ def main() -> None:
         .mode("overwrite")
         .save(),
     )
+    # reuse the catalog's PMI query over the synthetic corpus by
+    # swapping the loader it closed over (imported into the module
+    # namespace, so patch THERE)
+    def pmi_run():
+        import aggregator_spark.analytics_queries10 as aq10
+
+        orig = aq10.load_testdata
+        try:
+            aq10.load_testdata = lambda spark_, sf_dir_, *t: docs
+            aq10.q_pmi_collocations(spark, "unused").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        finally:
+            aq10.load_testdata = orig
+
+    run("pmi_collocations", pmi_run)
+
     run(
         "dedup_span_rewrite",
         lambda: dedup_span_rewrite(docs)
