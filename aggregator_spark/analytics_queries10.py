@@ -151,6 +151,26 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, target_filter=F.col("lang") == "en")
 
 
+SEMDECON_MOD = 20
+SEMDECON_THRESHOLD = 0.4
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: every 20th vector
+    plays a held-out benchmark; corpus vectors report max cosine to
+    any probe and flag at >= 0.4 (operators/similarity.py:
+    semantic_contamination_flags) — catches paraphrased contamination
+    the n-gram `decontaminate_docs` misses."""
+    from aggregator_spark.operators.similarity import (
+        semantic_contamination_flags,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return semantic_contamination_flags(
+        emb, probe_mod=SEMDECON_MOD, threshold=SEMDECON_THRESHOLD
+    )
+
+
 PMI_WINDOW = 2  # skip-gram context width (offsets 1..2)
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
@@ -274,6 +294,7 @@ ANALYTICS10_QUERIES = {
     "bm25_search": q_bm25_search,
     "dsir_weights": q_dsir_weights,
     "pmi_collocations": q_pmi_collocations,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_docs": q_bpe_encode_docs,
 }

@@ -935,3 +935,57 @@ def semantic_dedup(
             id_col, "cluster", F.col("_dropped").isNull().alias("keep")
         )
     )
+
+
+def semantic_contamination_flags(
+    embeddings: DataFrame,
+    probe_mod: int = 20,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space twin
+    of the n-gram ``contamination_flags``: every ``probe_mod``-th
+    vector plays a held-out benchmark embedding; each remaining corpus
+    vector reports its max cosine to ANY probe and is flagged when it
+    reaches ``threshold`` (paraphrased contamination that exact n-gram
+    overlap misses).
+
+    Returns (vec_id, max_probe_cosine, contaminated) for every
+    NON-probe vector.
+
+    Scale shape: identical to the brute ANN scorer — the probe set
+    broadcasts (a benchmark is small by definition), the corpus
+    streams through once with a JVM fold per pair, the per-vector max
+    collapses map-side. No corpus shuffle; for benchmark sets too big
+    to broadcast, the LSH bucket route (``ann_topk_lsh``) is the
+    probe-side prefilter.
+    """
+    from aggregator_spark.operators.util import scatter
+
+    base = _with_vec_norm(embeddings, id_col, vec_col)
+    is_probe = F.col(id_col) % probe_mod == 0
+    probes = base.filter(is_probe).select(
+        F.col("vec").alias("pvec"), F.col("vnorm").alias("pnorm")
+    )
+    corpus = scatter(base.filter(~is_probe))
+    return (
+        corpus.join(F.broadcast(probes))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("vec"), F.col("pvec"))
+                / (F.col("vnorm") * F.col("pnorm")),
+                6,
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.max("cos").alias("max_probe_cosine"))
+        .select(
+            id_col,
+            "max_probe_cosine",
+            (F.col("max_probe_cosine") >= F.lit(threshold)).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -290,7 +290,27 @@ from aggregator_spark.analytics_queries10 import (  # noqa: E402
     PMI_MIN_COUNT,
     PMI_TOP_K,
     PMI_WINDOW,
+    SEMDECON_MOD,
+    SEMDECON_THRESHOLD,
 )
+
+ANALYTICS10_ORACLES["semantic_decontaminate"] = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    p AS (SELECT vec FROM base WHERE vec_id % {SEMDECON_MOD} = 0),
+    c AS (SELECT vec_id, vec FROM base
+          WHERE vec_id % {SEMDECON_MOD} <> 0),
+    s AS (
+      SELECT c.vec_id,
+             MAX(round(list_dot_product(c.vec, p.vec)
+                       / (sqrt(list_dot_product(c.vec, c.vec))
+                          * sqrt(list_dot_product(p.vec, p.vec))),
+                 6)) AS max_probe_cosine
+      FROM c CROSS JOIN p GROUP BY c.vec_id)
+    SELECT vec_id, max_probe_cosine,
+           max_probe_cosine >= {SEMDECON_THRESHOLD} AS contaminated
+    FROM s
+"""
 
 ANALYTICS10_ORACLES["pmi_collocations"] = f"""
     WITH toks AS (

@@ -231,7 +231,6 @@ DRIVER_WINDOW = [
     "session_window_native",
     # stability spread: every remaining entry whose only driver row is
     # from round 1
-    "tpch_q7_nation_pairs",
     # round-7 additions (never driver-checked -> must sit in the
     # window): SemDeDup semantic dedup, the end-to-end verified fuzzy
     # dedup pipeline, temperature-weighted corpus mixing, duplicated-
@@ -278,9 +277,11 @@ DRIVER_WINDOW = [
     # re-verified) to the r7 pool.
     "bpe_merges",
     "bpe_encode_docs",
-    # PPMI collocations (never driver-checked). Displaced
-    # tpch_q10_returns (r1-green, re-verified) to the r7 pool.
+    # PPMI collocations + semantic decontamination (never
+    # driver-checked). Displaced tpch_q10_returns and
+    # tpch_q7_nation_pairs (r1-green, re-verified) to the r7 pool.
     "pmi_collocations",
+    "semantic_decontaminate",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
