@@ -445,3 +445,23 @@ def test_dsir_model_broadcast(plans):
     assert "CartesianProduct" not in p
     assert p.count("+- BroadcastNestedLoopJoin") == 1
     assert "BroadcastHashJoin" in p
+
+
+def test_semantic_decontaminate_broadcast_probe_scan(plans):
+    """Probes broadcast (BNLJ build side); the per-vector max partial-
+    aggregates map-side BEFORE the only corpus exchange."""
+    p = plans("semantic_decontaminate")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "partial_max" in p
+
+
+def test_pmi_distributed_topk(plans):
+    """Top-50 compiles to TakeOrderedAndProject (per-partition top-k
+    merge, not a global sort); unigram joins stay hash joins; the only
+    nested loops are the 1-row scalar broadcasts (p_total x n_total
+    assembly + the join back over candidates)."""
+    p = plans("pmi_collocations")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert p.count("+- BroadcastNestedLoopJoin") <= 2
