@@ -105,3 +105,46 @@ def test_scanlog_stream_feeds_daily_ingest(spark, tmp_path):
         .collect()
     }
     assert set(out) == expected
+
+
+def test_cms_counters_streaming_equals_batch(spark, tmp_path):
+    """The Count-Min counter build is pure relational ops (explode +
+    additive agg), so the SAME function runs unchanged on a stream in
+    update mode — and the final counter table must equal the batch
+    build over the same rows (the mergeable-sketch contract, incl.
+    accumulation across two micro-batches)."""
+    from aggregator_spark.operators.sketches import cms_build
+
+    events = load_testdata(spark, SF, "events").select("event_id", "user_id")
+    src = str(tmp_path / "cms_stream")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(
+        src
+    )
+    q = (
+        cms_build(stream, "user_id")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        second.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(events, "user_id").collect()
+    }
+    assert got == want
