@@ -66,6 +66,23 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanding_zscore(events)
 
 
+ZSCORE_BUCKET_SECONDS = 86_400
+
+
+def q_zscore_outliers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened twin of `zscore_outliers`: the running-moment
+    window partitions by (user, day bucket) with exact carry-in
+    moments from the buckets-sized summary — bit-identical results
+    (same oracle), bounded per-task input under a hyper-hot user
+    (operators/anomaly.py:expanding_zscore_bucketed)."""
+    from aggregator_spark.operators.anomaly import expanding_zscore_bucketed
+
+    events = load_testdata(spark, sf_dir, "events")
+    return expanding_zscore_bucketed(
+        events, bucket_seconds=ZSCORE_BUCKET_SECONDS
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM negative log-likelihood per document
     (operators/corpus.py:bigram_logprob) — the CCNet-style LM quality
@@ -288,6 +305,7 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANALYTICS10_QUERIES = {
     "clicks_before_purchase": q_clicks_before_purchase,
     "zscore_outliers": q_zscore_outliers,
+    "zscore_outliers_bucketed": q_zscore_outliers_bucketed,
     "bigram_logprob": q_bigram_logprob,
     "dedup_span_rewrite": q_dedup_span_rewrite,
     "cms_user_counts": q_cms_user_counts,

@@ -15,9 +15,14 @@ engine. The continuous output column is floor-quantized to micro-units
 Scale design: one shuffle on the key (the window partition), O(1)
 state per row inside the partition, no self-join — the naive
 formulation is a per-key range self-join, quadratic in the hot key.
-For a hyper-hot key the same time-bucketing remedy as
-``asof_join_bucketed`` applies (carry the (n, s1, s2) summary across
-buckets); not needed at catalog scale and not implemented here.
+For a hyper-hot key, ``expanding_zscore_bucketed`` applies the same
+time-bucketing remedy as ``asof_join_bucketed``: the window
+partitions by (key, time bucket) and each bucket's carry-in moments
+(n, s1, s2) come from a cumulative window over the buckets-sized
+per-bucket summary. Because the moments are EXACT decimals, carry-in
+plus local running sums equals the global running sums exactly, so
+the bucketed form is bit-identical to the plain one (pinned by test)
+— the skew fix costs nothing in semantics.
 """
 
 from __future__ import annotations
@@ -70,6 +75,19 @@ def expanding_zscore(
         F.sum(vq).over(w).cast("double").alias("__s1"),
         F.sum(sq).over(w).cast("double").alias("__s2"),
     )
+    return _zscore_tail(stats, id_col, key_col, min_prior, sigmas)
+
+
+def _zscore_tail(
+    stats: DataFrame,
+    id_col: str,
+    key_col: str,
+    min_prior: int,
+    sigmas: float,
+) -> DataFrame:
+    """Shared projection: (__id, __k, __x, __n, __s1, __s2) → the
+    output schema. Both forms feed EXACTLY the same doubles in, so the
+    expression tree below is the single place the flag semantics live."""
     mean = F.col("__s1") / F.col("__n")
     var = F.greatest(
         F.col("__s2") / F.col("__n") - mean * mean, F.lit(0.0)
@@ -92,3 +110,101 @@ def expanding_zscore(
             F.lit(False),
         ).alias("is_anomaly"),
     )
+
+
+def expanding_zscore_bucketed(
+    events: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    min_prior: int = MIN_PRIOR,
+    sigmas: float = SIGMAS,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """``expanding_zscore`` with time-range bucketing for skewed keys —
+    bit-identical results, bounded per-task input.
+
+    The plain form windows over ``partitionBy(key)``: one hyper-hot
+    key lands its entire history on one task. Here the running-moment
+    window partitions by (key, floor(time / bucket_seconds)); the
+    moments of everything BEFORE a row's bucket arrive as carry-in,
+    computed by a cumulative window over the per-(key, bucket) summary
+    table (one row per bucket per key — built with map-side partial
+    aggregation, so the hot key never concentrates raw rows there
+    either). Decimal sums are exact, so carry-in + local running sums
+    equal the plain form's global running sums EXACTLY — same doubles,
+    same flags.
+    """
+    b = F.floor(
+        F.unix_micros(F.col("__t").cast("timestamp"))
+        / F.lit(int(bucket_seconds * 1_000_000))
+    )
+    base = events.select(
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__k"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__b", b)
+    vq = F.col("__v").cast("decimal(30,6)")
+    sq = (F.col("__v") * F.col("__v")).cast("decimal(30,6)")
+    xq = vq.cast("double")
+
+    wl = (
+        Window.partitionBy("__k", "__b")
+        .orderBy("__t", "__id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.select(
+        "__id",
+        "__k",
+        "__b",
+        xq.alias("__x"),
+        F.count(vq).over(wl).alias("__ln"),
+        F.sum(vq).over(wl).alias("__ls1"),
+        F.sum(sq).over(wl).alias("__ls2"),
+    )
+    # per-bucket totals: partial-aggregated map-side; the summary is
+    # buckets-sized, never raw-row-sized
+    totals = base.groupBy("__k", "__b").agg(
+        F.count(vq).alias("__bn"),
+        F.sum(vq).alias("__bs1"),
+        F.sum(sq).alias("__bs2"),
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        "__k",
+        "__b",
+        F.sum("__bn").over(wb).alias("__cn"),
+        F.sum("__bs1").over(wb).alias("__cs1"),
+        F.sum("__bs2").over(wb).alias("__cs2"),
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    n_total = F.coalesce("__cn", F.lit(0)) + F.col("__ln")
+    # sums stay NULL on an empty window, like the plain form's window
+    # sums — ANSI mode would otherwise throw on 0.0 / 0 in the tail
+    stats = local.join(carry, ["__k", "__b"]).select(
+        "__id",
+        "__k",
+        "__x",
+        n_total.alias("__n"),
+        F.when(
+            n_total > 0,
+            (
+                F.coalesce(F.col("__cs1"), zero)
+                + F.coalesce(F.col("__ls1"), zero)
+            ).cast("double"),
+        ).alias("__s1"),
+        F.when(
+            n_total > 0,
+            (
+                F.coalesce(F.col("__cs2"), zero)
+                + F.coalesce(F.col("__ls2"), zero)
+            ).cast("double"),
+        ).alias("__s2"),
+    )
+    return _zscore_tail(stats, id_col, key_col, min_prior, sigmas)

@@ -145,6 +145,12 @@ _CMS_BUCKET = (
     + f" % {CMS_WIDTH}"
 )
 
+# the bucketed z-score is semantics-identical to the plain form —
+# one oracle, two implementations under test (asof precedent)
+ANALYTICS10_ORACLES["zscore_outliers_bucketed"] = ANALYTICS10_ORACLES[
+    "zscore_outliers"
+]
+
 ANALYTICS10_ORACLES["cms_user_counts"] = f"""
     WITH rows_ AS (SELECT * FROM (VALUES {_CMS_ROWS}) AS r(row_)),
     occ AS (

@@ -226,7 +226,6 @@ DRIVER_WINDOW = [
     "asof_click_purchase",
     "latest_event_per_user",
     "tumbling_hourly",
-    "sliding_halfhour",
     "profile_events",
     "session_window_native",
     # stability spread: every remaining entry whose only driver row is
@@ -263,6 +262,10 @@ DRIVER_WINDOW = [
     # the r7 pool.
     "clicks_before_purchase",
     "zscore_outliers",
+    # skew-hardened z-score twin (same oracle as the plain form, the
+    # asof precedent) — displaced sliding_halfhour (r5-green,
+    # family covered by tumbling_hourly) to the r7 pool
+    "zscore_outliers_bucketed",
     "bigram_logprob",
     "dedup_span_rewrite",
     # second wave of batch 10 (never driver-checked): deterministic

@@ -244,3 +244,51 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[2]["nll"] == pytest.approx(
         sum(-math.log(x) for x in d2) / 2, abs=1e-6
     )
+
+
+def test_zscore_bucketed_bit_identical(spark):
+    from aggregator_spark.operators.anomaly import (
+        expanding_zscore,
+        expanding_zscore_bucketed,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    plain = {tuple(r) for r in expanding_zscore(events).collect()}
+    for width in (3600, 86_400):
+        bucketed = {
+            tuple(r)
+            for r in expanding_zscore_bucketed(
+                events, bucket_seconds=width
+            ).collect()
+        }
+        assert bucketed == plain  # exact carry-in == global moments
+
+
+def test_zscore_bucketed_carry_crosses_buckets(spark):
+    # history strictly in earlier buckets: every prior moment must
+    # arrive via carry-in (the local window is empty for each row)
+    from aggregator_spark.operators.anomaly import (
+        expanding_zscore,
+        expanding_zscore_bucketed,
+    )
+
+    rows = [
+        (i, 1, _ts(i * 7200), float(10 + (i % 3)))  # one row per 2h bucket
+        for i in range(8)
+    ]
+    rows.append((99, 1, _ts(9 * 7200), 50.0))  # outlier, all carry-in
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    plain = {tuple(r) for r in expanding_zscore(df).collect()}
+    buck = {
+        tuple(r)
+        for r in expanding_zscore_bucketed(df, bucket_seconds=7200).collect()
+    }
+    assert buck == plain
+    flagged = {r[0] for r in buck if r[4]}
+    assert flagged == {99}

@@ -465,3 +465,16 @@ def test_pmi_distributed_topk(plans):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert p.count("+- BroadcastNestedLoopJoin") <= 2
+
+
+def test_zscore_bucketed_windows_on_key_and_bucket(plans):
+    """The skew-hardened z-score's running-moment window partitions by
+    (key, time bucket), with the carry-in computed on the buckets-sized
+    summary — no cartesian, no join back to raw history."""
+    p = plans("zscore_outliers_bucketed")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # two windows: the local (key, bucket) running moments and the
+    # per-key cumulative carry over the bucket summary
+    assert p.count("+- Window") == 2
+    assert "partial_count" in p or "partial_sum" in p  # summary partials
