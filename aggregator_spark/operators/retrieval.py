@@ -77,10 +77,14 @@ def bm25_stats(postings: DataFrame) -> tuple[DataFrame, DataFrame]:
     roll up exactly (df adds, n_docs adds, avgdl from summed dl)."""
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus scalars from postings: docs = distinct doc rows, dl is
-    # repeated per (doc, term) so take it once per doc
+    # repeated per (doc, term) so take it once per doc. sum_dl is kept
+    # alongside the derived avgdl so stored scalar rows from disjoint
+    # ingest batches MERGE exactly (n_docs and sum_dl add; avgdl
+    # re-derives) — pinned by test
     per_doc = postings.select("doc_id", "dl").distinct()
     scalars = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     return dfreq, scalars

@@ -221,3 +221,36 @@ def test_bm25_shared_term_across_queries_not_double_counted(spark):
     # punctuated query text tokenizes like the corpus side
     hyph = bm25_search(docs, [(0, "spark-merge")]).collect()
     assert {r["doc_id"] for r in hyph} == {1, 2}
+
+
+def test_bm25_index_tables_roll_up_across_batches(spark):
+    """The ingest-index claim: postings/df/scalars from disjoint
+    batches merge into exactly the full-corpus tables (df and n_docs/
+    sum_dl add; avgdl re-derives) — what incremental ingest relies on."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.retrieval import (
+        bm25_postings,
+        bm25_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    pa, pb = bm25_postings(half_a), bm25_postings(half_b)
+    full_df, full_sc = bm25_stats(bm25_postings(docs))
+
+    dfa, sca = bm25_stats(pa)
+    dfb, scb = bm25_stats(pb)
+    merged_df = (
+        dfa.unionByName(dfb).groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    assert sorted(map(tuple, merged_df.collect())) == sorted(
+        map(tuple, full_df.collect())
+    )
+    a, b = sca.collect()[0], scb.collect()[0]
+    want = full_sc.collect()[0]
+    n = a["n_docs"] + b["n_docs"]
+    s = a["sum_dl"] + b["sum_dl"]
+    assert (n, s) == (want["n_docs"], want["sum_dl"])
+    assert s / n == want["avgdl"]  # same division shape re-derives it
