@@ -97,3 +97,70 @@ def test_stream_static_enrich(spark, tmp_path):
         2: ("bob", "basic"),
         3: (None, None),  # user 99 not in the dim: kept, not dropped
     }
+
+
+def test_attribution_join_matches_batch_interval_join(spark, tmp_path):
+    """Family consistency: the watermarked stream-stream attribution
+    join produces exactly the pairs the BATCH interval join does on
+    the same log (inclusive-both-ends attribution window == interval
+    join's half-open window nudged +1us on the upper bound)."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.asof import interval_join
+
+    events = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    src = str(tmp_path / "events_attr_parity")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).parquet(src)
+    q = (
+        attribution_join(stream, attribution="1 hour", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_parity_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_parity"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attr_parity_out").collect()
+    }
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    want = {
+        (r["purchase_id"], r["r_click_id"])
+        for r in interval_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_time="ts",
+            right_time="click_ts",
+            right_cols=["click_id"],
+            lower_seconds=-3600,
+            upper_seconds=0.000001,  # half-open +1us == inclusive <=
+        ).collect()
+    }
+    assert got == want and len(want) > 0
