@@ -185,9 +185,24 @@ def expanding_zscore_bucketed(
     )
     zero = F.lit(0).cast("decimal(30,6)")
     n_total = F.coalesce("__cn", F.lit(0)) + F.col("__ln")
+    # NULL-SAFE join keys: the plain form keeps NULL-key rows (one
+    # window partition) and NULL-time rows; a null-unsafe equi-join
+    # here would silently drop them and break the bit-parity contract
+    carry = carry.select(
+        F.col("__k").alias("__ck"),
+        F.col("__b").alias("__cb"),
+        "__cn",
+        "__cs1",
+        "__cs2",
+    )
+    joined = local.join(
+        carry,
+        local["__k"].eqNullSafe(carry["__ck"])
+        & local["__b"].eqNullSafe(carry["__cb"]),
+    )
     # sums stay NULL on an empty window, like the plain form's window
     # sums — ANSI mode would otherwise throw on 0.0 / 0 in the tail
-    stats = local.join(carry, ["__k", "__b"]).select(
+    stats = joined.select(
         "__id",
         "__k",
         "__x",

@@ -952,7 +952,9 @@ def semantic_contamination_flags(
     overlap misses).
 
     Returns (vec_id, max_probe_cosine, contaminated) for every
-    NON-probe vector.
+    NON-probe vector — including when the probe set is EMPTY
+    (max_probe_cosine NULL, contaminated false), so a caller joining
+    the flags back never silently drops the corpus.
 
     Scale shape: identical to the brute ANN scorer — the probe set
     broadcasts (a benchmark is small by definition), the corpus
@@ -969,7 +971,7 @@ def semantic_contamination_flags(
         F.col("vec").alias("pvec"), F.col("vnorm").alias("pnorm")
     )
     corpus = scatter(base.filter(~is_probe))
-    return (
+    scored = (
         corpus.join(F.broadcast(probes))
         .withColumn(
             "cos",
@@ -981,11 +983,18 @@ def semantic_contamination_flags(
         )
         .groupBy(id_col)
         .agg(F.max("cos").alias("max_probe_cosine"))
+    )
+    # totality: the cross join yields NOTHING when the probe set is
+    # empty — re-anchor on the corpus ids so every non-probe vector
+    # gets a row (NULL max -> contaminated false via coalesce)
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
         .select(
             id_col,
             "max_probe_cosine",
-            (F.col("max_probe_cosine") >= F.lit(threshold)).alias(
-                "contaminated"
-            ),
+            F.coalesce(
+                F.col("max_probe_cosine") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
         )
     )

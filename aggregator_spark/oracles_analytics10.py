@@ -313,9 +313,10 @@ ANALYTICS10_ORACLES["semantic_decontaminate"] = f"""
                           * sqrt(list_dot_product(p.vec, p.vec))),
                  6)) AS max_probe_cosine
       FROM c CROSS JOIN p GROUP BY c.vec_id)
-    SELECT vec_id, max_probe_cosine,
-           max_probe_cosine >= {SEMDECON_THRESHOLD} AS contaminated
-    FROM s
+    SELECT c.vec_id, s.max_probe_cosine,
+           COALESCE(s.max_probe_cosine >= {SEMDECON_THRESHOLD}, FALSE)
+             AS contaminated
+    FROM c LEFT JOIN s ON c.vec_id = s.vec_id
 """
 
 ANALYTICS10_ORACLES["pmi_collocations"] = f"""

@@ -254,3 +254,20 @@ def test_bm25_index_tables_roll_up_across_batches(spark):
     s = a["sum_dl"] + b["sum_dl"]
     assert (n, s) == (want["n_docs"], want["sum_dl"])
     assert s / n == want["avgdl"]  # same division shape re-derives it
+
+
+def test_semantic_flags_total_under_empty_probe_set(spark):
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.similarity import (
+        semantic_contamination_flags,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 8)],  # no multiple of 20
+        "vec_id long, embedding array<float>",
+    )
+    got = semantic_contamination_flags(emb, probe_mod=20).collect()
+    assert len(got) == 7  # every non-probe vector present
+    assert all(r["max_probe_cosine"] is None for r in got)
+    assert all(r["contaminated"] is False for r in got)

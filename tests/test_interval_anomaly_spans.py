@@ -292,3 +292,30 @@ def test_zscore_bucketed_carry_crosses_buckets(spark):
     assert buck == plain
     flagged = {r[0] for r in buck if r[4]}
     assert flagged == {99}
+
+
+def test_zscore_bucketed_keeps_null_key_and_time_rows(spark):
+    # the plain form emits rows for NULL user_id (one window
+    # partition) and NULL ts (sorts first); the bucketed twin's join
+    # must be null-safe or those rows silently vanish
+    from aggregator_spark.operators.anomaly import (
+        expanding_zscore,
+        expanding_zscore_bucketed,
+    )
+
+    rows = [
+        (1, None, _ts(0), 1.0),
+        (2, None, _ts(10), 2.0),
+        (3, 7, None, 3.0),
+        (4, 7, _ts(20), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    plain = {tuple(r) for r in expanding_zscore(df).collect()}
+    buck = {
+        tuple(r)
+        for r in expanding_zscore_bucketed(df, bucket_seconds=60).collect()
+    }
+    assert len(plain) == 4
+    assert buck == plain

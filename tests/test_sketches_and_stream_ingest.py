@@ -109,10 +109,10 @@ def test_scanlog_stream_feeds_daily_ingest(spark, tmp_path):
 
 def test_cms_counters_streaming_equals_batch(spark, tmp_path):
     """The Count-Min counter build is pure relational ops (explode +
-    additive agg), so the SAME function runs unchanged on a stream in
-    update mode — and the final counter table must equal the batch
-    build over the same rows (the mergeable-sketch contract, incl.
-    accumulation across two micro-batches)."""
+    additive agg), so the SAME function runs unchanged on a stream
+    (complete output mode — the sink holds the current counter table)
+    and must equal the batch build over the same rows (the mergeable-
+    sketch contract, incl. accumulation across two micro-batches)."""
     from aggregator_spark.operators.sketches import cms_build
 
     events = load_testdata(spark, SF, "events").select("event_id", "user_id")
