@@ -23,6 +23,14 @@ per-bucket summary. Because the moments are EXACT decimals, carry-in
 plus local running sums equals the global running sums exactly, so
 the bucketed form is bit-identical to the plain one (pinned by test)
 — the skew fix costs nothing in semantics.
+
+Value envelope: |value| must stay below ~1e12, so that value**2 fits
+decimal(30,6) (24 integer digits). Outside the envelope the non-ANSI
+decimal cast would silently NULL the square while count() still saw
+the row — variance would under-sum and the zero-variance branch would
+then flag everything — so the operator RAISES on envelope violations
+instead (guarded square below). The streaming twin documents the same
+envelope; NaN/NULL values are exempt (skipped like NULLs everywhere).
 """
 
 from __future__ import annotations
@@ -31,6 +39,37 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 MIN_PRIOR = 5  # fewer earlier observations than this -> never flagged
 SIGMAS = 3.0
+
+
+def _guarded_square(col: str = "__v"):
+    """value**2 as decimal(30,6), raising on envelope overflow.
+
+    Non-ANSI cast overflow yields NULL; a non-NULL, non-NaN value whose
+    square cast is NULL is therefore outside the |value| < ~1e12
+    envelope and must fail loudly (silent NULL corrupts the variance —
+    ADVICE r6). NaN casts to NULL too and is a legitimate skip, not an
+    overflow.
+    """
+    v = F.col(col)
+    # try_cast, not cast: ANSI mode (the Spark 4 default) would raise
+    # its own NUMERIC_VALUE_OUT_OF_RANGE inside the cast (and CAST
+    # errors on NaN, which must stay a skip); try_cast yields NULL in
+    # BOTH ANSI modes so the envelope check below is the single,
+    # uniform failure path
+    raw = (v * v).try_cast("decimal(30,6)")
+    overflow = v.isNotNull() & ~F.isnan(v.cast("double")) & raw.isNull()
+    return F.when(
+        overflow,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "expanding_zscore: |value| exceeds the decimal(30,6)"
+                    " envelope (~1e12): "
+                ),
+                v.cast("string"),
+            )
+        ),
+    ).otherwise(raw)
 
 
 def expanding_zscore(
@@ -57,8 +96,11 @@ def expanding_zscore(
         .orderBy("__t", "__id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    vq = F.col("__v").cast("decimal(30,6)")
-    sq = (F.col("__v") * F.col("__v")).cast("decimal(30,6)")
+    # try_cast: NaN must quantize to NULL (a skip) without tripping
+    # the ANSI cast; magnitude overflow of the VALUE itself is caught
+    # by the tighter square-envelope guard
+    vq = F.col("__v").try_cast("decimal(30,6)")
+    sq = _guarded_square()
     xq = vq.cast("double")
 
     base = events.select(
@@ -138,7 +180,7 @@ def expanding_zscore_bucketed(
     """
     b = F.floor(
         F.unix_micros(F.col("__t").cast("timestamp"))
-        / F.lit(int(bucket_seconds * 1_000_000))
+        / F.lit(int(round(bucket_seconds * 1_000_000)))
     )
     base = events.select(
         F.col(id_col).alias("__id"),
@@ -146,8 +188,11 @@ def expanding_zscore_bucketed(
         F.col(time_col).alias("__t"),
         F.col(value_col).alias("__v"),
     ).withColumn("__b", b)
-    vq = F.col("__v").cast("decimal(30,6)")
-    sq = (F.col("__v") * F.col("__v")).cast("decimal(30,6)")
+    # try_cast: NaN must quantize to NULL (a skip) without tripping
+    # the ANSI cast; magnitude overflow of the VALUE itself is caught
+    # by the tighter square-envelope guard
+    vq = F.col("__v").try_cast("decimal(30,6)")
+    sq = _guarded_square()
     xq = vq.cast("double")
 
     wl = (

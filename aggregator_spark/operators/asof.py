@@ -329,9 +329,14 @@ def interval_join(
         raise ValueError("upper_seconds must exceed lower_seconds")
     if bucket_seconds is None:
         bucket_seconds = upper_seconds - lower_seconds
-    b_us = int(bucket_seconds * 1_000_000)
-    lo_us = int(lower_seconds * 1_000_000)
-    up_us = int(upper_seconds * 1_000_000)
+    # round, not int(): int() truncates toward zero, so a fractional-
+    # second bound whose microsecond product is not exactly binary-
+    # representable (e.g. 0.7 * 1e6 = 699999.9999...) would land 1us
+    # inside the intended bound, and truncation != floor for negative
+    # lower bounds (ADVICE r6)
+    b_us = int(round(bucket_seconds * 1_000_000))
+    lo_us = int(round(lower_seconds * 1_000_000))
+    up_us = int(round(upper_seconds * 1_000_000))
     if b_us <= 0:
         raise ValueError("bucket_seconds must be positive")
 

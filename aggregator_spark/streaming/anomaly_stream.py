@@ -86,9 +86,13 @@ def _zscore_fn(min_prior: int, sigmas: float):
         # is per micro-batch, so concatenate before sorting; per-chunk
         # sorts would interleave chunks in source order
         chunks = [p for p in pdf_iter]
+        # na_position='first': the batch window orderBy('__t','__id')
+        # sorts NULL timestamps FIRST (Spark asc_nulls_first default);
+        # pandas defaults NaT last, which would break bit-parity for a
+        # key mixing NULL and non-NULL ts in one micro-batch (ADVICE r6)
         pdf = (
             pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        ).sort_values(["ts", "event_id"])
+        ).sort_values(["ts", "event_id"], na_position="first")
         for eid, v in zip(pdf["event_id"], pdf["value"]):
             v = None if v is None else float(v)
             if v is None or math.isnan(v):

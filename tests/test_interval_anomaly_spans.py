@@ -319,3 +319,127 @@ def test_zscore_bucketed_keeps_null_key_and_time_rows(spark):
     }
     assert len(plain) == 4
     assert buck == plain
+
+
+# ------------------------------------------------------- r7 ADVICE pins
+
+
+def test_zscore_envelope_overflow_raises(spark):
+    # |value| > ~1e12 overflows the decimal(30,6) square; the non-ANSI
+    # cast would NULL it silently (variance under-sums, zero-variance
+    # branch then flags everything) — the operator must RAISE instead
+    rows = [(i, 1, _ts(i), 10.0) for i in range(6)]
+    rows.append((99, 1, _ts(9), 2.0e12))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    with pytest.raises(Exception, match="envelope"):
+        expanding_zscore(df).collect()
+
+
+def test_zscore_nan_and_null_values_do_not_raise(spark):
+    # NaN casts to NULL like a missing value — a legitimate skip, not
+    # an envelope overflow; NULL values likewise
+    rows = [
+        (1, 1, _ts(0), float("nan")),
+        (2, 1, _ts(1), None),
+        (3, 1, _ts(2), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {r["event_id"]: r for r in expanding_zscore(df).collect()}
+    assert len(got) == 3
+    assert got[3]["n_prior"] == 0  # NaN/NULL contributed nothing
+
+
+def test_zscore_stream_null_ts_parity(spark, tmp_path):
+    # a key mixing NULL and non-NULL ts in ONE micro-batch: the batch
+    # window sorts NULL ts FIRST (asc_nulls_first), so the streaming
+    # twin's pandas sort must use na_position='first' (pandas defaults
+    # NaT LAST, which reorders the running moments) — ADVICE r6
+    from aggregator_spark.streaming.anomaly_stream import (
+        zscore_outliers_stream,
+    )
+
+    rows = [(1, 7, None, 100.0)]
+    rows += [(2 + i, 7, _ts(i), 10.0 + i) for i in range(7)]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    src = str(tmp_path / "null_ts_stream")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        zscore_outliers_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zscore_null_ts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_null_ts"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["event_id"]: (r["n_prior"], r["z_micro"], r["is_anomaly"])
+        for r in spark.sql("SELECT * FROM zscore_null_ts").collect()
+    }
+    want = {
+        r["event_id"]: (r["n_prior"], r["z_micro"], r["is_anomaly"])
+        for r in expanding_zscore(events).collect()
+    }
+    assert want[2][0] == 1  # the NULL-ts row IS the first prior
+    assert got == want
+
+
+def test_interval_join_fractional_second_bounds(spark):
+    # int() truncates toward zero: lower=0.7 became 699999us (admits a
+    # pair 1us early) and lower=-0.7 became -699999us (drops the exact
+    # boundary pair) — bounds must round to the intended microsecond
+    left = spark.createDataFrame([(1, 1, T0)], "lid long, k long, t timestamp")
+
+    def pairs(lo, up, rt_offsets_us):
+        right = spark.createDataFrame(
+            [(1, T0 + dt.timedelta(microseconds=o)) for o in rt_offsets_us],
+            "k long, rt timestamp",
+        )
+        got = interval_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="rt",
+            right_cols=["rt"],
+            lower_seconds=lo,
+            upper_seconds=up,
+        )
+        return {
+            int((r["r_rt"] - T0).total_seconds() * 1e6 + 0.5)
+            * (1 if r["r_rt"] >= T0 else 1)
+            for r in got.collect()
+        }
+
+    # lower inclusive at exactly +0.7s: 699_999us out, 700_000us in
+    assert pairs(0.7, 1.0, [699_999, 700_000]) == {700_000}
+    # negative lower bound: exactly -0.7s must be INCLUDED
+    right = spark.createDataFrame(
+        [(1, T0 - dt.timedelta(microseconds=700_000))],
+        "k long, rt timestamp",
+    )
+    got = interval_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="rt",
+        right_cols=["rt"],
+        lower_seconds=-0.7,
+        upper_seconds=0.1,
+    ).collect()
+    assert len(got) == 1
