@@ -490,6 +490,7 @@ def lsh_candidate_pairs_incremental(
     n: int = DEFAULT_SHINGLE,
     corpus_buckets: DataFrame | None = None,
     new_docs: DataFrame | None = None,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs touching the NEW batch only: the batch's LSH
     buckets (semi-joined down to ``new_ids``) joined against the full
@@ -502,16 +503,28 @@ def lsh_candidate_pairs_incremental(
     index makes batch-proportional; without it the whole corpus is
     re-signed (the self-contained form). ``new_docs`` (the batch rows,
     when the caller already has them as a pushed filter) skips the
-    docs⋈new_ids semi join in that branch."""
+    docs⋈new_ids semi join in that branch. ``new_buckets`` (the
+    batch's own persisted (doc_id, band, bucket) table — a pipeline
+    signs a landed batch ONCE, then both dedup and the later index
+    append reuse it) skips the batch signing too; construction is
+    deterministic md5, so a persisted batch table is bit-identical to
+    signing fresh."""
     if corpus_buckets is None:
+        if new_buckets is not None:
+            raise ValueError("new_buckets requires corpus_buckets")
         buckets = lsh_buckets(docs, id_col, text_col, k, bands, n)
         new_buckets = buckets.join(new_ids, "doc_id", "semi")
     else:
-        if new_docs is None:
-            new_docs = docs.join(
-                new_ids.select(F.col("doc_id").alias(id_col)), id_col, "semi"
-            )
-        new_buckets = lsh_buckets(new_docs, id_col, text_col, k, bands, n)
+        if new_buckets is None:
+            if new_docs is None:
+                new_docs = docs.join(
+                    new_ids.select(F.col("doc_id").alias(id_col)),
+                    id_col,
+                    "semi",
+                )
+            new_buckets = lsh_buckets(new_docs, id_col, text_col, k, bands, n)
+        else:
+            new_buckets = new_buckets.select("doc_id", "band", "bucket")
         buckets = corpus_buckets.select("doc_id", "band", "bucket").union(
             new_buckets
         )
@@ -538,13 +551,16 @@ def minhash_dedup_incremental(
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
     corpus_buckets: DataFrame | None = None,
+    new_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental fuzzy dedup: a NEW batch (rows where the ``is_new``
     Column is true) deduped against the EXISTING corpus (the rest) and
     within itself, without ever comparing existing docs to each other —
     the shape a crawl pipeline runs per snapshot against its index.
     Pass ``corpus_buckets`` (persisted from the prior run) to skip
-    re-signing the corpus — see ``lsh_candidate_pairs_incremental``.
+    re-signing the corpus, and ``new_buckets`` (the batch signed once
+    at landing) to skip the batch signing too — see
+    ``lsh_candidate_pairs_incremental``.
 
     Candidate generation joins only the new batch's LSH buckets against
     the full bucket table, so candidate cost is O(new-batch buckets),
@@ -569,7 +585,7 @@ def minhash_dedup_incremental(
     new_ids = ids.filter("is_new").select("doc_id")
     cand = lsh_candidate_pairs_incremental(
         ids, new_ids, "doc_id", "text", k, bands, n, corpus_buckets,
-        new_docs=ids.filter("is_new"),
+        new_docs=ids.filter("is_new"), new_buckets=new_buckets,
     ).localCheckpoint(eager=True)
     edges = verified_jaccard_pairs(ids, cand, "doc_id", "text", n, threshold)
     # node set for labeling: derived from the CHECKPOINTED candidate

@@ -108,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
     from aggregator_spark.oracles_analytics10 import ANALYTICS10_ORACLES
     from aggregator_spark.oracles_graph import GRAPH_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
+    from aggregator_spark.oracles_pipeline import PIPELINE_ORACLES
 
     oracles.update(ANALYTICS_ORACLES)
     oracles.update(ANALYTICS2_ORACLES)
@@ -121,4 +122,5 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(ANALYTICS10_ORACLES)
     oracles.update(GRAPH_ORACLES)
     oracles.update(LLM_ORACLES)
+    oracles.update(PIPELINE_ORACLES)
     return oracles

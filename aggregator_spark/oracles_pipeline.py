@@ -1,0 +1,106 @@
+"""DuckDB oracle for the composed corpus-preparation pipeline
+(``corpus_prepare_e2e`` — llm_queries.q_corpus_prepare_e2e).
+
+The oracle is assembled from the SAME SQL fragments that already
+hash-match each stage on its own (keep-list verdict, MinHash-LSH fuzzy
+dedup, span-removal rewrite, chunk + pack), re-targeted at the
+upstream stage's output instead of the raw ``documents`` table — so
+the composition can never drift from its graded parts. Fragments are
+re-targeted by a controlled ``FROM documents`` substitution; the
+asserts below fail the import if a fragment's shape changes."""
+
+from __future__ import annotations
+
+from aggregator_spark.llm_queries import JACCARD_THRESHOLD
+from aggregator_spark.operators.corpus import (
+    DEFAULT_PACK_BUDGET,
+    DEFAULT_PACK_GROUPS,
+)
+from aggregator_spark.oracles_analytics10 import ANALYTICS10_ORACLES
+from aggregator_spark.oracles_llm import (
+    LLM_ORACLES,
+    _BAND_SELECTS,
+    _CHUNKS,
+    _MH_COLS,
+    _SHINGLES,
+)
+
+
+def _retarget(fragment: str, new_src: str, expect: int = 1) -> str:
+    """Point a fragment's ``FROM documents`` at an upstream CTE."""
+    n = fragment.count("FROM documents")
+    assert n == expect, f"fragment shape changed: {n} != {expect}"
+    return fragment.replace("FROM documents", f"FROM {new_src}")
+
+
+# fuzzy-dedup signature CTEs over the quality survivors
+_SH_Q = _retarget(_SHINGLES, "qsurv")
+# span-removal rewrite over the fuzzy-kept corpus (df within kept set)
+_SPAN_KEPT = _retarget(ANALYTICS10_ORACLES["dedup_span_rewrite"], "fkept")
+# chunking over the non-empty rewritten text
+_CHUNKS_RW = _retarget(_CHUNKS, "src2")
+
+PIPELINE_ORACLES = {
+    "corpus_prepare_e2e": f"""
+    WITH keepq AS ({LLM_ORACLES["corpus_keep_list"]}),
+    qsurv AS (
+      SELECT d.* FROM documents d JOIN keepq k USING (doc_id)
+      WHERE k.keep),
+    fz AS (
+      WITH RECURSIVE {_SH_Q},
+      sigs AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh),
+      buckets AS (
+{_BAND_SELECTS}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id),
+      ver AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS ic,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        WHERE ic > 0
+          AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+              >= {JACCARD_THRESHOLD}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        UNION
+        SELECT doc_b, doc_a FROM ver),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT q.doc_id FROM qsurv q LEFT JOIN comp c ON q.doc_id = c.node
+      WHERE q.doc_id = COALESCE(c.component, q.doc_id)),
+    fkept AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN fz USING (doc_id)),
+    rewritten AS (
+      SELECT doc_id, clean_text FROM ({_SPAN_KEPT})),
+    src2 AS (
+      SELECT doc_id, clean_text AS text FROM rewritten
+      WHERE clean_text <> ''),
+    packed AS (
+      WITH {_CHUNKS_RW}
+      SELECT doc_id, chunk_id,
+             CAST(doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group,
+             n_tokens
+      FROM chunks)
+    SELECT doc_id, chunk_id, pack_group,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin,
+           n_tokens
+    FROM packed
+""",
+}

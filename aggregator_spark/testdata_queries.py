@@ -183,16 +183,18 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (dict insertion order), so the window is an explicit, tested artifact
 # rotated per round to convert local green into driver CORRECTNESS rows.
-# After round 5 every catalog entry has at least one driver row; the
-# round-6 window leads with the §2-parity block (green every round),
-# then the round-6 fixes, the gated approximates, the past-error-
-# history re-pins, and the round's NEW entries (never driver-checked →
-# they must sit in the window). Displaced r1-green entries wait in the
-# r7 rotation pool — the full list lives in HANDOFF.md §Next-round;
-# all of them stay covered by the local full sweep (test_entry_oracle
-# runs EVERY oracle at both SFs), displacement only defers driver rows.
+# Round-7 window (VERDICT r6 item 1): the §2-parity block first (fresh
+# §2 rows every round), then this round's NEW composed-pipeline entry,
+# then the FULL 29-entry displaced pool whose latest driver row was
+# round 1, then the oldest round-4 rows — after this round nothing is
+# older than r4, and the r8 rotation (remaining r4 + r5 pool, ~54
+# entries over two rounds) leaves nothing older than r6. Everything
+# displaced stays covered by the local full sweep (test_entry_oracle
+# runs EVERY oracle at both SFs); displacement only defers driver rows.
+# The r6 window's entries (all green in CORRECTNESS_r06) rotate out.
 DRIVER_WINDOW = [
-    # reference §2 parity (the core aggregation pipeline)
+    # reference §2 parity (the core aggregation pipeline) — stays
+    # first every round so each §2 operator always has a fresh row
     "daily_counts",
     "amplified_counts",
     "incremental_daily_counts",
@@ -204,88 +206,53 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # round-6 fixes needing green proof: the r5 red row (array
-    # serialization) and the two raw-timestamp queries the schema lint
-    # caught; plus the new skew-hardened as-of twin and the real-demux
-    # video sampler
-    "user_type_arrays",
-    "tpch_q3",
-    "tpch_q18_big_orders",
-    "asof_click_purchase_bucketed",
-    "video_frames",
-    # round-6 changed/new: rows-only approximates carrying runtime
-    # accuracy gates (recall@k / rel-error / rank-error assert_true in
-    # the plan); approx_quantiles_daily is new in r6
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "approx_distinct_daily",
-    "approx_quantiles_daily",
-    # past-error-history re-pins (VERDICT r5 §next-round item 2)
-    "embedding_normalize",
-    "embedding_quantize",
-    "sessionize",
-    "asof_click_purchase",
-    "latest_event_per_user",
-    "tumbling_hourly",
-    "profile_events",
-    "session_window_native",
-    # stability spread: every remaining entry whose only driver row is
-    # from round 1
-    # round-7 additions (never driver-checked -> must sit in the
-    # window): SemDeDup semantic dedup, the end-to-end verified fuzzy
-    # dedup pipeline, temperature-weighted corpus mixing, duplicated-
-    # span stats, and the composed quality-gate keep list. Displaced
-    # json_props / string_funcs / median_value / grouping_sets_daily /
-    # tpch_q11_important_stock (r1-green, pytest-pinned) to the r7
-    # rotation pool.
-    "semantic_dedup",
-    "dedup_fuzzy_keep",
-    "temperature_mix",
-    "dup_span_stats",
-    "corpus_keep_list",
-    # late round-6 additions (never driver-checked): incremental
-    # new-batch-vs-corpus fuzzy dedup, Misra-Gries exact heavy
-    # hitters, moment-exact per-group regression, asymmetric n-gram
-    # containment. Displaced tpch_q16_supplier_cnt /
-    # tpch_q19_disjunctive / tpch_q22_idle / value_bands (r1-green,
-    # re-verified in this round's full-sweep) to the r7 pool.
-    "dedup_incremental",
-    "heavy_bigrams",
-    "regr_value_by_type",
-    "ngram_containment_pairs",
-    # data-quality audit report (operators/dq.py) — displaced
-    # tpch_q14_promo (r1-green, re-verified) to the r7 pool
-    "dq_report",
-    # catalog batch 10 (never driver-checked): interval join,
-    # expanding z-score outliers, bigram LM scoring, duplicated-span
-    # removal rewrite. Displaced tpch_q5 / tpch_q6 / unpivot_daily /
-    # rollup_orders (r1-green, re-verified in this round's sweep) to
-    # the r7 pool.
-    "clicks_before_purchase",
-    "zscore_outliers",
-    # skew-hardened z-score twin (same oracle as the plain form, the
-    # asof precedent) — displaced sliding_halfhour (r5-green,
-    # family covered by tumbling_hourly) to the r7 pool
-    "zscore_outliers_bucketed",
-    "bigram_logprob",
-    "dedup_span_rewrite",
-    # second wave of batch 10 (never driver-checked): deterministic
-    # Count-Min sketch round trip, BM25 retrieval top-k, DSIR
-    # importance weights. Displaced set_ops_users / pivot_daily /
-    # distinct_users_daily (r1-green, re-verified) to the r7 pool.
-    "cms_user_counts",
-    "bm25_search",
-    "dsir_weights",
-    # BPE tokenizer training + corpus encoding (never driver-checked).
-    # Displaced salted_type_counts / tpch_q4_semi (r1-green,
-    # re-verified) to the r7 pool.
-    "bpe_merges",
-    "bpe_encode_docs",
-    # PPMI collocations + semantic decontamination (never
-    # driver-checked). Displaced tpch_q10_returns and
-    # tpch_q7_nation_pairs (r1-green, re-verified) to the r7 pool.
-    "pmi_collocations",
-    "semantic_decontaminate",
+    # round-7 NEW entry (never driver-checked -> must sit in the
+    # window): the composed corpus-preparation pipeline
+    "corpus_prepare_e2e",
+    # r7 rotation (VERDICT r6 item 1): the ENTIRE displaced pool whose
+    # latest driver row is round 1 — five rounds of code motion since
+    # their last driver check, covered only by local sweeps until now
+    "tpch_q2_min_supp",
+    "tpch_q4_semi",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7_nation_pairs",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q20_nested_in",
+    "tpch_q21_waiting",
+    "tpch_q22_idle",
+    "unpivot_daily",
+    "rollup_orders",
+    "set_ops_users",
+    "pivot_daily",
+    "distinct_users_daily",
+    "salted_type_counts",
+    "value_bands",
+    "json_props",
+    "string_funcs",
+    "median_value",
+    "grouping_sets_daily",
+    # oldest remaining rows (round 4) — fill the window so the r8
+    # rotation can finish the r4/r5 pool and leave nothing older
+    # than r6
+    "tpch_q1",
+    "tpch_q12_priority",
+    "top_events_per_type",
+    "sliding_halfhour",
+    "tfidf_top_terms",
+    "vocab_edit_pairs",
+    "top_bigrams",
+    "token_stats",
+    "text_quality",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -271,3 +271,24 @@ def test_semantic_flags_total_under_empty_probe_set(spark):
     assert len(got) == 7  # every non-probe vector present
     assert all(r["max_probe_cosine"] is None for r in got)
     assert all(r["contaminated"] is False for r in got)
+
+
+def test_dedup_incremental_served_equals_self_contained(spark, tmp_path):
+    # the bench accounting split (dedup_batch_sign +
+    # dedup_incremental_serve) must not change results: a persisted
+    # batch bucket table is bit-identical to signing the batch fresh
+    # (deterministic md5 construction)
+    from aggregator_spark.llm_queries import (
+        dedup_incremental_batch_buckets,
+        q_dedup_incremental,
+        q_dedup_incremental_served,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    p = str(tmp_path / "batch_buckets")
+    dedup_incremental_batch_buckets(spark, sf).write.parquet(p)
+    served = q_dedup_incremental_served(spark, sf, spark.read.parquet(p))
+    got = {tuple(r) for r in served.collect()}
+    want = {tuple(r) for r in q_dedup_incremental(spark, sf).collect()}
+    assert got == want
+    assert len(got) > 0
