@@ -230,13 +230,19 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_audio_features,
     )
 
-    # Deliberately NOT scatter()ed: the fixture payloads are ~100-byte
-    # synthetics, so the repartition exchange costs more than the codec
-    # work it would parallelize (measured 0.9s→1.6s at sf0.1). At real
-    # payload scale the media table arrives as many splits (scatter
-    # no-ops) and the codec work dominates — the policy case SCALE.md
-    # describes; this query's job is the value-checked codec round-trip.
+    # Fan the doc_id column out to a HANDFUL of partitions, not full
+    # scatter(): the sf0.1 documents file arrives as ONE split, which
+    # serializes the codec work on one core — but each extra partition
+    # also costs a Python-worker round trip, and at fixture payload
+    # size that overhead passes the codec win quickly (isolated warm,
+    # sf0.1: 1 part → 0.78 s, 8 → 0.45 s, 32 (full scatter) → 1.08 s,
+    # 64 → 1.70 s). The repartition ships only 8-byte ids. At real
+    # payload scale the media table arrives as many splits (the branch
+    # no-ops) and per-row codec work dominates — SCALE.md's policy.
     docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    from aggregator_spark.operators.util import scatter
+
+    docs = scatter(docs, partitions=8)
     media_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -314,8 +320,15 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from aggregator_spark.operators.multimodal import sample_video_frames
 
-    # not scatter()ed — same fixture-scale reasoning as q_media_features
-    docs = load_testdata(spark, sf_dir, "documents").select("doc_id")
+    # same bounded 8-way fan-out as q_media_features (one input split
+    # otherwise serializes the demux on one core; full scatter costs
+    # more in Python-worker round trips than it buys at fixture size)
+    from aggregator_spark.operators.util import scatter
+
+    docs = scatter(
+        load_testdata(spark, sf_dir, "documents").select("doc_id"),
+        partitions=8,
+    )
     media_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
