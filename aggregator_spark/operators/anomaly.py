@@ -29,8 +29,11 @@ decimal(30,6) (24 integer digits). Outside the envelope the non-ANSI
 decimal cast would silently NULL the square while count() still saw
 the row — variance would under-sum and the zero-variance branch would
 then flag everything — so the operator RAISES on envelope violations
-instead (guarded square below). The streaming twin documents the same
-envelope; NaN/NULL values are exempt (skipped like NULLs everywhere).
+instead (guarded square below). NaN/NULL values are exempt (skipped
+like NULLs everywhere). The streaming twin has its own, narrower
+envelope (int64 micro-unit accumulation: |value| ≤ ~3e4 over 1e9 rows
+per key — see streaming/anomaly_stream.py); inside that envelope the
+two are bit-identical.
 """
 
 from __future__ import annotations

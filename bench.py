@@ -113,6 +113,18 @@ def main() -> None:
         ("bm25_index_build", bm25_cache_dir, cached_bm25_postings),
         ("bpe_dict_build", bpe_cache_dir, cached_bpe_merges),
     ]
+
+    # SPARK_GRAFT_KEYS: comma list restricting the run to named keys
+    # (catalog, ingest, and split keys alike) — used for the sf1
+    # scaling point, where only the headline families run against the
+    # 10x directory built by tests/make_sf1.py
+    only_env = os.environ.get("SPARK_GRAFT_KEYS", "").strip()
+    only = {k.strip() for k in only_env.split(",") if k.strip()} or None
+
+    def wanted(key: str) -> bool:
+        return only is None or key in only
+
+    ingests = [i for i in ingests if wanted(i[0])]
     for key, dir_fn, cache_fn in ingests:
         shutil.rmtree(dir_fn(sf_dir), ignore_errors=True)
         t0 = time.perf_counter()
@@ -136,29 +148,32 @@ def main() -> None:
         q_dedup_incremental_served,
     )
 
-    batch_dir = os.path.join(
-        os.environ[CACHE_ROOT_ENV], f"bench_batch_buckets_sf{sf}"
-    )
-    shutil.rmtree(batch_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    dedup_incremental_batch_buckets(spark, sf_dir).write.mode(
-        "overwrite"
-    ).parquet(batch_dir)
-    dt = time.perf_counter() - t0
-    timings["dedup_batch_sign"] = round(dt, 3)
-    total += dt
-    print(f"# dedup_batch_sign: {dt:.3f}s", file=sys.stderr)
-    batch_buckets = spark.read.parquet(batch_dir)
-    t0 = time.perf_counter()
-    q_dedup_incremental_served(spark, sf_dir, batch_buckets).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    timings["dedup_incremental_serve"] = round(dt, 3)
-    total += dt
-    print(f"# dedup_incremental_serve: {dt:.3f}s", file=sys.stderr)
+    if wanted("dedup_batch_sign") or wanted("dedup_incremental_serve"):
+        batch_dir = os.path.join(
+            os.environ[CACHE_ROOT_ENV], f"bench_batch_buckets_sf{sf}"
+        )
+        shutil.rmtree(batch_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        dedup_incremental_batch_buckets(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(batch_dir)
+        dt = time.perf_counter() - t0
+        if wanted("dedup_batch_sign"):
+            timings["dedup_batch_sign"] = round(dt, 3)
+            total += dt
+        print(f"# dedup_batch_sign: {dt:.3f}s", file=sys.stderr)
+        if wanted("dedup_incremental_serve"):
+            batch_buckets = spark.read.parquet(batch_dir)
+            t0 = time.perf_counter()
+            q_dedup_incremental_served(
+                spark, sf_dir, batch_buckets
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            timings["dedup_incremental_serve"] = round(dt, 3)
+            total += dt
+            print(f"# dedup_incremental_serve: {dt:.3f}s", file=sys.stderr)
 
-    for name in sorted(qs):
+    for name in sorted(k for k in qs if wanted(k)):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -176,9 +191,27 @@ def main() -> None:
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
+    # SPARK_GRAFT_DETAIL_KEY: store this run under a named section of
+    # BENCH_DETAIL.json (e.g. "sf1") instead of replacing the main
+    # payload; the main-run path below preserves any such sections so
+    # the driver's per-round run doesn't erase the scaling point.
+    section = os.environ.get("SPARK_GRAFT_DETAIL_KEY", "").strip()
+    old: dict = {}
+    try:
+        with open(detail_path) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if section:
+        old[section] = detail
+        detail = old
+    else:
+        for k, v in old.items():
+            if k.startswith("sf") and isinstance(v, dict):
+                detail[k] = v
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    print(json.dumps(detail["queries"]), file=sys.stderr)
+    print(json.dumps(timings), file=sys.stderr)
 
     summary = json.dumps(
         {

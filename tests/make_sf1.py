@@ -1,0 +1,111 @@
+"""Synthesize an sf1 testdata directory (10x sf0.1) for the scaling
+bench point (SCALE.md / VERDICT r6 item 6).
+
+The driver only generates sf0.001/0.01/0.1, so the 10x point is built
+from sf0.1 with the scaling model a real corpus follows:
+
+- ``events``: 10 copies, event_id/user_id offset by their strides —
+  10x the KEY population with per-key history size constant (the way
+  traffic actually grows; naive replication without user offsets would
+  instead deepen every per-key window 10x).
+- ``documents``: 10 copies, doc_id offset; every token of copy i>0 is
+  prefixed with a copy letter, so copies are NOT near-duplicates of
+  each other — the within-copy duplicate structure replicates 10x,
+  the cross-copy Jaccard is ~0 (naive replication would hand every
+  doc 9 exact twins and blow the verify stage up quadratically in a
+  way no real corpus does).
+- ``embeddings``: 10 copies, vec_id offset, dimensions rotated by i
+  (norms and label structure preserved, neighbors shuffled).
+- ``customer``: 10 copies, c_custkey offset by the user stride so the
+  events⋈customer repair semantics keep their sf0.1 proportions.
+- remaining TPC-H tables: copied verbatim (loader warmup only; no
+  sf1-benched key reads them).
+
+Usage: python tests/make_sf1.py [out_dir]   (default /tmp/testdata_sf1)
+Idempotent; ~30 MB output. Deterministic (pure SQL, no RNG).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+STRIDES = {
+    "events": {"event_id": 100_000, "user_id": 1_500},
+    "documents": {"doc_id": 5_000},
+    "embeddings": {"vec_id": 2_000},
+    "customer": {"c_custkey": 15_000},
+}
+VERBATIM = ["region", "nation", "supplier", "part", "orders", "lineitem"]
+LETTERS = "abcdefghij"
+
+
+def _doc_text(i: int) -> str:
+    """Copy-i text expression: token-prefix with the copy letter."""
+    if i == 0:
+        return "text"
+    backref = "\\1"
+    return (
+        f"regexp_replace(text, '([a-z0-9]+)', '{LETTERS[i]}{backref}', 'g')"
+    )
+
+
+def build(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+
+    def copies_sql(table: str, select_i) -> str:
+        return "\nUNION ALL\n".join(
+            select_i(i, f"'{SRC}/{table}.parquet'") for i in range(COPIES)
+        )
+
+    sql = {
+        "events": lambda i, src: f"""
+            SELECT event_id + {i * STRIDES['events']['event_id']} AS event_id,
+                   ts,
+                   user_id + {i * STRIDES['events']['user_id']} AS user_id,
+                   event_type, value, props
+            FROM {src}""",
+        "documents": lambda i, src: f"""
+            SELECT doc_id + {i * STRIDES['documents']['doc_id']} AS doc_id,
+                   {_doc_text(i)} AS text,
+                   lang, source, n_chars
+            FROM {src}""",
+        "embeddings": lambda i, src: f"""
+            SELECT vec_id + {i * STRIDES['embeddings']['vec_id']} AS vec_id,
+                   {"embedding" if i == 0 else
+                    f"embedding[{i + 1}:64] || embedding[1:{i}]"}
+                     AS embedding,
+                   label
+            FROM {src}""",
+        "customer": lambda i, src: f"""
+            SELECT c_custkey + {i * STRIDES['customer']['c_custkey']}
+                     AS c_custkey,
+                   c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM {src}""",
+    }
+    for table, select_i in sql.items():
+        out = os.path.join(out_dir, f"{table}.parquet")
+        con.execute(
+            f"COPY ({copies_sql(table, select_i)}) TO '{out}'"
+            " (FORMAT PARQUET)"
+        )
+        n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"{table}: {n} rows")
+    for table in VERBATIM:
+        shutil.copy(
+            os.path.join(SRC, f"{table}.parquet"),
+            os.path.join(out_dir, f"{table}.parquet"),
+        )
+    # embeddings keep float32 and 64 dims?  cast back in case the list
+    # slice widened the type
+    print("sf1 dir ready:", out_dir)
+
+
+if __name__ == "__main__":
+    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1")
