@@ -11,7 +11,7 @@ training-data pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aggregator_spark.schemas import load_testdata
 
@@ -155,6 +155,83 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         BM25_QUERIES,
         dfreq=idx["dfreq"],
         scalars=idx["scalars"],
+    )
+
+
+from aggregator_spark.operators.retrieval import TOP_K
+
+RRF_POOL = 20  # BM25 candidate pool per query before re-ranking
+RRF_K = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+
+
+def q_bm25_rrf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval re-ranking via reciprocal-rank fusion: the BM25
+    top-20 candidate pool per query (served from the ingest-time
+    index) is fused with a document-quality prior —
+    score = Σ 1/(60 + rank) over both rankings — the standard way a
+    data-selection pipeline mixes lexical relevance with an
+    independent quality signal without calibrating score scales
+    (Cormack et al. 2009 RRF).
+
+    Cross-engine exactness: the fusion is computed in INTEGER
+    micro-reciprocals (floor(1e9 / (K + rank)) per ranking, summed) —
+    rank arithmetic stays in int64 on both engines, so the fused
+    ordering has no float-rounding hazard. Quality ranks break ties
+    by doc_id (the prior is a coarse heuristic with heavy ties).
+
+    Scale shape: the pool is top-k-bounded per query (WindowGroupLimit
+    on the BM25 side), the quality prior joins only the pool rows
+    (broadcast pool vs corpus — map-side), and the fusion windows run
+    on pool-sized data. The corpus is never shuffled."""
+    from aggregator_spark.operators.retrieval import bm25_score
+    from aggregator_spark.operators.text import quality_score
+    from aggregator_spark.sources.bm25_index import cached_bm25_index
+
+    idx = cached_bm25_index(spark, sf_dir)
+    pool = bm25_score(
+        idx["postings"],
+        BM25_QUERIES,
+        dfreq=idx["dfreq"],
+        scalars=idx["scalars"],
+        top_k=RRF_POOL,
+    ).select("query_id", "doc_id", F.col("rank").alias("bm25_rank"))
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    qual = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("__quality")
+    )
+    ranked = F.broadcast(pool).join(qual, "doc_id").withColumn(
+        "quality_rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("__quality").desc(), "doc_id"
+            )
+        )
+        .cast("int"),
+    )
+    recip = lambda rank_col: F.floor(  # noqa: E731
+        F.lit(1_000_000_000) / (F.lit(RRF_K) + F.col(rank_col))
+    )
+    fused = ranked.withColumn(
+        "rrf_score",
+        (recip("bm25_rank") + recip("quality_rank")).cast("long"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("bm25_rank"), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("final_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("final_rank") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            "quality_rank",
+            "rrf_score",
+            "final_rank",
+        )
+        .orderBy("query_id", "final_rank")
     )
 
 
@@ -310,6 +387,7 @@ ANALYTICS10_QUERIES = {
     "dedup_span_rewrite": q_dedup_span_rewrite,
     "cms_user_counts": q_cms_user_counts,
     "bm25_search": q_bm25_search,
+    "bm25_rrf_rerank": q_bm25_rrf_rerank,
     "dsir_weights": q_dsir_weights,
     "pmi_collocations": q_pmi_collocations,
     "semantic_decontaminate": q_semantic_decontaminate,

@@ -477,7 +477,7 @@ def q_dedup_incremental_served(
 DUP_FRAC_MAX = 0.5
 
 
-def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_keep_flags(docs: DataFrame) -> DataFrame:
     """The quality-gate decision layer of a training-data pipeline in
     ONE plan: Gopher word-shape filter AND language identified AND not
     benchmark-contaminated AND duplicated-span fraction under
@@ -490,7 +490,6 @@ def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep)."""
     from aggregator_spark.operators.text import contamination_flags
 
-    docs = load_testdata(spark, sf_dir, "documents")
     m = X.gopher_metrics(F.col("text"))
     quality = docs.select(
         "doc_id",
@@ -529,6 +528,39 @@ def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_keep_flags(load_testdata(spark, sf_dir, "documents"))
+
+
+def corpus_prepare(docs: DataFrame, buckets: DataFrame) -> DataFrame:
+    """DataFrame-in form of the composed pipeline (see
+    ``q_corpus_prepare_e2e`` for the full stage description; the
+    stress harness drives this directly at 500k-doc scale —
+    tests/stress_corpus_prepare.py)."""
+    keep_ids = (
+        corpus_keep_flags(docs)
+        .filter("keep")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    survivors = docs.join(keep_ids, "doc_id")
+    fuzzy = D.minhash_dedup_keep(
+        survivors,
+        threshold=JACCARD_THRESHOLD,
+        buckets=buckets.join(keep_ids, "doc_id"),
+    )
+    kept = docs.join(fuzzy.filter("keep").select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    rewritten = D.dedup_span_rewrite(kept, n=DUP_SPAN_N)
+    nonempty = rewritten.filter(F.length("clean_text") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return C.pack_sequences(C.doc_chunks(nonempty)).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 def q_corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL corpus-preparation pipeline composed as one plan —
     the composition a training-data run actually executes, chained so
@@ -556,27 +588,33 @@ def q_corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint the gopher/contamination/span-stats sub-plan would run
     twice; the ids are the only thing materialized, never text. Fuzzy
     dedup manages its own candidate/label checkpoints internally."""
+    return corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+    )
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup observability
+    report a corpus owner reads before committing a keep-list (how
+    much mass sits in 2-clusters vs mega-clusters decides whether the
+    threshold is right; a sudden mega-cluster usually means boilerplate
+    leaked past the shingle filter). Built on the SAME verified
+    pipeline as `dedup_fuzzy_keep` (LSH candidates → exact-Jaccard
+    verify → components), then two tiny aggregations: component →
+    size, size → cluster count. Returns (cluster_size, n_clusters)."""
     docs = load_testdata(spark, sf_dir, "documents")
-    keep_ids = (
-        q_corpus_keep_list(spark, sf_dir)
-        .filter("keep")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
+    keep = D.minhash_dedup_keep(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        buckets=_mh_buckets(spark, sf_dir),
     )
-    survivors = docs.join(keep_ids, "doc_id")
-    buckets = _mh_buckets(spark, sf_dir).join(keep_ids, "doc_id")
-    fuzzy = D.minhash_dedup_keep(
-        survivors, threshold=JACCARD_THRESHOLD, buckets=buckets
-    )
-    kept = docs.join(fuzzy.filter("keep").select("doc_id"), "doc_id").select(
-        "doc_id", "text"
-    )
-    rewritten = D.dedup_span_rewrite(kept, n=DUP_SPAN_N)
-    nonempty = rewritten.filter(F.length("clean_text") > 0).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    return C.pack_sequences(C.doc_chunks(nonempty)).orderBy(
-        "doc_id", "chunk_id"
+    return (
+        keep.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
     )
 
 
@@ -627,4 +665,5 @@ LLM_QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "corpus_keep_list": q_corpus_keep_list,
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
 }

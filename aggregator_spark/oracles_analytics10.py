@@ -183,7 +183,11 @@ _BM25_QTERMS = ", ".join(
 )
 _WORD_TOKS_D = _WORD_TOKS  # documents word tokenizer (shared above)
 
-ANALYTICS10_ORACLES["bm25_search"] = f"""
+def _bm25_ranked_sql(top_k: int) -> str:
+    """BM25 ranking SQL, parameterized on the rank cut — shared by the
+    top-5 search entry and the RRF re-ranker's top-20 candidate pool
+    (one ranking definition, two consumers)."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, {_WORD_TOKS_D} AS ts FROM documents),
     tf AS (
@@ -211,6 +215,43 @@ ANALYTICS10_ORACLES["bm25_search"] = f"""
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS rn
       FROM scored)
+    WHERE rn <= {top_k}
+"""
+
+
+ANALYTICS10_ORACLES["bm25_search"] = _bm25_ranked_sql(TOP_K)
+
+# RRF re-ranking: the BM25 top-RRF_POOL pool fused with the quality
+# prior (oracles_llm._QUALITY — the text_quality entry's expression
+# verbatim) by INTEGER micro-reciprocals, so rank fusion is exact
+# int64 arithmetic on both engines
+from aggregator_spark.analytics_queries10 import (  # noqa: E402
+    RRF_K,
+    RRF_POOL,
+)
+from aggregator_spark.oracles_llm import _QUALITY  # noqa: E402
+
+ANALYTICS10_ORACLES["bm25_rrf_rerank"] = f"""
+    WITH pool AS ({_bm25_ranked_sql(RRF_POOL)}),
+    qual AS (SELECT doc_id, quality FROM ({_QUALITY})),
+    ranked AS (
+      SELECT p.query_id, p.doc_id, p.rank AS bm25_rank,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY q.quality DESC, p.doc_id) AS INT) AS quality_rank
+      FROM pool p JOIN qual q USING (doc_id)),
+    fused AS (
+      SELECT query_id, doc_id, bm25_rank, quality_rank,
+             CAST(1000000000 // (CAST({RRF_K} AS BIGINT) + bm25_rank)
+                + 1000000000 // (CAST({RRF_K} AS BIGINT) + quality_rank)
+               AS BIGINT) AS rrf_score
+      FROM ranked)
+    SELECT query_id, doc_id, bm25_rank, quality_rank, rrf_score,
+           CAST(rn AS INT) AS final_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY rrf_score DESC, bm25_rank, doc_id) AS rn
+      FROM fused)
     WHERE rn <= {TOP_K}
 """
 

@@ -681,6 +681,16 @@ LLM_ORACLES["dedup_fuzzy_keep"] = f"""
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
+# cluster-size histogram over the SAME fuzzy-dedup components — the
+# fuzzy-keep oracle reused verbatim as a subquery, then two GROUP BYs
+LLM_ORACLES["dedup_cluster_sizes"] = f"""
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
+      SELECT component, COUNT(*) AS cluster_size
+      FROM ({LLM_ORACLES["dedup_fuzzy_keep"]})
+      GROUP BY component)
+    GROUP BY cluster_size
+"""
+
 
 def _hex8_to_bigint(hexpr: str) -> str:
     """First-8-hex-digit value as an exact BIGINT (DuckDB has no conv)."""

@@ -251,8 +251,12 @@ DRIVER_WINDOW = [
     "tfidf_top_terms",
     "vocab_edit_pairs",
     "top_bigrams",
-    "token_stats",
-    "text_quality",
+    # late round-7 additions (never driver-checked -> must sit in the
+    # window): RRF retrieval re-ranking and the dup-cluster size
+    # histogram. Displaced token_stats / text_quality (r4-green,
+    # re-verified in this round's full sweeps) to the r8 pool.
+    "bm25_rrf_rerank",
+    "dedup_cluster_sizes",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
