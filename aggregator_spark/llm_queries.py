@@ -594,6 +594,57 @@ def q_corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WATERFILL_BUDGET_FRAC = 0.5
+
+
+def q_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources by exact integer
+    water-filling (operators/corpus.py:token_budget_waterfill): find
+    the common cap c with Σ min(mass_s, c) = budget — small sources
+    keep everything, big ones clip to the water level, allocations sum
+    to the budget EXACTLY (int64 throughout, remainder handed out
+    deterministically). The rates feed ``stratified_sample``; this
+    computes them without ever shuffling the corpus."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return C.token_budget_waterfill(
+        docs, budget_frac=WATERFILL_BUDGET_FRAC
+    )
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-bin utilization report over the packed sequence stream
+    (`pack_sequences`): per pack group, bin count, total tokens, and
+    fill ratio vs the 256-token budget in micro-units — the padding-
+    waste metric a training-batch owner watches."""
+    from aggregator_spark.operators.corpus import DEFAULT_PACK_BUDGET
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    packed = C.pack_sequences(C.doc_chunks(docs))
+    bins = packed.groupBy("pack_group", "seq_bin").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    return (
+        bins.groupBy("pack_group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "pack_group",
+            "n_bins",
+            "total_tokens",
+            F.floor(
+                F.lit(1_000_000)
+                * F.col("total_tokens")
+                / (F.col("n_bins") * F.lit(DEFAULT_PACK_BUDGET))
+            )
+            .cast("long")
+            .alias("util_micro"),
+        )
+        .orderBy("pack_group")
+    )
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram — the dedup observability
     report a corpus owner reads before committing a keep-list (how
@@ -666,4 +717,6 @@ LLM_QUERIES = {
     "corpus_keep_list": q_corpus_keep_list,
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "mix_waterfill": q_mix_waterfill,
+    "pack_efficiency": q_pack_efficiency,
 }

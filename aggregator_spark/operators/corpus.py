@@ -445,3 +445,98 @@ def temperature_mix(
         .join(F.broadcast(rates), "stratum")
         .select(id_col, "stratum", (frac < F.col("thr")).alias("keep"))
     )
+
+
+def token_budget_waterfill(
+    docs: DataFrame,
+    budget_frac: float = 0.5,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget allocation across corpus strata by WATER-FILLING:
+    given a total training-token budget T = floor(budget_frac x total
+    tokens), find the per-stratum cap c such that sum_s min(mass_s, c)
+    = T — small strata keep everything, large strata are clipped to
+    the common water level (the budget-constrained form of
+    flatten-the-mix weighting; cf. the sampling-rate search in
+    multilingual/temperature mixing, solved here exactly instead of
+    iteratively).
+
+    ENTIRELY int64 arithmetic, so the result hash-matches across
+    engines: with strata sorted by (mass, stratum), the level sits
+    after the largest prefix i whose masses fit uncapped, c = (T -
+    prefix_mass_i) div (n - i); the division remainder r = T -
+    (prefix_mass_i + c*(n-i)) hands one extra token to the first r
+    capped strata in (mass, stratum) order, so allocations sum to T
+    EXACTLY. Returns one row per stratum: (stratum, mass_tokens,
+    allocated_tokens, rate_micro = floor(1e6 x allocated / mass)).
+
+    Scale shape: one partial-aggregated groupBy to the strata-sized
+    summary (a handful of rows at any corpus size); the window passes
+    run on that summary only. The per-document application of the
+    resulting rates is ``stratified_sample`` with rate_micro — this
+    operator computes the rates, it never shuffles the corpus.
+    """
+    from aggregator_spark.operators.text import token_count
+
+    masses = (
+        docs.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(F.sum(token_count(F.col(text_col))).cast("long").alias("mass"))
+    )
+    total_w = Window.partitionBy()
+    order_w = Window.partitionBy().orderBy("mass", "stratum")
+    prefix_w = order_w.rowsBetween(Window.unboundedPreceding, -1)
+    m = (
+        masses.withColumn("total", F.sum("mass").over(total_w))
+        .withColumn("n", F.count(F.lit(1)).over(total_w))
+        .withColumn("i", F.row_number().over(order_w) - 1)
+        .withColumn(
+            "prefix", F.coalesce(F.sum("mass").over(prefix_w), F.lit(0))
+        )
+        .withColumn(
+            "budget", F.floor(F.col("total") * F.lit(float(budget_frac)))
+        )
+    )
+    # candidate water level if exactly the i strata before this row
+    # stay uncapped; valid when it clips THIS row but not the previous
+    cand = F.floor(
+        (F.col("budget") - F.col("prefix")) / (F.col("n") - F.col("i"))
+    )
+    lagged_mass = F.lag("mass").over(order_w)
+    level_here = F.when(
+        (cand < F.col("mass"))
+        & (F.coalesce(lagged_mass <= cand, F.lit(True))),
+        cand,
+    )
+    # broadcast the single resolved level (NULL when budget >= total:
+    # nothing is clipped)
+    lvl = (
+        m.withColumn("lvl", level_here)
+        .withColumn("level", F.max("lvl").over(total_w))
+    )
+    capped = F.col("level").isNotNull() & (F.col("mass") > F.col("level"))
+    base_alloc = F.when(capped, F.col("level")).otherwise(F.col("mass"))
+    # remainder: budget - sum(base_alloc), handed out one token each to
+    # the first r capped strata in (mass, stratum) order
+    r = (F.col("budget") - F.sum(base_alloc).over(total_w)).cast("long")
+    capped_rank = F.sum(capped.cast("int")).over(
+        order_w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    alloc = (
+        base_alloc
+        + F.when(capped & (capped_rank <= r), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        lvl.withColumn("allocated_tokens", alloc)
+        .select(
+            "stratum",
+            F.col("mass").alias("mass_tokens"),
+            "allocated_tokens",
+            F.floor(
+                F.lit(1_000_000)
+                * F.col("allocated_tokens")
+                / F.col("mass")
+            ).cast("long").alias("rate_micro"),
+        )
+        .orderBy("stratum")
+    )

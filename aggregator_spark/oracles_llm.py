@@ -691,6 +691,72 @@ LLM_ORACLES["dedup_cluster_sizes"] = f"""
     GROUP BY cluster_size
 """
 
+# water-filling token-budget allocation: the SAME int64 algorithm as
+# operators/corpus.py:token_budget_waterfill, CTE for CTE (sorted
+# prefix sums -> unique integer water level -> remainder distribution)
+LLM_ORACLES["mix_waterfill"] = f"""
+    WITH masses AS (
+      SELECT source AS stratum, CAST(SUM(len({TOKS})) AS BIGINT) AS mass
+      FROM documents GROUP BY source),
+    base AS (
+      SELECT stratum, mass,
+             SUM(mass) OVER () AS total,
+             COUNT(*) OVER () AS n,
+             ROW_NUMBER() OVER (ORDER BY mass, stratum) - 1 AS i,
+             COALESCE(SUM(mass) OVER (ORDER BY mass, stratum
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix,
+             LAG(mass) OVER (ORDER BY mass, stratum) AS prev_mass
+      FROM masses),
+    b2 AS (
+      SELECT *, CAST(floor(total * 0.5) AS BIGINT) AS budget,
+             (CAST(floor(total * 0.5) AS BIGINT) - prefix) // (n - i)
+               AS cand
+      FROM base),
+    lvl AS (
+      SELECT MAX(CASE WHEN cand < mass
+                       AND COALESCE(prev_mass <= cand, TRUE)
+                 THEN cand END) AS level
+      FROM b2),
+    alloc AS (
+      SELECT b.stratum, b.mass, b.budget,
+             (l.level IS NOT NULL AND b.mass > l.level) AS capped,
+             CASE WHEN l.level IS NOT NULL AND b.mass > l.level
+                  THEN l.level ELSE b.mass END AS base_alloc
+      FROM b2 b CROSS JOIN lvl l),
+    a2 AS (
+      SELECT *, budget - SUM(base_alloc) OVER () AS rem,
+             SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER (
+               ORDER BY mass, stratum ROWS UNBOUNDED PRECEDING)
+               AS capped_rank
+      FROM alloc)
+    SELECT stratum, mass AS mass_tokens,
+           CAST(base_alloc + CASE WHEN capped AND capped_rank <= rem
+                                  THEN 1 ELSE 0 END AS BIGINT)
+             AS allocated_tokens,
+           CAST(floor(1000000 * (base_alloc
+                  + CASE WHEN capped AND capped_rank <= rem
+                         THEN 1 ELSE 0 END) / mass) AS BIGINT)
+             AS rate_micro
+    FROM a2
+"""
+
+# bin-utilization report over the pack_sequences oracle, reused
+# verbatim as a subquery
+LLM_ORACLES["pack_efficiency"] = f"""
+    SELECT pack_group,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(floor(1000000 * SUM(bin_tokens)
+                / (COUNT(*) * {DEFAULT_PACK_BUDGET})) AS BIGINT)
+             AS util_micro
+    FROM (
+      SELECT pack_group, seq_bin, SUM(n_tokens) AS bin_tokens
+      FROM ({LLM_ORACLES["pack_sequences"]})
+      GROUP BY pack_group, seq_bin)
+    GROUP BY pack_group
+"""
+
 
 def _hex8_to_bigint(hexpr: str) -> str:
     """First-8-hex-digit value as an exact BIGINT (DuckDB has no conv)."""

@@ -249,14 +249,16 @@ DRIVER_WINDOW = [
     "top_events_per_type",
     "sliding_halfhour",
     "tfidf_top_terms",
-    "vocab_edit_pairs",
-    "top_bigrams",
     # late round-7 additions (never driver-checked -> must sit in the
-    # window): RRF retrieval re-ranking and the dup-cluster size
-    # histogram. Displaced token_stats / text_quality (r4-green,
+    # window): RRF retrieval re-ranking, the dup-cluster size
+    # histogram, water-filling token-budget allocation, and the
+    # pack-bin utilization report. Displaced token_stats /
+    # text_quality / vocab_edit_pairs / top_bigrams (r4-green,
     # re-verified in this round's full sweeps) to the r8 pool.
     "bm25_rrf_rerank",
     "dedup_cluster_sizes",
+    "mix_waterfill",
+    "pack_efficiency",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -292,3 +292,45 @@ def test_dedup_incremental_served_equals_self_contained(spark, tmp_path):
     want = {tuple(r) for r in q_dedup_incremental(spark, sf).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def _mass_docs(spark, masses):
+    rows = [
+        (i, " ".join(["t"] * m), f"s{i}") for i, m in enumerate(masses)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_waterfill_small_strata_kept_whole(spark):
+    from aggregator_spark.operators.corpus import token_budget_waterfill
+
+    # total 1000, budget 500: the two small strata fit under the water
+    # level and keep everything; the big one clips to 470
+    docs = _mass_docs(spark, [10, 20, 970])
+    got = {
+        r["stratum"]: (r["mass_tokens"], r["allocated_tokens"])
+        for r in token_budget_waterfill(docs, budget_frac=0.5).collect()
+    }
+    assert got == {"s0": (10, 10), "s1": (20, 20), "s2": (970, 470)}
+
+
+def test_waterfill_remainder_distribution_exact(spark):
+    from aggregator_spark.operators.corpus import token_budget_waterfill
+
+    # total 21, budget 10: level 3, base 3+3+3=9, remainder 1 goes to
+    # the FIRST capped stratum in (mass, stratum) order — sums to the
+    # budget exactly
+    docs = _mass_docs(spark, [7, 7, 7])
+    rows = token_budget_waterfill(docs, budget_frac=10 / 21).collect()
+    allocs = {r["stratum"]: r["allocated_tokens"] for r in rows}
+    assert sum(allocs.values()) == 10
+    assert allocs == {"s0": 4, "s1": 3, "s2": 3}
+
+
+def test_waterfill_budget_covers_everything(spark):
+    from aggregator_spark.operators.corpus import token_budget_waterfill
+
+    docs = _mass_docs(spark, [5, 9])
+    rows = token_budget_waterfill(docs, budget_frac=1.0).collect()
+    assert all(r["allocated_tokens"] == r["mass_tokens"] for r in rows)
+    assert all(r["rate_micro"] == 1_000_000 for r in rows)
