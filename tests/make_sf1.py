@@ -1,5 +1,5 @@
-"""Synthesize an sf1 testdata directory (10x sf0.1) for the scaling
-bench point (SCALE.md / VERDICT r6 item 6).
+"""Synthesize an sfN testdata directory (COPIES x sf0.1) for the
+scaling bench points (SCALE.md / VERDICT r6 item 6).
 
 The driver only generates sf0.001/0.01/0.1, so the 10x point is built
 from sf0.1 with the scaling model a real corpus follows:
@@ -21,8 +21,10 @@ from sf0.1 with the scaling model a real corpus follows:
 - remaining TPC-H tables: copied verbatim (loader warmup only; no
   sf1-benched key reads them).
 
-Usage: python tests/make_sf1.py [out_dir]   (default /tmp/testdata_sf1)
-Idempotent; ~30 MB output. Deterministic (pure SQL, no RNG).
+Usage: python tests/make_sf1.py [out_dir] [copies]
+(defaults /tmp/testdata_sf1, 10; e.g. `/tmp/testdata_sf10 100` for the
+second scaling decade). Idempotent; ~30 MB per 10 copies.
+Deterministic (pure SQL, no RNG).
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 10  # overridable via argv[2]
 STRIDES = {
     "events": {"event_id": 100_000, "user_id": 1_500},
     "documents": {"doc_id": 5_000},
@@ -42,20 +44,38 @@ STRIDES = {
     "customer": {"c_custkey": 15_000},
 }
 VERBATIM = ["region", "nation", "supplier", "part", "orders", "lineitem"]
-LETTERS = "abcdefghij"
+
+
+def _copy_tag(i: int) -> str:
+    """Two-letter copy tag (aa..dz covers 104 copies)."""
+    return chr(97 + i // 26) + chr(97 + i % 26)
 
 
 def _doc_text(i: int) -> str:
-    """Copy-i text expression: token-prefix with the copy letter."""
+    """Copy-i text expression: token-prefix with the copy tag, so
+    cross-copy shingle overlap is ~0 while within-copy duplicate
+    structure replicates."""
     if i == 0:
         return "text"
     backref = "\\1"
     return (
-        f"regexp_replace(text, '([a-z0-9]+)', '{LETTERS[i]}{backref}', 'g')"
+        f"regexp_replace(text, '([a-z0-9]+)', '{_copy_tag(i)}{backref}', 'g')"
     )
 
 
-def build(out_dir: str) -> None:
+def _emb_expr(i: int) -> str:
+    """Copy-i embedding: rotate dimensions by i mod 63 (norms and
+    label structure preserved, neighbors shuffled; rotation 0 keeps
+    the original)."""
+    r = i % 63
+    if r == 0:
+        return "embedding"
+    return f"embedding[{r + 1}:64] || embedding[1:{r}]"
+
+
+def build(out_dir: str, copies: int = COPIES) -> None:
+    global COPIES
+    COPIES = copies
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
@@ -78,9 +98,7 @@ def build(out_dir: str) -> None:
             FROM {src}""",
         "embeddings": lambda i, src: f"""
             SELECT vec_id + {i * STRIDES['embeddings']['vec_id']} AS vec_id,
-                   {"embedding" if i == 0 else
-                    f"embedding[{i + 1}:64] || embedding[1:{i}]"}
-                     AS embedding,
+                   {_emb_expr(i)} AS embedding,
                    label
             FROM {src}""",
         "customer": lambda i, src: f"""
@@ -108,4 +126,7 @@ def build(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1")
+    build(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+    )
