@@ -20,6 +20,26 @@ import sys
 import time
 
 
+def merge_detail(old: dict, detail: dict, section: str) -> dict:
+    """Merge rules for BENCH_DETAIL.json (unit-tested without Spark —
+    tests/test_bench_merge.py): a sectioned run (SPARK_GRAFT_DETAIL_KEY,
+    e.g. the sf1/sf10 scaling points) stores its payload under
+    old[section] and preserves everything else; a main run replaces the
+    top-level payload but carries over existing ``sf*`` SECTIONS (dict
+    values only — the scalar ``sf`` field of the payload itself is not
+    a section) so the driver's per-round run never erases the scaling
+    curve."""
+    if section:
+        out = dict(old)
+        out[section] = detail
+        return out
+    out = dict(detail)
+    for k, v in old.items():
+        if k.startswith("sf") and isinstance(v, dict):
+            out[k] = v
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -202,15 +222,9 @@ def main() -> None:
             old = json.load(f)
     except (OSError, ValueError):
         pass
-    if section:
-        old[section] = detail
-        detail = old
-    else:
-        for k, v in old.items():
-            if k.startswith("sf") and isinstance(v, dict):
-                detail[k] = v
     with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+        json.dump(merge_detail(old, detail, section), f, indent=1,
+                  sort_keys=True)
     print(json.dumps(timings), file=sys.stderr)
 
     summary = json.dumps(

@@ -1,0 +1,52 @@
+"""bench.py's BENCH_DETAIL.json merge rules — pure unit tests (no
+Spark): the driver's per-round main run must never erase the sf1/sf10
+scaling sections, and a sectioned run must never clobber the main
+payload."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import merge_detail
+
+MAIN_OLD = {
+    "metric": "bench_total_sec",
+    "value": 100.0,
+    "sf": 0.1,
+    "queries": {"a": 1.0},
+    "sf1": {"value": 10.0, "queries": {"a": 2.0}, "sf": 1.0},
+    "sf10": {"value": 20.0, "queries": {"a": 4.0}, "sf": 10.0},
+}
+NEW_MAIN = {
+    "metric": "bench_total_sec",
+    "value": 90.0,
+    "sf": 0.1,
+    "queries": {"a": 0.9, "b": 0.5},
+}
+
+
+def test_main_run_replaces_payload_but_keeps_sections():
+    out = merge_detail(MAIN_OLD, NEW_MAIN, "")
+    assert out["value"] == 90.0
+    assert out["queries"] == {"a": 0.9, "b": 0.5}
+    assert out["sf1"] == MAIN_OLD["sf1"]
+    assert out["sf10"] == MAIN_OLD["sf10"]
+    # the payload's own scalar "sf" field is NOT treated as a section
+    assert out["sf"] == 0.1
+
+
+def test_sectioned_run_preserves_main_payload():
+    new_sf1 = {"value": 9.0, "queries": {"a": 1.8}, "sf": 1.0}
+    out = merge_detail(MAIN_OLD, new_sf1, "sf1")
+    assert out["sf1"] == new_sf1
+    assert out["sf10"] == MAIN_OLD["sf10"]
+    assert out["value"] == 100.0 and out["queries"] == {"a": 1.0}
+
+
+def test_first_run_with_no_prior_file():
+    assert merge_detail({}, NEW_MAIN, "") == NEW_MAIN
+    out = merge_detail({}, {"value": 1.0}, "sf1")
+    assert out == {"sf1": {"value": 1.0}}

@@ -478,3 +478,52 @@ def test_zscore_bucketed_windows_on_key_and_bucket(plans):
     # per-key cumulative carry over the bucket summary
     assert p.count("+- Window") == 2
     assert "partial_count" in p or "partial_sum" in p  # summary partials
+
+
+def test_rrf_pool_broadcast_never_shuffles_corpus(plans):
+    """The RRF re-ranker joins the top-20 pool (explicit broadcast)
+    against the quality column — the corpus side must not shuffle for
+    the join, and both rank cuts compile to WindowGroupLimit."""
+    p = plans("bm25_rrf_rerank")
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p
+    # no sort-merge join anywhere: pool and fusion tables are tiny
+    assert "SortMergeJoin" not in p
+
+
+def test_waterfill_aggregates_before_windows(plans):
+    """Water-filling runs its windows on the strata summary only: the
+    corpus reduces through a partial-aggregated groupBy FIRST; the
+    single-partition windows see strata-sized input."""
+    p = plans("mix_waterfill")
+    assert "partial_sum" in p  # map-side combine on the token masses
+    assert "CartesianProduct" not in p
+    # window functions appear AFTER the aggregate in the plan tree:
+    # the aggregate node id is smaller (planned closer to the scan)
+    assert "Window" in p
+
+
+def test_pack_efficiency_partial_aggs(plans):
+    p = plans("pack_efficiency")
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cluster_sizes_reuses_component_checkpoint(plans):
+    """The histogram runs on the components output: the plan seen from
+    the final query is two aggregations over the checkpointed labels —
+    no shingle pipeline re-run, no cartesian."""
+    p = plans("dedup_cluster_sizes")
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+
+
+def test_corpus_prepare_composed_plan_is_clean(plans):
+    """The composed pipeline's final plan: hash joins only, no
+    row-at-a-time Python, chunker is the Arrow-batched mapInPandas."""
+    p = plans("corpus_prepare_e2e")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p  # mapInPandas compiles to MapInPandas
+    assert "MapInPandas" in p
