@@ -276,3 +276,43 @@ def test_mg_merge_bounds(stream, k_mg):
     for item, true_cnt in truth.items():
         if true_cnt > bound:
             assert item in counters, (item, true_cnt, bound, dict(counters))
+
+
+@given(
+    masses=st.lists(st.integers(1, 40), min_size=1, max_size=6),
+    num=st.integers(1, 20),
+    den=st.integers(20, 40),
+)
+@SET
+def test_waterfill_invariants(masses, num, den):
+    """Water-filling invariants on arbitrary strata: allocations sum
+    EXACTLY to the budget (or to the total when the budget covers
+    everything), never exceed a stratum's mass, and any stratum at or
+    under the water level keeps everything."""
+    from aggregator_spark.operators.corpus import token_budget_waterfill
+
+    frac = min(num / den, 1.0)
+    spark = _get_spark()
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * m), f"s{i:02d}") for i, m in enumerate(masses)],
+        "doc_id long, text string, source string",
+    )
+    rows = token_budget_waterfill(docs, budget_frac=frac).collect()
+    total = sum(masses)
+    budget = int(total * frac)  # floor, matching the operator
+    allocs = {r["stratum"]: r["allocated_tokens"] for r in rows}
+    mass_by = {f"s{i:02d}": m for i, m in enumerate(masses)}
+    assert len(allocs) == len(masses)
+    assert all(0 <= allocs[s] <= mass_by[s] for s in allocs)
+    assert sum(allocs.values()) == min(budget, total)
+    # strata the level does not clip keep everything
+    level = max(
+        (mass_by[s] for s in allocs if allocs[s] < mass_by[s]),
+        default=None,
+    )
+    if level is not None:
+        kept_whole = [s for s in allocs if mass_by[s] < min(
+            allocs[t] for t in allocs if allocs[t] < mass_by[t]
+        )]
+        for s in kept_whole:
+            assert allocs[s] == mass_by[s]
