@@ -4,7 +4,7 @@ analysis — BASELINE.json north star)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aggregator_spark.operators import corpus as C
 from aggregator_spark.operators import dedup as D
@@ -594,6 +594,34 @@ def q_corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_VAL_N = 5  # exact per-source validation quota
+SPLIT_TEST_N = 5  # exact per-source test quota
+
+
+def q_eval_split_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment with EXACT per-stratum
+    quotas: within each source, docs rank by md5(doc_id) (a stable
+    shuffle no data attribute can bias) and the first SPLIT_VAL_N go
+    to val, the next SPLIT_TEST_N to test, the rest to train. Unlike
+    rate-based sampling (``stratified_sample``), the held-out sets
+    have exactly the requested size per stratum — the eval-split
+    contract a benchmark needs — and re-runs/engines agree bit-for-bit
+    (same md5 ordering everywhere). One window per stratum, corpus
+    shuffled once on the stratum key; no RNG state."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    rn = F.row_number().over(w)
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("stratum"),
+        F.when(rn <= SPLIT_VAL_N, "val")
+        .when(rn <= SPLIT_VAL_N + SPLIT_TEST_N, "test")
+        .otherwise("train")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
 WATERFILL_BUDGET_FRAC = 0.5
 
 
@@ -718,5 +746,6 @@ LLM_QUERIES = {
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "mix_waterfill": q_mix_waterfill,
+    "eval_split_quota": q_eval_split_quota,
     "pack_efficiency": q_pack_efficiency,
 }

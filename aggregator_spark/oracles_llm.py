@@ -757,6 +757,25 @@ LLM_ORACLES["pack_efficiency"] = f"""
     GROUP BY pack_group
 """
 
+# exact-quota eval split: same md5 ordering, same rank cuts
+from aggregator_spark.llm_queries import (  # noqa: E402
+    SPLIT_TEST_N,
+    SPLIT_VAL_N,
+)
+
+LLM_ORACLES["eval_split_quota"] = f"""
+    SELECT doc_id, stratum,
+           CASE WHEN rn <= {SPLIT_VAL_N} THEN 'val'
+                WHEN rn <= {SPLIT_VAL_N + SPLIT_TEST_N} THEN 'test'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id, source AS stratum,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+"""
+
 
 def _hex8_to_bigint(hexpr: str) -> str:
     """First-8-hex-digit value as an exact BIGINT (DuckDB has no conv)."""

@@ -248,17 +248,18 @@ DRIVER_WINDOW = [
     "tpch_q12_priority",
     "top_events_per_type",
     "sliding_halfhour",
-    "tfidf_top_terms",
     # late round-7 additions (never driver-checked -> must sit in the
     # window): RRF retrieval re-ranking, the dup-cluster size
-    # histogram, water-filling token-budget allocation, and the
-    # pack-bin utilization report. Displaced token_stats /
-    # text_quality / vocab_edit_pairs / top_bigrams (r4-green,
-    # re-verified in this round's full sweeps) to the r8 pool.
+    # histogram, water-filling token-budget allocation, the pack-bin
+    # utilization report, and exact-quota eval splitting. Displaced
+    # token_stats / text_quality / vocab_edit_pairs / top_bigrams /
+    # tfidf_top_terms (r4-green, re-verified in this round's full
+    # sweeps) to the r8 pool.
     "bm25_rrf_rerank",
     "dedup_cluster_sizes",
     "mix_waterfill",
     "pack_efficiency",
+    "eval_split_quota",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
