@@ -524,7 +524,13 @@ def lsh_candidate_pairs_incremental(
                 )
             new_buckets = lsh_buckets(new_docs, id_col, text_col, k, bands, n)
         else:
-            new_buckets = new_buckets.select("doc_id", "band", "bucket")
+            # contract guard: a caller-supplied batch table must cover
+            # exactly the new ids — semi-join it down so a stale or
+            # over-wide persisted table can't leak non-batch rows into
+            # the candidate join (cheap: the table is batch-sized)
+            new_buckets = new_buckets.select(
+                "doc_id", "band", "bucket"
+            ).join(new_ids.select("doc_id"), "doc_id", "semi")
         buckets = corpus_buckets.select("doc_id", "band", "bucket").union(
             new_buckets
         )

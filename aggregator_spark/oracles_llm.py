@@ -693,11 +693,20 @@ LLM_ORACLES["dedup_cluster_sizes"] = f"""
 
 # water-filling token-budget allocation: the SAME int64 algorithm as
 # operators/corpus.py:token_budget_waterfill, CTE for CTE (sorted
-# prefix sums -> unique integer water level -> remainder distribution)
-LLM_ORACLES["mix_waterfill"] = f"""
-    WITH masses AS (
-      SELECT source AS stratum, CAST(SUM(len({TOKS})) AS BIGINT) AS mass
-      FROM documents GROUP BY source),
+# prefix sums -> unique integer water level -> remainder distribution).
+# Parameterized on the (stratum, mass) SELECT and the budget fraction
+# (interpolated from llm_queries.WATERFILL_BUDGET_FRAC like RRF_K /
+# SPLIT_VAL_N, so one constant drives both engines) — the composed
+# train-split oracle re-targets the same fragment at the packed
+# stream's masses.
+from aggregator_spark.llm_queries import (  # noqa: E402
+    WATERFILL_BUDGET_FRAC,
+)
+
+
+def waterfill_sql(masses_select: str, budget_frac: float) -> str:
+    return f"""
+    WITH masses AS ({masses_select}),
     base AS (
       SELECT stratum, mass,
              SUM(mass) OVER () AS total,
@@ -709,9 +718,9 @@ LLM_ORACLES["mix_waterfill"] = f"""
              LAG(mass) OVER (ORDER BY mass, stratum) AS prev_mass
       FROM masses),
     b2 AS (
-      SELECT *, CAST(floor(total * 0.5) AS BIGINT) AS budget,
-             (CAST(floor(total * 0.5) AS BIGINT) - prefix) // (n - i)
-               AS cand
+      SELECT *, CAST(floor(total * {budget_frac}) AS BIGINT) AS budget,
+             (CAST(floor(total * {budget_frac}) AS BIGINT) - prefix)
+               // (n - i) AS cand
       FROM base),
     lvl AS (
       SELECT MAX(CASE WHEN cand < mass
@@ -740,6 +749,13 @@ LLM_ORACLES["mix_waterfill"] = f"""
              AS rate_micro
     FROM a2
 """
+
+
+LLM_ORACLES["mix_waterfill"] = waterfill_sql(
+    f"""SELECT source AS stratum, CAST(SUM(len({TOKS})) AS BIGINT) AS mass
+      FROM documents GROUP BY source""",
+    WATERFILL_BUDGET_FRAC,
+)
 
 # bin-utilization report over the pack_sequences oracle, reused
 # verbatim as a subquery

@@ -24,6 +24,11 @@ from aggregator_spark.operators.repair import (
     repair_dim_country,
 )
 
+# cap on the missing-dimension key lists collected for the reference's
+# log-line behavior (main.py logs them) — keeps the driver transfer
+# bounded however skewed the fact is
+MISSING_LOG_CAP = 10_000
+
 
 @dataclass
 class Stage2Result:
@@ -67,8 +72,23 @@ def run_stage2(
     miss_c: list[str] = []
     miss_a: list[int] = []
     if collect_missing_logs:
-        miss_c = [r[0] for r in missing_countries(fact, dim_country).collect()]
-        miss_a = [r[0] for r in missing_asns(fact, dim_asn).select("asn").collect()]
+        # bounded driver transfer: the log list is observability only
+        # (the repair itself stays distributed below) — countries are
+        # naturally ≤ ~250 but a pathological fact could surface ~100k
+        # missing ASNs, so cap what crosses to the driver
+        miss_c = [
+            r[0]
+            for r in missing_countries(fact, dim_country)
+            .limit(MISSING_LOG_CAP)
+            .collect()
+        ]
+        miss_a = [
+            r[0]
+            for r in missing_asns(fact, dim_asn)
+            .select("asn")
+            .limit(MISSING_LOG_CAP)
+            .collect()
+        ]
 
     return Stage2Result(
         fact_count=fact,

@@ -11,6 +11,8 @@ tests can never see.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -499,9 +501,24 @@ def test_waterfill_aggregates_before_windows(plans):
     p = plans("mix_waterfill")
     assert "partial_sum" in p  # map-side combine on the token masses
     assert "CartesianProduct" not in p
-    # window functions appear AFTER the aggregate in the plan tree:
-    # the aggregate node id is smaller (planned closer to the scan)
-    assert "Window" in p
+    # ordering, actually asserted: formatted-explain node ids count up
+    # from the scan, so the partial-aggregate's node id must be SMALLER
+    # than every Window's — the windows consume the strata summary, not
+    # the corpus
+    blocks = re.split(r"\n(?=\(\d+\) )", p)
+
+    def node_ids(pred):
+        out = []
+        for b in blocks:
+            m = re.match(r"\((\d+)\) (.+)", b)
+            if m and pred(m.group(2)):
+                out.append(int(m.group(1)))
+        return out
+
+    agg_ids = node_ids(lambda h: "HashAggregate" in h)
+    win_ids = node_ids(lambda h: h.strip().startswith("Window"))
+    assert agg_ids and win_ids
+    assert min(agg_ids) < min(win_ids)
 
 
 def test_pack_efficiency_partial_aggs(plans):
