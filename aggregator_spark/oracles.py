@@ -108,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
     from aggregator_spark.oracles_analytics10 import ANALYTICS10_ORACLES
     from aggregator_spark.oracles_graph import GRAPH_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
+    from aggregator_spark.oracles_index import INDEX_ORACLES
     from aggregator_spark.oracles_pipeline import PIPELINE_ORACLES
 
     oracles.update(ANALYTICS_ORACLES)
@@ -123,4 +124,5 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(GRAPH_ORACLES)
     oracles.update(LLM_ORACLES)
     oracles.update(PIPELINE_ORACLES)
+    oracles.update(INDEX_ORACLES)
     return oracles

@@ -287,6 +287,7 @@ def queries():
     from aggregator_spark.analytics_queries9 import ANALYTICS9_QUERIES
     from aggregator_spark.analytics_queries10 import ANALYTICS10_QUERIES
     from aggregator_spark.graph_queries import GRAPH_QUERIES
+    from aggregator_spark.index_queries import INDEX_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
 
     qs = {
@@ -312,6 +313,7 @@ def queries():
     qs.update(ANALYTICS10_QUERIES)
     qs.update(GRAPH_QUERIES)
     qs.update(LLM_QUERIES)
+    qs.update(INDEX_QUERIES)
     ordered = {name: qs[name] for name in DRIVER_WINDOW}
     ordered.update(qs)
     return ordered
