@@ -598,6 +598,80 @@ SPLIT_VAL_N = 5  # exact per-source validation quota
 SPLIT_TEST_N = 5  # exact per-source test quota
 
 
+def _md5_of_id(col: str = "doc_id"):
+    return F.md5(F.col(col).cast("string").cast("binary"))
+
+
+def q_corpus_train_split_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALLOCATION TAIL of the training-data run composed onto the
+    prepared corpus — what a real pipeline executes after
+    ``corpus_prepare_e2e`` to turn the packed stream into a budgeted,
+    split training set (VERDICT r7 item 2):
+
+      corpus_prepare (gate → fuzzy dedup → span removal → chunk →
+      pack) → per-doc token mass of the PACKED stream (the tokens that
+      actually survive preparation, not raw text)
+      → exact int64 water-filling of the token budget across source
+        strata (``waterfill_allocate`` over the packed masses)
+      → per-doc selection by the resulting rate: exact integer compare
+        hex8(md5(doc_id)) * 1e6 < rate_micro * 2^32 — a pure filter,
+        reproducible across engines, no RNG
+      → exact-quota val/test carve-out per stratum over the SELECTED
+        docs (same md5 ranking as ``eval_split_quota``).
+
+    Returns one row per prepared doc: (doc_id, stratum, doc_tokens,
+    selected, split) with split NULL for unselected docs.
+
+    Scale/checkpoint shape: the per-doc mass table (doc-count-sized,
+    3 narrow columns — never text) is localCheckpoint'ed eagerly
+    because BOTH the strata aggregate and the selection read it;
+    without the checkpoint the entire five-stage preparation sub-plan
+    would run twice. The waterfill windows run on the strata summary
+    (|sources| rows); the rate table broadcasts back; the quota
+    windows partition by stratum — no global sort anywhere."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    packed = corpus_prepare(docs, _mh_buckets(spark, sf_dir))
+    doc_mass = (
+        packed.groupBy("doc_id")
+        .agg(F.sum("n_tokens").cast("long").alias("doc_tokens"))
+        .join(docs.select("doc_id", F.col("source").alias("stratum")), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    masses = doc_mass.groupBy("stratum").agg(
+        F.sum("doc_tokens").cast("long").alias("mass")
+    )
+    alloc = C.waterfill_allocate(masses, budget_frac=WATERFILL_BUDGET_FRAC)
+    h8 = (
+        F.conv(F.substring(_md5_of_id(), 1, 8), 16, 10)
+        .cast("long")
+    )
+    sel = doc_mass.join(
+        F.broadcast(alloc.select("stratum", "rate_micro")), "stratum"
+    ).select(
+        "doc_id",
+        "stratum",
+        "doc_tokens",
+        (h8 * F.lit(1_000_000) < F.col("rate_micro") * F.lit(4294967296)).alias(
+            "selected"
+        ),
+    )
+    w = Window.partitionBy("stratum").orderBy(_md5_of_id(), "doc_id")
+    rn = F.row_number().over(w)
+    picked = (
+        sel.filter("selected")
+        .select(
+            "doc_id",
+            F.when(rn <= SPLIT_VAL_N, "val")
+            .when(rn <= SPLIT_VAL_N + SPLIT_TEST_N, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+    return sel.join(picked, "doc_id", "left").select(
+        "doc_id", "stratum", "doc_tokens", "selected", "split"
+    )
+
+
 def q_eval_split_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment with EXACT per-stratum
     quotas: within each source, docs rank by md5(doc_id) (a stable
@@ -744,6 +818,7 @@ LLM_QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "corpus_keep_list": q_corpus_keep_list,
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
+    "corpus_train_split_e2e": q_corpus_train_split_e2e,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "mix_waterfill": q_mix_waterfill,
     "eval_split_quota": q_eval_split_quota,

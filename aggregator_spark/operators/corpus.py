@@ -483,6 +483,18 @@ def token_budget_waterfill(
         docs.groupBy(F.col(stratum_col).alias("stratum"))
         .agg(F.sum(token_count(F.col(text_col))).cast("long").alias("mass"))
     )
+    return waterfill_allocate(masses, budget_frac=budget_frac)
+
+
+def waterfill_allocate(
+    masses: DataFrame, budget_frac: float = 0.5
+) -> DataFrame:
+    """The allocation core of ``token_budget_waterfill`` over a
+    pre-aggregated (stratum, mass) table — the seam the composed
+    train-split pipeline uses to allocate over the PACKED stream's
+    masses instead of raw text. Same exact-int64 algorithm and output
+    schema; the input is strata-sized, so the single-partition windows
+    below are on a handful of rows at any corpus size."""
     total_w = Window.partitionBy()
     order_w = Window.partitionBy().orderBy("mass", "stratum")
     prefix_w = order_w.rowsBetween(Window.unboundedPreceding, -1)

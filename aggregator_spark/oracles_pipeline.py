@@ -11,7 +11,12 @@ asserts below fail the import if a fragment's shape changes."""
 
 from __future__ import annotations
 
-from aggregator_spark.llm_queries import JACCARD_THRESHOLD
+from aggregator_spark.llm_queries import (
+    JACCARD_THRESHOLD,
+    SPLIT_TEST_N,
+    SPLIT_VAL_N,
+    WATERFILL_BUDGET_FRAC,
+)
 from aggregator_spark.operators.corpus import (
     DEFAULT_PACK_BUDGET,
     DEFAULT_PACK_GROUPS,
@@ -104,3 +109,47 @@ PIPELINE_ORACLES = {
     FROM packed
 """,
 }
+
+# the allocation tail composed onto the prepared corpus
+# (llm_queries.q_corpus_train_split_e2e): the corpus_prepare_e2e
+# oracle reused verbatim as the upstream CTE, the waterfill fragment
+# re-targeted at the packed stream's strata masses, the eval-split
+# ranking applied to the selected docs — every piece is a fragment
+# that already hash-matches on its own
+from aggregator_spark.oracles_llm import (  # noqa: E402
+    _hex8_to_bigint,
+    waterfill_sql,
+)
+
+_WF_PACKED = waterfill_sql(
+    """SELECT stratum, CAST(SUM(doc_tokens) AS BIGINT) AS mass
+      FROM docmass GROUP BY stratum""",
+    WATERFILL_BUDGET_FRAC,
+)
+
+PIPELINE_ORACLES["corpus_train_split_e2e"] = f"""
+    WITH prep AS MATERIALIZED ({PIPELINE_ORACLES["corpus_prepare_e2e"]}),
+    docmass AS MATERIALIZED (
+      SELECT p.doc_id, d.source AS stratum,
+             CAST(SUM(p.n_tokens) AS BIGINT) AS doc_tokens
+      FROM prep p JOIN documents d USING (doc_id)
+      GROUP BY p.doc_id, d.source),
+    alloc AS (
+      SELECT stratum, rate_micro FROM ({_WF_PACKED})),
+    sel AS MATERIALIZED (
+      SELECT m.doc_id, m.stratum, m.doc_tokens,
+             ({_hex8_to_bigint("md5(CAST(m.doc_id AS VARCHAR))")}
+               * 1000000 < a.rate_micro * 4294967296) AS selected
+      FROM docmass m JOIN alloc a USING (stratum)),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY stratum
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM sel WHERE selected)
+    SELECT s.doc_id, s.stratum, s.doc_tokens, s.selected,
+           CASE WHEN r.rn IS NULL THEN NULL
+                WHEN r.rn <= {SPLIT_VAL_N} THEN 'val'
+                WHEN r.rn <= {SPLIT_VAL_N + SPLIT_TEST_N} THEN 'test'
+                ELSE 'train' END AS split
+    FROM sel s LEFT JOIN ranked r USING (doc_id)
+"""
