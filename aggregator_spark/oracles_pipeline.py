@@ -12,7 +12,11 @@ asserts below fail the import if a fragment's shape changes."""
 from __future__ import annotations
 
 from aggregator_spark.llm_queries import (
+    DECONTAM_MOD,
+    DECONTAM_N,
+    DUP_FRAC_MAX,
     JACCARD_THRESHOLD,
+    NEW_BATCH_MOD,
     SPLIT_TEST_N,
     SPLIT_VAL_N,
     WATERFILL_BUDGET_FRAC,
@@ -24,6 +28,7 @@ from aggregator_spark.operators.corpus import (
 from aggregator_spark.oracles_analytics10 import ANALYTICS10_ORACLES
 from aggregator_spark.oracles_llm import (
     LLM_ORACLES,
+    WORD_TOKS,
     _BAND_SELECTS,
     _CHUNKS,
     _MH_COLS,
@@ -152,4 +157,175 @@ PIPELINE_ORACLES["corpus_train_split_e2e"] = f"""
                 WHEN r.rn <= {SPLIT_VAL_N + SPLIT_TEST_N} THEN 'test'
                 ELSE 'train' END AS split
     FROM sel s LEFT JOIN ranked r USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------
+# corpus_prepare_incremental (llm_queries.q_corpus_prepare_incremental):
+# the steady-state batch-arrival job. The oracle FULLY RECOMPUTES what
+# the Spark side reads from the persisted prepared-corpus index
+# (sources/prepared_index.py): the survivor set of the previous run
+# over the EXISTING corpus (quality keep-list + fuzzy dedup — the same
+# fragments as corpus_prepare_e2e retargeted at the existing slice),
+# the benchmark probe set, then the batch gate / incremental dedup /
+# span-chunk-pack tail. Every heavy CTE is MATERIALIZED — DuckDB
+# otherwise inlines multiply-referenced CTEs and the recursive
+# component closure re-evaluates per reference (measured minutes → ~30 s
+# on the train-split oracle).
+
+# existing-corpus keep list: all six source refs (gopher, lang, contam
+# toks+final, span toks+final) point at the existing slice — exactly
+# what the previous full run saw when the corpus WAS the existing docs
+_KEEP_EXISTING = _retarget(LLM_ORACLES["corpus_keep_list"], "existing", 6)
+_GOPHER_B = _retarget(LLM_ORACLES["gopher_quality"], "batch")
+_LANG_B = _retarget(LLM_ORACLES["lang_id"], "batch")
+_SPAN_B = _retarget(LLM_ORACLES["dup_span_stats"], "batch", 2)
+_SH_E = _retarget(_SHINGLES, "esurv")
+_SH_U = _retarget(_SHINGLES, "uni")
+_SPAN_KEPT_B = _retarget(ANALYTICS10_ORACLES["dedup_span_rewrite"], "bkept")
+_CHUNKS_B = _retarget(_CHUNKS, "srcb")
+
+PIPELINE_ORACLES["corpus_prepare_incremental"] = f"""
+    WITH existing AS MATERIALIZED (
+      SELECT * FROM documents WHERE doc_id % {NEW_BATCH_MOD} <> 0),
+    batch AS MATERIALIZED (
+      SELECT * FROM documents WHERE doc_id % {NEW_BATCH_MOD} = 0),
+    ekeep AS MATERIALIZED (
+      SELECT doc_id FROM ({_KEEP_EXISTING}) WHERE keep),
+    esurv AS MATERIALIZED (
+      SELECT e.* FROM existing e JOIN ekeep USING (doc_id)),
+    survivors AS MATERIALIZED (
+      WITH RECURSIVE {_SH_E},
+      sigs AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh),
+      buckets AS (
+{_BAND_SELECTS}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id),
+      ver AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS ic,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        WHERE ic > 0
+          AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+              >= {JACCARD_THRESHOLD}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        UNION
+        SELECT doc_b, doc_a FROM ver),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT q.doc_id FROM esurv q LEFT JOIN comp c ON q.doc_id = c.node
+      WHERE q.doc_id = COALESCE(c.component, q.doc_id)),
+    eprobes AS MATERIALIZED (
+      SELECT DISTINCT array_to_string(ts[1:{DECONTAM_N}], ' ') AS probe
+      FROM (SELECT doc_id, {WORD_TOKS} AS ts FROM existing) t
+      WHERE doc_id % {DECONTAM_MOD} = 0 AND len(ts) >= {DECONTAM_N}),
+    bcontam AS MATERIALIZED (
+      WITH btoks AS (SELECT doc_id, {WORD_TOKS} AS ts FROM batch),
+      grams AS (
+        SELECT doc_id,
+               array_to_string(ts[i:i+{DECONTAM_N - 1}], ' ') AS gram
+        FROM btoks,
+             UNNEST(generate_series(1, len(ts) - {DECONTAM_N - 1})) AS u(i)
+        WHERE len(ts) >= {DECONTAM_N}),
+      hits AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN eprobes p ON g.gram = p.probe)
+      SELECT b.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      FROM batch b LEFT JOIN hits h USING (doc_id)),
+    bkeep AS MATERIALIZED (
+      SELECT g.doc_id
+      FROM (SELECT doc_id, gopher_pass FROM ({_GOPHER_B})) g
+      JOIN (SELECT doc_id, lang_pred FROM ({_LANG_B})) l USING (doc_id)
+      JOIN bcontam c USING (doc_id)
+      JOIN (SELECT doc_id, dup_frac FROM ({_SPAN_B})) s USING (doc_id)
+      WHERE g.gopher_pass AND l.lang_pred <> 'und'
+        AND NOT c.contaminated AND s.dup_frac <= {DUP_FRAC_MAX}),
+    uni AS MATERIALIZED (
+      SELECT b.doc_id, b.text FROM batch b JOIN bkeep USING (doc_id)
+      UNION ALL
+      SELECT d.doc_id, d.text FROM documents d JOIN survivors USING (doc_id)),
+    incr AS MATERIALIZED (
+      WITH RECURSIVE {_SH_U},
+      sigs AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh),
+      buckets AS (
+{_BAND_SELECTS}
+      ),
+      cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id <> b.doc_id
+          AND (a.doc_id % {NEW_BATCH_MOD} = 0
+               OR b.doc_id % {NEW_BATCH_MOD} = 0)),
+      ver AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS ic,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        WHERE ic > 0
+          AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+              >= {JACCARD_THRESHOLD}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        UNION
+        SELECT doc_b, doc_a FROM ver),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+      lab AS (
+        SELECT u.doc_id,
+               COALESCE(c.component, u.doc_id) AS component,
+               (u.doc_id % {NEW_BATCH_MOD} = 0) AS is_new
+        FROM uni u LEFT JOIN comp c ON u.doc_id = c.node
+        WHERE u.doc_id % {NEW_BATCH_MOD} = 0 OR c.node IS NOT NULL),
+      flags AS (
+        SELECT component,
+               MAX(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS has_existing,
+               MIN(CASE WHEN is_new THEN doc_id END) AS min_new
+        FROM lab GROUP BY component)
+      SELECT l.doc_id FROM lab l JOIN flags f USING (component)
+      WHERE l.is_new AND f.has_existing = 0 AND l.doc_id = f.min_new),
+    bkept AS MATERIALIZED (
+      SELECT b.doc_id, b.text FROM batch b JOIN incr USING (doc_id)),
+    rewritten AS MATERIALIZED (
+      SELECT doc_id, clean_text FROM ({_SPAN_KEPT_B})),
+    srcb AS (
+      SELECT doc_id, clean_text AS text FROM rewritten
+      WHERE clean_text <> ''),
+    packed AS (
+      WITH {_CHUNKS_B}
+      SELECT doc_id, chunk_id,
+             CAST(doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group,
+             n_tokens
+      FROM chunks)
+    SELECT doc_id, chunk_id, pack_group,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin,
+           n_tokens
+    FROM packed
 """
