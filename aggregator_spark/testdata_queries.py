@@ -183,15 +183,17 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (dict insertion order), so the window is an explicit, tested artifact
 # rotated per round to convert local green into driver CORRECTNESS rows.
-# Round-7 window (VERDICT r6 item 1): the §2-parity block first (fresh
-# §2 rows every round), then this round's NEW composed-pipeline entry,
-# then the FULL 29-entry displaced pool whose latest driver row was
-# round 1, then the oldest round-4 rows — after this round nothing is
-# older than r4, and the r8 rotation (remaining r4 + r5 pool, ~54
-# entries over two rounds) leaves nothing older than r6. Everything
-# displaced stays covered by the local full sweep (test_entry_oracle
-# runs EVERY oracle at both SFs); displacement only defers driver rows.
-# The r6 window's entries (all green in CORRECTNESS_r06) rotate out.
+# Round-8 window (VERDICT r7 item 1, adjusted for this round's six NEW
+# entries): the §2-parity block first (fresh §2 rows every round), then
+# the six new entries (index artifacts + the two composed pipelines —
+# never driver-checked, so they must sit in the window), then the FULL
+# 25-entry r4-age pool, then the alphabetically-first 8 of the r5-age
+# pool. After this round nothing is older than r5; r9 takes the
+# remaining 27 r5-age entries (plus any r9 novelties) and leaves
+# nothing older than two rounds. Everything displaced stays covered by
+# the local full sweep (test_entry_oracle runs EVERY oracle at both
+# SFs); displacement only defers driver rows. The r7 window's entries
+# (all 50 green in CORRECTNESS_r07) rotate out.
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline) — stays
     # first every round so each §2 operator always has a fresh row
@@ -206,60 +208,51 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # round-7 NEW entry (never driver-checked -> must sit in the
-    # window): the composed corpus-preparation pipeline
-    "corpus_prepare_e2e",
-    # r7 rotation (VERDICT r6 item 1): the ENTIRE displaced pool whose
-    # latest driver row is round 1 — five rounds of code motion since
-    # their last driver check, covered only by local sweeps until now
-    "tpch_q2_min_supp",
-    "tpch_q4_semi",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7_nation_pairs",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q20_nested_in",
-    "tpch_q21_waiting",
-    "tpch_q22_idle",
-    "unpivot_daily",
-    "rollup_orders",
-    "set_ops_users",
-    "pivot_daily",
-    "distinct_users_daily",
-    "salted_type_counts",
-    "value_bands",
-    "json_props",
-    "string_funcs",
-    "median_value",
-    "grouping_sets_daily",
-    # oldest remaining rows (round 4) — fill the window so the r8
-    # rotation can finish the r4/r5 pool and leave nothing older
-    # than r6
-    "tpch_q1",
-    "tpch_q12_priority",
-    "top_events_per_type",
-    "sliding_halfhour",
-    # late round-7 additions (never driver-checked -> must sit in the
-    # window): RRF retrieval re-ranking, the dup-cluster size
-    # histogram, water-filling token-budget allocation, the pack-bin
-    # utilization report, and exact-quota eval splitting. Displaced
-    # token_stats / text_quality / vocab_edit_pairs / top_bigrams /
-    # tfidf_top_terms (r4-green, re-verified in this round's full
-    # sweeps) to the r8 pool.
-    "bm25_rrf_rerank",
-    "dedup_cluster_sizes",
-    "mix_waterfill",
-    "pack_efficiency",
-    "eval_split_quota",
+    # round-8 NEW entries: the four ingest-index artifacts (VERDICT r7
+    # item 3) and the two composed pipelines (items 2 and 7)
+    "bm25_index_postings",
+    "dedup_bucket_index",
+    "ann_ivf_index",
+    "bpe_dict_states",
+    "corpus_train_split_e2e",
+    "corpus_prepare_incremental",
+    # r8 rotation (VERDICT r7 item 1): the ENTIRE r4-age pool — their
+    # latest driver row predates four rounds of code motion
+    "ann_topk",
+    "clean_text",
+    "dedup_components",
+    "dedup_components_star",
+    "doc_chunks",
+    "doc_fingerprint",
+    "gopher_quality",
+    "kmeans_assign",
+    "kmeans_fit",
+    "label_centroids",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pii_redact",
+    "simhash64",
+    "stratified_sample",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_stats",
+    "top_bigrams",
+    "unigram_logprob",
+    "vocab_edit_pairs",
+    # oldest slice of the r5-age pool (alphabetical — all equally
+    # aged); the remaining 27 rotate in next round
+    "calendar_funcs",
+    "cohort_retention",
+    "cooccur_triangles",
+    "cube_grouping_id",
+    "daily_type_jaccard",
+    "decontaminate_docs",
+    "dedup_exact",
+    "deterministic_sample",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
