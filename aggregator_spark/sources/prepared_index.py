@@ -99,3 +99,9 @@ def cached_prepared_index(
     return materialize_cached_tables(
         spark, prepared_cache_dir(sf_dir), build, INDEX_TABLES
     )
+
+
+def cached_survivor_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-bucket member of the index (builds the whole index if
+    cold) — the bench ingest hook (key ``corpus_prepared_index_build``)."""
+    return cached_prepared_index(spark, sf_dir)["survivor_buckets"]

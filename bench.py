@@ -40,6 +40,50 @@ def merge_detail(old: dict, detail: dict, section: str) -> dict:
     return out
 
 
+class ShuffleProbe:
+    """Per-key shuffle byte meter over the Spark status REST API:
+    after each bench key, sum shuffle read/write of the stage attempts
+    COMPLETED since the previous probe (stage ids are monotonic; only
+    terminal-status attempts are marked seen, so a stage finishing
+    late is picked up by the next delta). Degrades to zeros if the UI
+    is unreachable — metrics must never fail the timing run."""
+
+    _DONE = {"COMPLETE", "FAILED", "SKIPPED"}
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        self.base = sc.uiWebUrl
+        self.app = sc.applicationId
+        self.seen: set[tuple[int, int]] = set()
+
+    def _stages(self) -> list[dict]:
+        if not self.base:
+            return []
+        import urllib.request
+
+        url = f"{self.base}/api/v1/applications/{self.app}/stages"
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                return json.load(r)
+        except Exception:
+            return []
+
+    def delta_mb(self) -> tuple[float, float]:
+        """(shuffle_write_mb, shuffle_read_mb) of newly-finished
+        stages."""
+        w = r = 0
+        for s in self._stages():
+            if s.get("status") not in self._DONE:
+                continue
+            key = (s.get("stageId", -1), s.get("attemptId", 0))
+            if key in self.seen:
+                continue
+            self.seen.add(key)
+            w += s.get("shuffleWriteBytes", 0) or 0
+            r += s.get("shuffleReadBytes", 0) or 0
+        return round(w / 1e6, 2), round(r / 1e6, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -61,8 +105,13 @@ def main() -> None:
 
     from aggregator_spark.session import get_spark
 
-    spark = get_spark(app_name="aggregator-spark-bench")
+    # UI on for the status REST API only (shuffle byte metering)
+    spark = get_spark(
+        app_name="aggregator-spark-bench",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    probe = ShuffleProbe(spark)
 
     import __spark_entry__ as entry_mod
 
@@ -90,7 +139,9 @@ def main() -> None:
             ).save()
 
     timings: dict[str, float] = {}
+    shuffle: dict[str, list[float]] = {}  # key -> [write_mb, read_mb]
     total = 0.0
+    probe.delta_mb()  # drain warmup stages so key deltas start clean
 
     # Ingest costs timed as their own keys (one-time pipeline costs —
     # folding them into the first query run misreported steady-state
@@ -120,12 +171,18 @@ def main() -> None:
         bpe_cache_dir,
         cached_bpe_merges,
     )
+    from aggregator_spark.sources.prepared_index import (
+        cached_survivor_buckets,
+        prepared_cache_dir,
+    )
     from aggregator_spark.sources.variant_ingest import (
         cached_events_variant,
         variant_cache_dir,
     )
 
     ingests = [
+        ("corpus_prepared_index_build", prepared_cache_dir,
+         cached_survivor_buckets),
         ("variant_ingest", variant_cache_dir, cached_events_variant),
         ("ann_ivf_index_build", ivf_cache_dir, cached_ivf_assignment),
         ("ann_lsh_index_build", lsh_cache_dir, cached_lsh_index),
@@ -153,6 +210,7 @@ def main() -> None:
         ).save()
         dt = time.perf_counter() - t0
         timings[key] = round(dt, 3)
+        shuffle[key] = list(probe.delta_mb())
         total += dt
         print(f"# {key}: {dt:.3f}s", file=sys.stderr)
 
@@ -180,6 +238,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if wanted("dedup_batch_sign"):
             timings["dedup_batch_sign"] = round(dt, 3)
+            shuffle["dedup_batch_sign"] = list(probe.delta_mb())
             total += dt
         print(f"# dedup_batch_sign: {dt:.3f}s", file=sys.stderr)
         if wanted("dedup_incremental_serve"):
@@ -190,6 +249,7 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             timings["dedup_incremental_serve"] = round(dt, 3)
+            shuffle["dedup_incremental_serve"] = list(probe.delta_mb())
             total += dt
             print(f"# dedup_incremental_serve: {dt:.3f}s", file=sys.stderr)
 
@@ -199,14 +259,29 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
+        shuffle[name] = list(probe.delta_mb())
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    # mechanical shuffle-budget gate (VERDICT r7 item 4): compare the
+    # sf0.1 run's measured shuffle writes against the per-key caps —
+    # a plan regression fails HERE, not as wall-clock drift two rounds
+    # later. Violations always recorded; SPARK_GRAFT_ENFORCE_SHUFFLE=1
+    # turns them into a hard bench failure.
+    from aggregator_spark.plans.shuffle_budgets import check_budgets
+
+    shuffle_w = {k: v[0] for k, v in shuffle.items()}
+    violations = check_budgets(shuffle_w, sf)
+    for v in violations:
+        print(f"# SHUFFLE BUDGET VIOLATION: {v}", file=sys.stderr)
 
     detail = {
         "metric": "bench_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "shuffle": shuffle,
+        "shuffle_violations": violations,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -227,18 +302,21 @@ def main() -> None:
                   sort_keys=True)
     print(json.dumps(timings), file=sys.stderr)
 
-    summary = json.dumps(
-        {
-            "metric": "bench_total_sec",
-            "value": round(total, 3),
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-        }
-    )
+    summary_d = {
+        "metric": "bench_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if violations:
+        summary_d["shuffle_viol"] = len(violations)
+    summary = json.dumps(summary_d)
     assert len(summary) <= 200, summary
     print(summary)
     spark.stop()
+    if violations and os.environ.get("SPARK_GRAFT_ENFORCE_SHUFFLE") == "1":
+        raise SystemExit(f"shuffle budget violations: {violations}")
 
 
 if __name__ == "__main__":

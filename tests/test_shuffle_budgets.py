@@ -1,0 +1,120 @@
+"""The mechanical shuffle-budget gate (VERDICT r7 item 4), both halves:
+
+1. ``check_budgets`` unit behavior (no Spark) — the comparator bench.py
+   runs against the measured sf0.1 shuffle bytes.
+2. Scale-independent exchange-COUNT pins per representative plan via
+   plans/lint.plan_report — a new exchange or a lost broadcast changes
+   these counts deterministically at any SF, so the suite catches the
+   plan regression even before a bench run. Includes a deliberately-
+   broken plan (an injected repartition, and a de-hinted join) proving
+   the gate actually trips.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from aggregator_spark.plans.lint import plan_report
+from aggregator_spark.plans.shuffle_budgets import check_budgets
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- unit
+
+def test_check_budgets_flags_over_budget():
+    out = check_budgets({"k": 100.0}, 0.1, budgets={"k": 40.0})
+    assert len(out) == 1 and "k" in out[0] and "100.0" in out[0]
+
+
+def test_check_budgets_passes_under_budget():
+    assert check_budgets({"k": 39.9}, 0.1, budgets={"k": 40.0}) == []
+
+
+def test_check_budgets_ignores_other_scales():
+    # budgets are sf0.1-specific: the sf1/sf10 scaling runs and local
+    # sf0.001 smokes must never trip them
+    assert check_budgets({"k": 1e9}, 1.0, budgets={"k": 40.0}) == []
+    assert check_budgets({"k": 1e9}, 0.001, budgets={"k": 40.0}) == []
+
+
+def test_check_budgets_skips_unmeasured_keys():
+    # a restricted SPARK_GRAFT_KEYS run measures a subset; absent keys
+    # are not violations
+    assert check_budgets({}, 0.1, budgets={"k": 40.0}) == []
+
+
+# -------------------------------------------------- exchange-count pins
+
+# (shuffle Exchange count, BroadcastExchange count) per plan — exact
+# pins, not ceilings: a REMOVED exchange is worth knowing about too
+# (usually a broken reuse or a collapsed-to-one-partition accident).
+# Counts are from the AQE-initial formatted plan at sf0.001; they are
+# scale-independent because every query's shape is static.
+EXCHANGE_PINS = {
+    "daily_counts": (3, 0),
+    "amplified_counts": (2, 1),   # broadcast dim join stays broadcast
+    "missing_users": (2, 1),      # broadcast anti join stays broadcast
+    "tpch_q1": (2, 0),
+    "tpch_q6": (1, 0),            # scan -> partial agg -> single gather
+    "bloom_prefiltered_join": (1, 1),
+    "dedup_exact": (1, 0),
+    "doc_chunks": (1, 0),         # scatter only, no agg shuffle
+    "pack_sequences": (2, 0),
+    "mix_waterfill": (2, 0),      # corpus -> strata agg -> windows
+    "eval_split_quota": (2, 0),
+    # index-artifact serves: pure scans of the persisted parquet —
+    # ZERO exchanges is the whole point of the ingest/serve split
+    "bm25_index_postings": (0, 0),
+    "dedup_bucket_index": (0, 0),
+    "ann_ivf_index": (0, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_PINS))
+def test_exchange_count_pinned(spark, name):
+    qs = entry_mod.queries()
+    r = plan_report(qs[name](spark, SF))
+    got = (r.get("Exchange", 0), r.get("BroadcastExchange", 0))
+    assert got == EXCHANGE_PINS[name], (
+        f"{name}: (Exchange, BroadcastExchange) {got} != pinned "
+        f"{EXCHANGE_PINS[name]} — a plan regression (new/lost shuffle "
+        f"or broadcast); update the pin only with a scale rationale"
+    )
+
+
+# ------------------------------------------------- broken-plan tripwire
+
+def test_gate_catches_injected_exchange(spark):
+    """An extra repartition — the classic accidental shuffle — must
+    move the Exchange count off its pin."""
+    qs = entry_mod.queries()
+    broken = qs["daily_counts"](spark, SF).repartition(64)
+    r = plan_report(broken)
+    assert r.get("Exchange", 0) > EXCHANGE_PINS["daily_counts"][0]
+
+
+def test_gate_catches_lost_broadcast(spark):
+    """Dropping the broadcast hint under a disabled auto-broadcast
+    threshold turns the dim join into a sort-merge join: broadcast
+    count falls, shuffle count rises — both off their pins."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.schemas import load_testdata
+
+    events, customer = load_testdata(spark, SF, "events", "customer")
+    rich = customer.filter(F.col("c_acctbal") > 9000.0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        good = events.join(
+            F.broadcast(rich), events.user_id == rich.c_custkey
+        )
+        bad = events.join(rich, events.user_id == rich.c_custkey)
+        rg, rb = plan_report(good), plan_report(bad)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rg.get("BroadcastExchange", 0) >= 1
+    assert rb.get("BroadcastExchange", 0) == 0
+    assert rb.get("Exchange", 0) > rg.get("Exchange", 0)
