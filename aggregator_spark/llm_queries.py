@@ -631,6 +631,43 @@ def batch_keep_flags(batch_docs: DataFrame, probes: DataFrame) -> DataFrame:
     )
 
 
+def corpus_prepare_incremental(
+    batch: DataFrame,
+    survivor_docs: DataFrame,
+    survivor_buckets: DataFrame,
+    probes: DataFrame,
+    is_new,
+) -> DataFrame:
+    """DataFrame-in form of the incremental batch-preparation job (see
+    ``q_corpus_prepare_incremental`` for the full stage description;
+    the stress harness drives this directly —
+    tests/stress_corpus_prepare_incremental.py). ``is_new`` is the
+    batch-membership Column predicate over doc_id (the batch and the
+    survivor corpus must partition on it)."""
+    bkeep = (
+        batch_keep_flags(batch, probes)
+        .filter("keep")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    bsurv = batch.join(bkeep, "doc_id").select("doc_id", "text")
+    union_docs = bsurv.unionByName(survivor_docs.select("doc_id", "text"))
+    incr = D.minhash_dedup_incremental(
+        union_docs,
+        is_new,
+        threshold=JACCARD_THRESHOLD,
+        corpus_buckets=survivor_buckets,
+    )
+    kept = batch.join(
+        incr.filter("keep").select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    rewritten = D.dedup_span_rewrite(kept, n=DUP_SPAN_N)
+    nonempty = rewritten.filter(F.length("clean_text") > 0).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return C.pack_sequences(C.doc_chunks(nonempty))
+
+
 def q_corpus_prepare_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -668,33 +705,16 @@ def q_corpus_prepare_incremental(
     docs = load_testdata(spark, sf_dir, "documents")
     idx = cached_prepared_index(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
-    bkeep = (
-        batch_keep_flags(batch, idx["probes"])
-        .filter("keep")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
-    bsurv = batch.join(bkeep, "doc_id").select("doc_id", "text")
     survivor_docs = docs.join(
         idx["survivor_buckets"].select("doc_id").distinct(), "doc_id"
     ).select("doc_id", "text")
-    union_docs = bsurv.unionByName(survivor_docs)
-    incr = D.minhash_dedup_incremental(
-        union_docs,
+    return corpus_prepare_incremental(
+        batch,
+        survivor_docs,
+        idx["survivor_buckets"],
+        idx["probes"],
         F.col("doc_id") % NEW_BATCH_MOD == 0,
-        threshold=JACCARD_THRESHOLD,
-        corpus_buckets=idx["survivor_buckets"],
-    )
-    kept = batch.join(
-        incr.filter("keep").select("doc_id"), "doc_id"
-    ).select("doc_id", "text")
-    rewritten = D.dedup_span_rewrite(kept, n=DUP_SPAN_N)
-    nonempty = rewritten.filter(F.length("clean_text") > 0).select(
-        "doc_id", F.col("clean_text").alias("text")
-    )
-    return C.pack_sequences(C.doc_chunks(nonempty)).orderBy(
-        "doc_id", "chunk_id"
-    )
+    ).orderBy("doc_id", "chunk_id")
 
 
 SPLIT_VAL_N = 5  # exact per-source validation quota

@@ -181,12 +181,15 @@ def main() -> None:
     )
 
     ingests = [
-        ("corpus_prepared_index_build", prepared_cache_dir,
-         cached_survivor_buckets),
         ("variant_ingest", variant_cache_dir, cached_events_variant),
         ("ann_ivf_index_build", ivf_cache_dir, cached_ivf_assignment),
         ("ann_lsh_index_build", lsh_cache_dir, cached_lsh_index),
         ("dedup_bucket_index_build", minhash_cache_dir, cached_minhash_buckets),
+        # AFTER the bucket-index build: the prepared-corpus index READS
+        # the persisted bucket table (its design), so its cold timing
+        # must not re-pay the signing cost the previous key just timed
+        ("corpus_prepared_index_build", prepared_cache_dir,
+         cached_survivor_buckets),
         ("bm25_index_build", bm25_cache_dir, cached_bm25_postings),
         ("bpe_dict_build", bpe_cache_dir, cached_bpe_merges),
     ]
