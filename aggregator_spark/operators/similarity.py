@@ -864,25 +864,61 @@ def _semantic_drop_worker(threshold: float, id_col: str):
         mat = np.array(
             [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
         )
-        dots = np.zeros((len(ids), len(ids)))
-        for d in range(mat.shape[1]):
-            dots = dots + np.outer(mat[:, d], mat[:, d])
+        n, dims = mat.shape
         norms = np.sqrt(_seq_rowdot(mat, mat))
+        # Two-tier evaluation so the cluster stays tractable when its
+        # size grows with the corpus (the r8 sf10 finding: the old
+        # per-dimension np.outer full matrix was O(n²·d) time AND an
+        # n×n temp per dimension — 33k-vector clusters ran minutes and
+        # allocated ~9 GB per temp):
+        #   1. SCREEN with blocked BLAS matmul at threshold-1e-4 — the
+        #      dgemm error vs sequential accumulation is ~d·eps (1e-14
+        #      scale), five orders inside the margin, so the candidate
+        #      set provably contains every pair the exact rule accepts;
+        #   2. re-derive the EXACT sequential-accumulation cosine only
+        #      for candidates (vectorized per dimension, ascending d —
+        #      the same IEEE op order as the fold/DuckDB), and let the
+        #      decimal HALF_UP re-round decide, as before. Results are
+        #      bit-identical to the full exact matrix.
+        mt = mat.T.copy()
+        block = max(1, min(4096, int(2**27 // max(n, 1))))
+        cia: list[np.ndarray] = []
+        cij: list[np.ndarray] = []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = (mat[s:e] @ mt) / (
+                    norms[s:e, None] * norms[None, :]
+                )
+            m = (approx >= threshold - 1e-4) & (
+                ids[None, :] < ids[s:e, None]
+            )
+            bi, bj = np.nonzero(m)
+            cia.append(bi + s)
+            cij.append(bj)
+        ia = np.concatenate(cia) if cia else np.empty(0, dtype=np.int64)
+        ij = np.concatenate(cij) if cij else np.empty(0, dtype=np.int64)
+        if not len(ia):
+            return empty
+        dots = np.zeros(len(ia))
+        for d in range(dims):
+            dots = dots + mat[ia, d] * mat[ij, d]
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = dots / (norms[:, None] * norms[None, :])
-        # row a is a drop candidate when SOME lower-id j clears the
-        # (slightly loosened) threshold; exact Decimal re-round decides
-        cand = (cos >= threshold - 1e-6) & (ids[None, :] < ids[:, None])
-        ia, ij = np.nonzero(cand)
+            cos = dots / (norms[ia] * norms[ij])
+        # exact rule, unchanged: candidates within 1e-6 of the
+        # threshold go through the Decimal re-round; clear passes need
+        # no per-pair Decimal work
+        sure = cos >= threshold + 1e-6
+        near = (cos >= threshold - 1e-6) & ~sure
         q6 = Decimal("0.000001")
-        dropped: set[int] = set()
-        for i, j in zip(ia, ij):
+        dropped: set[int] = {int(ids[i]) for i in ia[sure]}
+        for i, c in zip(ia[near], cos[near]):
             if int(ids[i]) in dropped:
                 continue
-            c = Decimal(repr(float(cos[i, j]))).quantize(
+            cq = Decimal(repr(float(c))).quantize(
                 q6, rounding=ROUND_HALF_UP
             )
-            if float(c) >= threshold:
+            if float(cq) >= threshold:
                 dropped.add(int(ids[i]))
         if not dropped:
             return empty
