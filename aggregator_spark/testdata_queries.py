@@ -133,14 +133,24 @@ def q_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_missing_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4a: NOT EXISTS anti-join (reference main.py:432-437)."""
+    """B4a: NOT EXISTS anti-join (reference main.py:432-437).
+
+    No broadcast HINT on the dim side (r8, SCALE.md §missing_users):
+    customer scales with user POPULATION, and the sf1→sf10 probe
+    showed the forced-broadcast build becoming the growing term (the
+    shuffle anti-join variant was faster at sf10). Un-hinted, the
+    optimizer broadcasts while the dim fits the 64 MB session
+    threshold (same plan at test SFs — exchange pin unchanged) and
+    degrades gracefully to a shuffle anti-join when it outgrows it —
+    the reference's own dims (country/ASN, operators/repair.py) keep
+    their hints because they are bounded small."""
     events, customer = load_testdata(spark, sf_dir, "events", "customer")
     return (
         events.select("user_id")
         .where(F.col("user_id").isNotNull())
         .distinct()
         .join(
-            F.broadcast(customer.select("c_custkey")),
+            customer.select("c_custkey"),
             F.col("user_id") == F.col("c_custkey"),
             "left_anti",
         )
