@@ -379,6 +379,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup(emb, threshold=SEMDEDUP_THRESHOLD)
 
 
+SEMDEDUP_CAP = 512  # target cell capacity for the capped scale path
+
+
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capacity-bounded scale path of ``semantic_dedup`` (r8): when
+    cluster count is pinned (label-initialized k) while the corpus
+    grows, exact within-cluster comparison is quadratic in cluster
+    size — measured 10.6 s (sf1) → 298 s (sf10), the one super-linear
+    key of the r8 scaling sweep. This variant hash-splits every
+    cluster into ceil(size/{cap}) md5 cells and compares within cells
+    only, capping per-task work forever; drops are a SUBSET of the
+    exact drops (pytest-pinned), the standard SemDeDup recall trade.
+    Same exact-baseline/scale-path pairing as ngram_jaccard vs LSH."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, threshold=SEMDEDUP_THRESHOLD, max_cluster=SEMDEDUP_CAP
+    )
+
+
 def q_dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end production fuzzy dedup (operators/dedup.py:
     minhash_dedup_keep): LSH candidates -> exact-Jaccard verification on
@@ -935,6 +954,7 @@ LLM_QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "repetition_metrics": q_repetition_metrics,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_capped": q_semantic_dedup_capped,
     "dedup_fuzzy_keep": q_dedup_fuzzy_keep,
     "dedup_incremental": q_dedup_incremental,
     "temperature_mix": q_temperature_mix,

@@ -933,6 +933,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then drop any vector
@@ -957,8 +958,41 @@ def semantic_dedup(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
     )
     v = base.join(assign, id_col)
+    group_cols = ["cluster"]
+    if max_cluster is not None:
+        # capacity sub-sharding — the 100-TB posture when cluster
+        # COUNT cannot be scaled with the corpus (SemDeDup's k-grows-
+        # with-n contract; here k is pinned by the label init): split
+        # every cluster into ceil(size/max_cluster) hash cells so the
+        # per-task quadratic work is capacity-bounded forever. Hash
+        # assignment (md5 — the repo-wide deterministic selector), not
+        # a row_number window: a window would sort each whole cluster
+        # in ONE task, re-creating the bottleneck being removed.
+        # Comparisons are within-cell only — a documented recall trade
+        # (drops are a SUBSET of the exact within-cluster drops,
+        # pinned by test); measured sf10: 298 s exact → see SCALE.md.
+        sizes = assign.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("c_n")
+        )
+        h8 = F.conv(
+            F.substring(
+                F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        v = (
+            v.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "cell",
+                (h8 % F.ceil(F.col("c_n") / max_cluster).cast("long"))
+                .cast("int"),
+            )
+            .drop("c_n")
+        )
+        group_cols = ["cluster", "cell"]
     dropped = (
-        v.groupBy("cluster")
+        v.groupBy(*group_cols)
         .applyInPandas(
             _semantic_drop_worker(threshold, id_col), f"{id_col} long"
         )

@@ -981,3 +981,33 @@ LLM_ORACLES["ngram_containment_pairs"] = f"""
     WHERE containment >= {CONTAINMENT_THRESHOLD}
     ORDER BY doc_a, doc_b
 """
+
+# capacity-bounded semantic-dedup scale path (r8): same nearest-
+# centroid assignment, clusters hash-split into ceil(size/cap) md5
+# cells, comparisons within cells only — the per-task quadratic work
+# is capacity-bounded however the corpus grows
+from aggregator_spark.llm_queries import SEMDEDUP_CAP  # noqa: E402
+
+LLM_ORACLES["semantic_dedup_capped"] = f"""
+    WITH {_ASSIGN_CTES},
+    sizes AS (SELECT cluster, COUNT(*) AS c_n FROM asg GROUP BY cluster),
+    cells AS (
+      SELECT a.vec_id, a.cluster,
+             CAST({_hex8_to_bigint("md5(CAST(a.vec_id AS VARCHAR))")}
+                  % CAST(ceil(s.c_n / {SEMDEDUP_CAP}) AS BIGINT)
+               AS INT) AS cell
+      FROM asg a JOIN sizes s USING (cluster)),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM cells a JOIN cells b
+        ON a.cluster = b.cluster AND a.cell = b.cell
+       AND b.vec_id < a.vec_id
+      JOIN base va ON va.vec_id = a.vec_id
+      JOIN base vb ON vb.vec_id = b.vec_id
+      WHERE round(list_dot_product(va.vec, vb.vec)
+            / (sqrt(list_dot_product(va.vec, va.vec))
+               * sqrt(list_dot_product(vb.vec, vb.vec))), 6)
+            >= {SEMDEDUP_THRESHOLD})
+    SELECT g.vec_id, g.cluster, (d.vec_id IS NULL) AS keep
+    FROM cells g LEFT JOIN dropped d ON g.vec_id = d.vec_id
+"""

@@ -253,8 +253,12 @@ DRIVER_WINDOW = [
     "top_bigrams",
     "unigram_logprob",
     "vocab_edit_pairs",
+    # late r8 addition (never driver-checked): the capacity-bounded
+    # semantic-dedup scale path, born from the sf10 sweep's one
+    # super-linear finding
+    "semantic_dedup_capped",
     # oldest slice of the r5-age pool (alphabetical — all equally
-    # aged); the remaining 27 rotate in next round
+    # aged); the remaining 28 rotate in next round
     "calendar_funcs",
     "cohort_retention",
     "cooccur_triangles",
@@ -262,7 +266,6 @@ DRIVER_WINDOW = [
     "daily_type_jaccard",
     "decontaminate_docs",
     "dedup_exact",
-    "deterministic_sample",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

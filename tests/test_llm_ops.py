@@ -341,6 +341,37 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     )
 
 
+def test_semantic_dedup_capped_is_subset(spark, sf_dir):
+    """The capacity-bounded scale path compares within hash CELLS of a
+    cluster, so its drop set must be a SUBSET of the exact
+    within-cluster drops (the documented SemDeDup recall trade) — and
+    with a cap far above every cluster size it must be IDENTICAL."""
+    from aggregator_spark.operators.similarity import semantic_dedup
+
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    full = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb, threshold=0.4).collect()
+    }
+    capped = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, threshold=0.4, max_cluster=16
+        ).collect()
+    }
+    assert set(capped) == set(full)
+    dropped_full = {v for v, k in full.items() if not k}
+    dropped_capped = {v for v, k in capped.items() if not k}
+    assert dropped_capped <= dropped_full
+    huge_cap = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, threshold=0.4, max_cluster=10_000_000
+        ).collect()
+    }
+    assert huge_cap == full
+
+
 def test_minhash_dedup_keep_pipeline(spark, sf_dir):
     """End-to-end keep-list: one survivor per component, survivor = min
     member id, verified edges are exactly the candidate pairs whose
