@@ -78,23 +78,19 @@ def q_heavy_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free candidate generation, then an exact broadcast recount
     (operators/heavy_hitters.py). Same tokenizer as ``top_tokens``.
     """
-    from aggregator_spark.operators.heavy_hitters import heavy_hitters
+    from aggregator_spark.operators.heavy_hitters import (
+        bigram_stream,
+        heavy_hitters,
+    )
     from aggregator_spark.operators.util import scatter
 
-    # the bigram transform + MG pass are CPU-bound: don't inherit the
-    # small scan's single split (scatter is a no-op at real scale)
+    # bigram generation + MG pass are CPU-bound: don't inherit the
+    # small scan's single split (scatter is a no-op at real scale).
+    # Bigrams come from the Arrow worker, not a JVM HOF transform —
+    # the interpreted-lambda path was the dominant sf10 cost (see
+    # bigram_stream; 8.5 s → 2.3 s warm at sf1)
     docs = scatter(load_testdata(spark, sf_dir, "documents"))
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    items = docs.select(F.explode(bigrams).alias("token"))
+    items = bigram_stream(docs)
     return heavy_hitters(items, "token", k_out=HH_K).orderBy("token")
 
 
