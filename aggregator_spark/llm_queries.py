@@ -656,13 +656,17 @@ def corpus_prepare_incremental(
     survivor_buckets: DataFrame,
     probes: DataFrame,
     is_new,
+    span_grams: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame-in form of the incremental batch-preparation job (see
     ``q_corpus_prepare_incremental`` for the full stage description;
     the stress harness drives this directly —
     tests/stress_corpus_prepare_incremental.py). ``is_new`` is the
     batch-membership Column predicate over doc_id (the batch and the
-    survivor corpus must partition on it)."""
+    survivor corpus must partition on it). ``span_grams`` is the
+    persisted gram index of the survivor corpus (r8): spans the
+    archive already holds are removed from the batch entirely, with
+    no first-occurrence exception."""
     bkeep = (
         batch_keep_flags(batch, probes)
         .filter("keep")
@@ -680,7 +684,9 @@ def corpus_prepare_incremental(
     kept = batch.join(
         incr.filter("keep").select("doc_id"), "doc_id"
     ).select("doc_id", "text")
-    rewritten = D.dedup_span_rewrite(kept, n=DUP_SPAN_N)
+    rewritten = D.dedup_span_rewrite(
+        kept, n=DUP_SPAN_N, corpus_grams=span_grams
+    )
     nonempty = rewritten.filter(F.length("clean_text") > 0).select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -703,8 +709,10 @@ def q_corpus_prepare_incremental(
         batch buckets join the survivor table; existing×existing never
         compared; keep = duplicate-free-of-existing ∧ min-id within
         batch-only components)
-      → duplicated-span REMOVAL over the kept batch (span df within
-        the batch)
+      → duplicated-span REMOVAL over the kept batch: within-batch
+        repeats keep their first occurrence, and (r8) every span
+        present in the PERSISTED survivor gram index is removed
+        entirely — the archive already holds it
       → chunk → pack, batch only.
 
     Returns the packed batch stream (doc_id, chunk_id, pack_group,
@@ -733,6 +741,7 @@ def q_corpus_prepare_incremental(
         idx["survivor_buckets"],
         idx["probes"],
         F.col("doc_id") % NEW_BATCH_MOD == 0,
+        span_grams=idx["span_grams"],
     ).orderBy("doc_id", "chunk_id")
 
 

@@ -707,11 +707,36 @@ def dup_span_stats(
     )
 
 
+def span_gram_hashes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 16,
+) -> DataFrame:
+    """Distinct xxhash64 keys of ``docs``' word n-grams — the
+    persistable CORPUS GRAM INDEX consumed by
+    ``dedup_span_rewrite(corpus_grams=...)`` for cross-corpus span
+    removal (an arriving batch drops every span the archived corpus
+    already contains). One (gh) long per distinct gram; at 100 TB the
+    table is stored bucketed by gh so a batch's gram probe co-locates
+    and only the batch side shuffles."""
+    from aggregator_spark.operators.text import word_ngrams, word_tokens
+
+    toks = docs.select(word_tokens(F.col(text_col)).alias("ts"))
+    return (
+        toks.filter(F.size("ts") >= n)
+        .select(F.explode(word_ngrams(F.col("ts"), n)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+
+
 def dedup_span_rewrite(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 16,
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-span REMOVAL — the transform counterpart of
     ``dup_span_stats`` (Lee et al. 2022 remove, not just measure,
@@ -737,6 +762,13 @@ def dedup_span_rewrite(
     reconstruction groups (position, token) pairs per doc — the one
     place raw text shuffles, unavoidable for a rewrite, keyed by
     doc_id and linear in output size.
+
+    With ``corpus_grams`` (a (gh) table from ``span_gram_hashes`` —
+    the persisted gram index of an ARCHIVED corpus), every occurrence
+    of a gram present in the index is additionally covered, with NO
+    first-occurrence exception: the archive already holds that span,
+    so the arriving batch keeps none of it. The within-``docs``
+    keep-first rule still applies among the batch's own duplicates.
     """
     from aggregator_spark.operators.text import word_ngrams, word_tokens
 
@@ -766,7 +798,24 @@ def dedup_span_rewrite(
             & (F.col("pos") == F.col("first.pos"))
         )
     )
-    covered = flagged.select(
+    starts = flagged.select("doc_id", "pos")
+    if corpus_grams is not None:
+        # probe DIRECTION matters: the batch's distinct gram set is
+        # batch-sized, the archive's index is corpus-sized — broadcast
+        # the batch set to filter the index map-side (archive scanned,
+        # never shuffled), then broadcast the (⊆ batch-sized) hit set
+        # back onto the batch positions. The naive shuffle join moved
+        # the whole index per batch: 0.40 GB vs 0.04 GB shuffle at the
+        # 400k-corpus stress.
+        batch_gh = grams.select("gh").distinct()
+        hit_gh = corpus_grams.select("gh").join(
+            F.broadcast(batch_gh), "gh"
+        ).distinct()
+        corpus_hits = grams.join(F.broadcast(hit_gh), "gh").select(
+            "doc_id", "pos"
+        )
+        starts = starts.unionByName(corpus_hits)
+    covered = starts.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))

@@ -15,6 +15,7 @@ from aggregator_spark.llm_queries import (
     DECONTAM_MOD,
     DECONTAM_N,
     DUP_FRAC_MAX,
+    DUP_SPAN_N,
     JACCARD_THRESHOLD,
     NEW_BATCH_MOD,
     SPLIT_TEST_N,
@@ -181,8 +182,62 @@ _LANG_B = _retarget(LLM_ORACLES["lang_id"], "batch")
 _SPAN_B = _retarget(LLM_ORACLES["dup_span_stats"], "batch", 2)
 _SH_E = _retarget(_SHINGLES, "esurv")
 _SH_U = _retarget(_SHINGLES, "uni")
-_SPAN_KEPT_B = _retarget(ANALYTICS10_ORACLES["dedup_span_rewrite"], "bkept")
 _CHUNKS_B = _retarget(_CHUNKS, "srcb")
+
+
+def _span_rewrite_incr_sql(
+    batch_src: str, corpus_src: str, n: int = DUP_SPAN_N
+) -> str:
+    """Cross-corpus span rewrite over ``batch_src`` against the gram
+    set of ``corpus_src`` (the SQL twin of
+    dedup_span_rewrite(corpus_grams=...)): within-batch repeats keep
+    their first (doc_id, pos) occurrence; grams present in the corpus
+    are removed from the batch ENTIRELY. Yields (doc_id, n_tokens,
+    n_removed, clean_text) for every batch doc."""
+    wt = WORD_TOKS
+    return f"""
+    WITH btoks AS (
+      SELECT doc_id, {wt} AS ts FROM {batch_src}),
+    g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[i:i+{n - 1}], ' ') AS gram
+      FROM btoks, UNNEST(generate_series(1, len(ts) - {n - 1})) AS u(i)
+      WHERE len(ts) >= {n}),
+    eg AS (
+      SELECT DISTINCT array_to_string(ts[i:i+{n - 1}], ' ') AS gram
+      FROM (SELECT {wt} AS ts FROM {corpus_src}),
+           UNNEST(generate_series(1, len(ts) - {n - 1})) AS u(i)
+      WHERE len(ts) >= {n}),
+    marked AS (
+      SELECT doc_id, pos, gram,
+             COUNT(*) OVER (PARTITION BY gram) AS df,
+             ROW_NUMBER() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM g),
+    cov0 AS (
+      SELECT doc_id, pos FROM marked WHERE df >= 2 AND rn > 1
+      UNION
+      SELECT g.doc_id, g.pos FROM g JOIN eg USING (gram)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + j AS pos
+      FROM cov0, UNNEST(generate_series(0, {n - 1})) AS v(j)),
+    tokpos AS (
+      SELECT doc_id, i AS pos, ts[i] AS token
+      FROM btoks, UNNEST(generate_series(1, len(ts))) AS u(i)),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.token
+      FROM tokpos t
+      ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(token, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT x.doc_id, CAST(len(x.ts) AS BIGINT) AS n_tokens,
+           CAST(len(x.ts) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM btoks x LEFT JOIN rebuilt r ON x.doc_id = r.doc_id
+"""
 
 PIPELINE_ORACLES["corpus_prepare_incremental"] = f"""
     WITH existing AS MATERIALIZED (
@@ -310,8 +365,12 @@ PIPELINE_ORACLES["corpus_prepare_incremental"] = f"""
       WHERE l.is_new AND f.has_existing = 0 AND l.doc_id = f.min_new),
     bkept AS MATERIALIZED (
       SELECT b.doc_id, b.text FROM batch b JOIN incr USING (doc_id)),
+    sdocs AS MATERIALIZED (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN survivors USING (doc_id)),
     rewritten AS MATERIALIZED (
-      SELECT doc_id, clean_text FROM ({_SPAN_KEPT_B})),
+      SELECT doc_id, clean_text
+      FROM ({_span_rewrite_incr_sql("bkept", "sdocs")})),
     srcb AS (
       SELECT doc_id, clean_text AS text FROM rewritten
       WHERE clean_text <> ''),

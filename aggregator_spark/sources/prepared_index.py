@@ -26,7 +26,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-INDEX_TABLES = ("survivor_buckets", "probes")
+INDEX_TABLES = ("survivor_buckets", "probes", "span_grams")
 
 
 def prepared_cache_dir(sf_dir: str) -> str:
@@ -88,13 +88,24 @@ def cached_prepared_index(
             threshold=JACCARD_THRESHOLD,
             buckets=ebuckets.join(keep_ids, "doc_id", "semi"),
         )
-        survivors = fz.filter("keep").select("doc_id")
+        survivors = fz.filter("keep").select(
+            "doc_id"
+        ).localCheckpoint(eager=True)
         ebuckets.join(survivors, "doc_id", "semi").write.mode(
             "overwrite"
         ).parquet(os.path.join(out, "survivor_buckets"))
         benchmark_probes(existing).write.mode("overwrite").parquet(
             os.path.join(out, "probes")
         )
+        # the survivor corpus's word-16-gram hash index (r8): lets the
+        # batch job remove spans the ARCHIVE already holds, not just
+        # within-batch repeats — at 100 TB this table is the span
+        # analogue of the bucket index (store bucketed by gh)
+        from aggregator_spark.operators.dedup import span_gram_hashes
+
+        span_gram_hashes(
+            docs.join(survivors, "doc_id")
+        ).write.mode("overwrite").parquet(os.path.join(out, "span_grams"))
 
     return materialize_cached_tables(
         spark, prepared_cache_dir(sf_dir), build, INDEX_TABLES

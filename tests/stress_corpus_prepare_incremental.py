@@ -51,6 +51,7 @@ def main() -> None:
     from aggregator_spark.operators.dedup import (
         lsh_buckets,
         minhash_dedup_keep,
+        span_gram_hashes,
     )
     from aggregator_spark.session import get_spark
 
@@ -88,10 +89,14 @@ def main() -> None:
     benchmark_probes(existing).write.mode("overwrite").parquet(
         os.path.join(scratch, "probes")
     )
+    span_gram_hashes(docs.join(survivors, "doc_id")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(scratch, "span_grams"))
     survivor_buckets = spark.read.parquet(
         os.path.join(scratch, "survivor_buckets")
     )
     probes = spark.read.parquet(os.path.join(scratch, "probes"))
+    span_grams = spark.read.parquet(os.path.join(scratch, "span_grams"))
     survivor_docs = docs.join(
         survivor_buckets.select("doc_id").distinct(), "doc_id"
     ).select("doc_id", "text")
@@ -101,7 +106,8 @@ def main() -> None:
     rd0, wr0 = shuffle_totals(spark)
     t0 = time.perf_counter()
     out = corpus_prepare_incremental(
-        batch, survivor_docs, survivor_buckets, probes, is_new
+        batch, survivor_docs, survivor_buckets, probes, is_new,
+        span_grams=span_grams,
     )
     out.write.format("noop").mode("overwrite").save()
     wall_incr = time.perf_counter() - t0
