@@ -72,7 +72,19 @@ def q_bpe_dict_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("word", "state", F.col("freq").cast("long").alias("freq"))
 
 
+def q_prepared_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted benchmark probe set of the prepared-corpus index
+    (sources/prepared_index.py): the first 8-gram of every 97th
+    EXISTING-corpus doc — the table every arriving batch's
+    contamination gate joins against. Read from the cache, rebuilt by
+    the oracle from the raw existing slice."""
+    from aggregator_spark.sources.prepared_index import cached_prepared_index
+
+    return cached_prepared_index(spark, sf_dir)["probes"]
+
+
 INDEX_QUERIES = {
+    "prepared_probes": q_prepared_probes,
     "bm25_index_postings": q_bm25_index_postings,
     "dedup_bucket_index": q_dedup_bucket_index,
     "ann_ivf_index": q_ann_ivf_index,

@@ -745,6 +745,59 @@ def q_corpus_prepare_incremental(
     ).orderBy("doc_id", "chunk_id")
 
 
+CURRICULUM_BINS = 4
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning for staged training (easy→hard ordering, cf.
+    curriculum-learning data schedules): within each source stratum,
+    docs rank by the heuristic quality score (``text_quality``'s
+    expression, ties broken by doc_id) and NTILE into
+    CURRICULUM_BINS quartiles — bin 1 = highest-quality quarter, the
+    stage a run trains on first. Per-STRATUM windows, never a global
+    sort (the ``eval_split_quota`` precedent: stratum-bounded ordering
+    is the exactness/scale trade, and strata are the natural
+    curriculum unit anyway). Returns (doc_id, stratum, quality, bin)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("source").alias("stratum"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("quality").desc_nulls_last(), "doc_id"
+    )
+    return scored.select(
+        "doc_id",
+        "stratum",
+        "quality",
+        F.ntile(CURRICULUM_BINS).over(w).alias("bin"),
+    )
+
+
+def q_span_rewrite_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-corpus span removal in isolation (the r8 stage the
+    incremental pipeline composes): the arriving batch
+    (doc_id % NEW_BATCH_MOD == 0) has every word-16-gram span that the
+    EXISTING corpus already contains removed ENTIRELY (no
+    first-occurrence exception — the archive holds it), while
+    within-batch repeats keep their first occurrence
+    (operators/dedup.py:dedup_span_rewrite with ``corpus_grams`` from
+    ``span_gram_hashes``). Probe direction: the batch gram set
+    broadcasts against the corpus index — the archive is scanned,
+    never shuffled (SCALE.md §incremental preparation)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    existing = docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    return D.dedup_span_rewrite(
+        batch,
+        n=DUP_SPAN_N,
+        corpus_grams=D.span_gram_hashes(existing, n=DUP_SPAN_N),
+    )
+
+
 SPLIT_VAL_N = 5  # exact per-source validation quota
 SPLIT_TEST_N = 5  # exact per-source test quota
 
@@ -972,6 +1025,8 @@ LLM_QUERIES = {
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
     "corpus_train_split_e2e": q_corpus_train_split_e2e,
     "corpus_prepare_incremental": q_corpus_prepare_incremental,
+    "span_rewrite_incremental": q_span_rewrite_incremental,
+    "curriculum_bins": q_curriculum_bins,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "mix_waterfill": q_mix_waterfill,
     "eval_split_quota": q_eval_split_quota,

@@ -6,6 +6,7 @@ generation must be bit-identical to a fresh rebuild to pass."""
 
 from __future__ import annotations
 
+from aggregator_spark.llm_queries import DECONTAM_MOD, DECONTAM_N, NEW_BATCH_MOD
 from aggregator_spark.operators.bpe import BPE_MERGES
 from aggregator_spark.oracles_analytics10 import _bpe_levels_sql
 from aggregator_spark.oracles_llm import (
@@ -55,4 +56,15 @@ INDEX_ORACLES["bpe_dict_states"] = f"""
     WITH {_bpe_levels_sql(BPE_MERGES)}
     SELECT word, state, CAST(freq AS BIGINT) AS freq
     FROM w{BPE_MERGES}
+"""
+
+# prepared-corpus probe set = the benchmark-probe derivation over the
+# EXISTING slice (the same fragment the incremental pipeline's gate
+# uses — oracles_pipeline eprobes)
+INDEX_ORACLES["prepared_probes"] = f"""
+    WITH existing AS (
+      SELECT * FROM documents WHERE doc_id % {NEW_BATCH_MOD} <> 0)
+    SELECT DISTINCT array_to_string(ts[1:{DECONTAM_N}], ' ') AS probe
+    FROM (SELECT doc_id, {WORD_TOKS} AS ts FROM existing) t
+    WHERE doc_id % {DECONTAM_MOD} = 0 AND len(ts) >= {DECONTAM_N}
 """

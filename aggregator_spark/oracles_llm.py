@@ -1011,3 +1011,16 @@ LLM_ORACLES["semantic_dedup_capped"] = f"""
     SELECT g.vec_id, g.cluster, (d.vec_id IS NULL) AS keep
     FROM cells g LEFT JOIN dropped d ON g.vec_id = d.vec_id
 """
+
+# curriculum binning: the text_quality expression reused verbatim,
+# per-stratum NTILE with explicit NULLS LAST (engine defaults differ)
+from aggregator_spark.llm_queries import CURRICULUM_BINS  # noqa: E402
+
+LLM_ORACLES["curriculum_bins"] = f"""
+    SELECT q.doc_id, d.source AS stratum, q.quality,
+           CAST(NTILE({CURRICULUM_BINS}) OVER (
+                  PARTITION BY d.source
+                  ORDER BY q.quality DESC NULLS LAST, q.doc_id)
+             AS INT) AS bin
+    FROM ({_QUALITY}) q JOIN documents d USING (doc_id)
+"""

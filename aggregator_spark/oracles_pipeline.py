@@ -388,3 +388,14 @@ PIPELINE_ORACLES["corpus_prepare_incremental"] = f"""
            n_tokens
     FROM packed
 """
+
+# standalone cross-corpus span rewrite (the stage in isolation, batch
+# vs the raw existing slice — no survivor recursion, so the oracle is
+# cheap enough to run per-SF in the sweep)
+PIPELINE_ORACLES["span_rewrite_incremental"] = f"""
+    WITH batch AS (
+      SELECT * FROM documents WHERE doc_id % {NEW_BATCH_MOD} = 0),
+    existing AS (
+      SELECT * FROM documents WHERE doc_id % {NEW_BATCH_MOD} <> 0)
+    SELECT * FROM ({_span_rewrite_incr_sql("batch", "existing")})
+"""

@@ -253,19 +253,20 @@ DRIVER_WINDOW = [
     "top_bigrams",
     "unigram_logprob",
     "vocab_edit_pairs",
-    # late r8 addition (never driver-checked): the capacity-bounded
-    # semantic-dedup scale path, born from the sf10 sweep's one
-    # super-linear finding
+    # late r8 additions (never driver-checked): the capacity-bounded
+    # semantic-dedup scale path (born from the sf10 sweep's one
+    # super-linear finding), the standalone cross-corpus span rewrite,
+    # the prepared-index probe artifact, and curriculum binning
     "semantic_dedup_capped",
+    "span_rewrite_incremental",
+    "prepared_probes",
+    "curriculum_bins",
     # oldest slice of the r5-age pool (alphabetical — all equally
-    # aged); the remaining 28 rotate in next round
+    # aged); the remaining 31 rotate in next round
     "calendar_funcs",
     "cohort_retention",
     "cooccur_triangles",
     "cube_grouping_id",
-    "daily_type_jaccard",
-    "decontaminate_docs",
-    "dedup_exact",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

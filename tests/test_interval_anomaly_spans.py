@@ -210,6 +210,39 @@ def test_dedup_span_rewrite_overlap_and_total_dup(spark):
     assert got[5]["n_tokens"] == 18
 
 
+def test_dedup_span_rewrite_corpus_grams_no_first_exception(spark):
+    """Cross-corpus mode (r8): a span present in the ARCHIVE's gram
+    index is removed from EVERY batch occurrence — including the
+    batch-first one — while batch-only repeats keep their first
+    occurrence, and archive grams absent from the batch change
+    nothing."""
+    from aggregator_spark.operators.dedup import span_gram_hashes
+
+    archived = " ".join(f"a{i}" for i in range(16))
+    batch_dup = " ".join(f"b{i}" for i in range(16))
+    corpus = _doc_df(
+        spark,
+        [(100, f"stored {archived} copy"), (101, "other archive text")],
+    )
+    docs = [
+        (1, f"lead {archived} tail"),        # archived span: removed
+        (2, f"pre {batch_dup} post"),        # batch-first: kept
+        (3, f"x {batch_dup} y"),             # batch repeat: removed
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in dedup_span_rewrite(
+            _doc_df(spark, docs), corpus_grams=span_gram_hashes(corpus)
+        ).collect()
+    }
+    assert got[1]["n_removed"] == 16
+    assert got[1]["clean_text"] == "lead tail"
+    assert got[2]["n_removed"] == 0
+    assert got[2]["clean_text"] == f"pre {batch_dup} post"
+    assert got[3]["n_removed"] == 16
+    assert got[3]["clean_text"] == "x y"
+
+
 def test_dedup_span_rewrite_short_docs_pass_through(spark):
     docs = [(6, "short doc under sixteen tokens"), (7, "")]
     got = {
