@@ -69,6 +69,13 @@ EXCHANGE_PINS = {
     "bm25_index_postings": (0, 0),
     "dedup_bucket_index": (0, 0),
     "ann_ivf_index": (0, 0),
+    "prepared_probes": (0, 0),
+    # r8 late entries: one stratum window for the curriculum quartiles;
+    # the cross-corpus span rewrite's 5 broadcasts are the probe
+    # DIRECTION contract (batch gram set out, hit set back — the
+    # archive index must never shuffle)
+    "curriculum_bins": (1, 0),
+    "span_rewrite_incremental": (5, 5),
 }
 
 
