@@ -202,3 +202,42 @@ def test_bpe_dict_cache_invalidates_and_matches_fresh(spark, tmp_path):
     assert sorted(map(tuple, idx["dict"].collect())) == sorted(
         map(tuple, states.collect())
     )
+
+
+def test_prepared_index_cache_invalidates_and_matches_fresh(spark, tmp_path):
+    """The r8 prepared-corpus index (survivor buckets + probes + span
+    grams): same content-stamp contract as the sibling caches, and the
+    probe member must be bit-identical to a fresh derivation over the
+    existing slice (the survivor members are validated transitively by
+    corpus_prepare_incremental's full-recompute oracle)."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.llm_queries import NEW_BATCH_MOD, benchmark_probes
+    from aggregator_spark.schemas import load_testdata
+    from aggregator_spark.sources.prepared_index import cached_prepared_index
+
+    sf = _stage(tmp_path, ["documents"])
+    first = _cache_dir_of(cached_prepared_index(spark, sf)["probes"])
+    again = _cache_dir_of(cached_prepared_index(spark, sf)["probes"])
+    assert first == again
+    os.utime(os.path.join(sf, "documents.parquet"))
+    rebuilt = _cache_dir_of(cached_prepared_index(spark, sf)["probes"])
+    assert os.path.dirname(os.path.dirname(rebuilt)) != os.path.dirname(
+        os.path.dirname(first)
+    )
+
+    idx = cached_prepared_index(spark, sf)
+    docs = load_testdata(spark, sf, "documents")
+    fresh = benchmark_probes(
+        docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    )
+    assert idx["probes"].exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(idx["probes"]).count() == 0
+    # survivor tables exist and are batch-free (no batch doc ids)
+    assert (
+        idx["survivor_buckets"]
+        .filter(F.col("doc_id") % NEW_BATCH_MOD == 0)
+        .count()
+        == 0
+    )
+    assert idx["span_grams"].columns == ["gh"]
