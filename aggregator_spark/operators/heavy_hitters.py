@@ -89,7 +89,12 @@ def bigram_stream(
     transform was the dominant cost of `heavy_bigrams` at scale —
     measured warm at sf1: 8.5 s (HOF form) → 2.3 s (this form),
     same results. ASCII whitespace class, matching Java's \\s and the
-    DuckDB oracle's regex (corpus.py:_WS discipline)."""
+    DuckDB oracle's regex (corpus.py:_WS discipline). Edge trimming is
+    done by dropping empty tokens after the ASCII-class split — NOT
+    Python str.strip(), which is Unicode-wide (NBSP/U+2028 would be
+    stripped only on the Python side, breaking byte parity with the
+    JVM/oracle tokenizers on non-ASCII input; the same
+    filter-empties discipline as text.py's shared Python tokenizer)."""
     import re
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -98,7 +103,7 @@ def bigram_stream(
         for pdf in batches:
             out: list = []
             for t in pdf[text_col]:
-                toks = ws.split((t or "").strip().lower())
+                toks = [tk for tk in ws.split((t or "").lower()) if tk]
                 out.extend(
                     toks[i] + " " + toks[i + 1]
                     for i in range(len(toks) - 1)

@@ -30,6 +30,17 @@ from aggregator_spark.operators.repair import (
 MISSING_LOG_CAP = 10_000
 
 
+def _capped_log(keys: DataFrame, overflow_marker):
+    """Collect at most MISSING_LOG_CAP single-column key rows, appending
+    ``overflow_marker`` iff more exist (fetch cap+1 and flag) so the log
+    distinguishes 'exactly cap' from 'capped'. Caller pre-orders the
+    frame so the logged sample is deterministic."""
+    rows = [r[0] for r in keys.limit(MISSING_LOG_CAP + 1).collect()]
+    if len(rows) > MISSING_LOG_CAP:
+        return rows[:MISSING_LOG_CAP] + [overflow_marker]
+    return rows
+
+
 @dataclass
 class Stage2Result:
     fact_count: DataFrame
@@ -76,19 +87,19 @@ def run_stage2(
         # (the repair itself stays distributed below) — countries are
         # naturally ≤ ~250 but a pathological fact could surface ~100k
         # missing ASNs, so cap what crosses to the driver
-        miss_c = [
-            r[0]
-            for r in missing_countries(fact, dim_country)
-            .limit(MISSING_LOG_CAP)
-            .collect()
-        ]
-        miss_a = [
-            r[0]
-            for r in missing_asns(fact, dim_asn)
-            .select("asn")
-            .limit(MISSING_LOG_CAP)
-            .collect()
-        ]
+        # deterministic sample (orderBy before limit) + overflow marker:
+        # fetch cap+1 so a reader of the log can tell "exactly cap"
+        # from "capped" — the reference logs everything
+        # (main.py:432-452); we bound the driver transfer but must not
+        # silently truncate
+        miss_c = _capped_log(
+            missing_countries(fact, dim_country).orderBy("country"),
+            "<TRUNCATED>",
+        )
+        miss_a = _capped_log(
+            missing_asns(fact, dim_asn).select("asn").orderBy("asn"),
+            -1,
+        )
 
     return Stage2Result(
         fact_count=fact,

@@ -68,9 +68,26 @@ class ShuffleProbe:
         except Exception:
             return []
 
+    def _quiesce(self, timeout_s: float = 5.0) -> None:
+        """Bounded wait until no stage attempt is ACTIVE/PENDING, so a
+        straggler or speculative attempt finishing late cannot land in
+        the NEXT key's delta (ADVICE r8: completion-order attribution).
+        `.save()` is synchronous, so this is normally one no-op poll."""
+        if not self.base:
+            return
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if not any(
+                s.get("status") in ("ACTIVE", "PENDING")
+                for s in self._stages()
+            ):
+                return
+            time.sleep(0.05)
+
     def delta_mb(self) -> tuple[float, float]:
         """(shuffle_write_mb, shuffle_read_mb) of newly-finished
         stages."""
+        self._quiesce()
         w = r = 0
         for s in self._stages():
             if s.get("status") not in self._DONE:
@@ -82,6 +99,100 @@ class ShuffleProbe:
             w += s.get("shuffleWriteBytes", 0) or 0
             r += s.get("shuffleReadBytes", 0) or 0
         return round(w / 1e6, 2), round(r / 1e6, 2)
+
+
+def _canary_queries():
+    """Three fixed shapes covering the bench's cost classes — JVM
+    scan+agg, shuffle-heavy distinct+agg, Arrow mapInPandas — run at
+    the START and END of the bench to make the run self-defending
+    against machine contention (r7→r8 comparisons were eaten twice by
+    uniform drift). Deliberately NOT catalog keys: running them must
+    not warm any timed query's shape."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.schemas import load_testdata
+
+    def scan_agg(spark, sf_dir):
+        ev = load_testdata(spark, sf_dir, "events")
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("value").alias("v")
+        )
+
+    def shuffle_distinct(spark, sf_dir):
+        ev = load_testdata(spark, sf_dir, "events")
+        return (
+            ev.select("user_id", "event_type")
+            .distinct()
+            .groupBy("user_id")
+            .count()
+        )
+
+    def arrow_pass(spark, sf_dir):
+        docs = load_testdata(spark, sf_dir, "documents")
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"n": pdf["text"].str.len()})
+
+        return docs.select("text").mapInPandas(gen, "n bigint")
+
+    return {
+        "canary_scan_agg": scan_agg,
+        "canary_shuffle": shuffle_distinct,
+        "canary_arrow": arrow_pass,
+    }
+
+
+def _time_canaries(spark, sf_dir) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name, fn in _canary_queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _run_conditions() -> dict:
+    """One-sample snapshot of machine load: loadavg triple + comm names
+    of currently-RUNNING processes (competing CPU consumers)."""
+    cond: dict = {}
+    try:
+        cond["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    try:
+        me = os.getpid()
+        running = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    if f.read().split()[2] != "R":
+                        continue
+                with open(f"/proc/{pid}/comm") as f:
+                    running.append(f.read().strip())
+            except OSError:
+                continue
+        cond["running_procs"] = sorted(running)
+    except OSError:
+        pass
+    return cond
+
+
+def canary_verdict(start: dict, end: dict, thresh: float = 1.15):
+    """(per-key end/start ratios, contended?) — contended iff any
+    canary's end run disagrees with its start run by more than
+    ``thresh`` in either direction. Pure function (unit-tested without
+    Spark in tests/test_bench_merge.py)."""
+    ratios = {
+        k: round(end[k] / start[k], 3)
+        for k in start
+        if k in end and start[k] > 0
+    }
+    worst = max((max(v, 1.0 / v) for v in ratios.values()), default=1.0)
+    return ratios, worst > thresh
 
 
 def main() -> None:
@@ -138,6 +249,23 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # SPARK_GRAFT_KEYS: comma list restricting the run to named keys —
+    # resolved early because canaries only run on full sweeps (isolated
+    # re-measures must not pay or pollute the canary cost)
+    only_env = os.environ.get("SPARK_GRAFT_KEYS", "").strip()
+    only = {k.strip() for k in only_env.split(",") if k.strip()} or None
+
+    # contention canaries (start point): one untimed pass first so both
+    # canary points are warm — otherwise end/start conflates codegen
+    # warm-up speedup with contention relief
+    canary_start: dict[str, float] = {}
+    cond_start: dict = {}
+    if only is None:
+        _time_canaries(spark, sf_dir)
+        canary_start = _time_canaries(spark, sf_dir)
+        cond_start = _run_conditions()
+        print(f"# canary_start: {canary_start}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     shuffle: dict[str, list[float]] = {}  # key -> [write_mb, read_mb]
     total = 0.0
@@ -193,13 +321,6 @@ def main() -> None:
         ("bm25_index_build", bm25_cache_dir, cached_bm25_postings),
         ("bpe_dict_build", bpe_cache_dir, cached_bpe_merges),
     ]
-
-    # SPARK_GRAFT_KEYS: comma list restricting the run to named keys
-    # (catalog, ingest, and split keys alike) — used for the sf1
-    # scaling point, where only the headline families run against the
-    # 10x directory built by tests/make_sf1.py
-    only_env = os.environ.get("SPARK_GRAFT_KEYS", "").strip()
-    only = {k.strip() for k in only_env.split(",") if k.strip()} or None
 
     def wanted(key: str) -> bool:
         return only is None or key in only
@@ -278,6 +399,26 @@ def main() -> None:
     for v in violations:
         print(f"# SHUFFLE BUDGET VIOLATION: {v}", file=sys.stderr)
 
+    # contention canaries (end point): if the same three shapes now run
+    # >15% differently than at the start, the whole run's wall-clock
+    # numbers are suspect — stamp it so round-over-round comparisons
+    # can filter instead of chasing phantom regressions
+    run_conditions: dict = {}
+    contended = False
+    if canary_start:
+        canary_end = _time_canaries(spark, sf_dir)
+        ratios, contended = canary_verdict(canary_start, canary_end)
+        run_conditions = {
+            "canary_start": canary_start,
+            "canary_end": canary_end,
+            "canary_ratio_end_over_start": ratios,
+            "contended": contended,
+            "conditions_start": cond_start,
+            "conditions_end": _run_conditions(),
+        }
+        print(f"# canary_end: {canary_end} contended={contended}",
+              file=sys.stderr)
+
     detail = {
         "metric": "bench_total_sec",
         "value": round(total, 3),
@@ -285,6 +426,7 @@ def main() -> None:
         "queries": timings,
         "shuffle": shuffle,
         "shuffle_violations": violations,
+        "run_conditions": run_conditions,
         "sf": sf,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -314,11 +456,17 @@ def main() -> None:
     }
     if violations:
         summary_d["shuffle_viol"] = len(violations)
+    if contended:
+        summary_d["contended"] = True
     summary = json.dumps(summary_d)
     assert len(summary) <= 200, summary
     print(summary)
     spark.stop()
-    if violations and os.environ.get("SPARK_GRAFT_ENFORCE_SHUFFLE") == "1":
+    # enforcement ON by default since r9 (budgets re-derived from the
+    # union of local + driver r8 measurements); export =0 to disable
+    if violations and os.environ.get(
+        "SPARK_GRAFT_ENFORCE_SHUFFLE", "1"
+    ) == "1":
         raise SystemExit(f"shuffle budget violations: {violations}")
 
 

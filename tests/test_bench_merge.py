@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import merge_detail
+from bench import canary_verdict, merge_detail
 
 MAIN_OLD = {
     "metric": "bench_total_sec",
@@ -50,3 +50,27 @@ def test_first_run_with_no_prior_file():
     assert merge_detail({}, NEW_MAIN, "") == NEW_MAIN
     out = merge_detail({}, {"value": 1.0}, "sf1")
     assert out == {"sf1": {"value": 1.0}}
+
+
+def test_canary_verdict_clean_run():
+    start = {"a": 1.0, "b": 2.0, "c": 0.5}
+    end = {"a": 1.05, "b": 1.9, "c": 0.52}
+    ratios, contended = canary_verdict(start, end)
+    assert not contended
+    assert ratios["a"] == 1.05
+
+
+def test_canary_verdict_flags_slowdown_and_speedup():
+    # slowdown >15% in ANY canary flags the run
+    _, contended = canary_verdict({"a": 1.0, "b": 1.0}, {"a": 1.0, "b": 1.3})
+    assert contended
+    # a big SPEEDUP (start was contended, end is not) flags too —
+    # disagreement in either direction means the points aren't comparable
+    _, contended = canary_verdict({"a": 1.0}, {"a": 0.7})
+    assert contended
+
+
+def test_canary_verdict_degenerate_inputs():
+    # zero/missing start keys are skipped, empty set is never contended
+    ratios, contended = canary_verdict({"a": 0.0, "b": 1.0}, {"a": 5.0}, 1.15)
+    assert ratios == {} and not contended
