@@ -547,11 +547,30 @@ def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_keep_flags(load_testdata(spark, sf_dir, "documents"))
 
 
-def corpus_prepare(docs: DataFrame, buckets: DataFrame) -> DataFrame:
-    """DataFrame-in form of the composed pipeline (see
-    ``q_corpus_prepare_e2e`` for the full stage description; the
-    stress harness drives this directly at 500k-doc scale —
-    tests/stress_corpus_prepare.py)."""
+def corpus_prepare_kept_docs(
+    docs: DataFrame,
+    buckets: DataFrame,
+    embeddings: DataFrame | None = None,
+    semantic_max_cluster: int | None = None,
+) -> DataFrame:
+    """The KEEP decision layers of the composed pipeline — quality
+    gate → fuzzy dedup → optional SEMANTIC dedup — returning the
+    surviving (doc_id, text) corpus the span/chunk/pack tail runs
+    over. Factored out of ``corpus_prepare`` so the semantic variant
+    and the subset pin (capped drops ⊆ exact drops ⇒ capped kept ⊇
+    exact kept, pinned at THIS layer where the property is exact —
+    downstream span df counts change with the kept set, so packed
+    rows don't nest) share one definition.
+
+    Semantic stage semantics: only docs that HAVE an embedding row
+    can be semantically deduplicated — the stage drops exactly the
+    ids ``semantic_dedup`` flags (left-anti), never docs missing
+    from the embedding table (at sf0.1 only 2000 of 5000 docs carry
+    embeddings; an inner join would silently drop the other 3000).
+    The fuzzy-kept id list is localCheckpoint'ed before the semantic
+    stage: ``semantic_dedup`` scans its input ≥3× (centroid agg,
+    assignment, drop-join) and each scan would otherwise re-run the
+    whole gate+LSH+CC sub-plan."""
     keep_ids = (
         corpus_keep_flags(docs)
         .filter("keep")
@@ -564,8 +583,48 @@ def corpus_prepare(docs: DataFrame, buckets: DataFrame) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         buckets=buckets.join(keep_ids, "doc_id"),
     )
-    kept = docs.join(fuzzy.filter("keep").select("doc_id"), "doc_id").select(
-        "doc_id", "text"
+    kept_ids = fuzzy.filter("keep").select("doc_id")
+    if embeddings is not None:
+        kept_ids = kept_ids.localCheckpoint(eager=True)
+        femb = embeddings.join(
+            kept_ids.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        sem_dropped = (
+            S.semantic_dedup(
+                femb,
+                threshold=SEMDEDUP_THRESHOLD,
+                max_cluster=semantic_max_cluster,
+            )
+            .filter(~F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        kept_ids = kept_ids.join(sem_dropped, "doc_id", "left_anti")
+    return docs.join(kept_ids, "doc_id").select("doc_id", "text")
+
+
+def corpus_prepare(
+    docs: DataFrame,
+    buckets: DataFrame,
+    embeddings: DataFrame | None = None,
+    semantic_max_cluster: int | None = None,
+) -> DataFrame:
+    """DataFrame-in form of the composed pipeline (see
+    ``q_corpus_prepare_e2e`` for the full stage description; the
+    stress harness drives this directly at 500k-doc scale —
+    tests/stress_corpus_prepare.py).
+
+    ``embeddings`` (vec_id ≡ doc_id) adds a SEMANTIC dedup stage after
+    fuzzy dedup — the SemDeDup placement in a production run (exact
+    near-dups die cheaply on shingles first; the embedding stage only
+    pays for paraphrase-level survivors). ``semantic_max_cluster``
+    bounds the per-task quadratic work (``semantic_dedup``'s md5
+    hash-cell split) — the capacity-bounded path the composed pipeline
+    MUST run at 100 TB, where fixed-k cluster growth is quadratic by
+    semantics (the r8 sf10 finding). Capped drops are a SUBSET of
+    exact drops, so composed-capped keeps a superset of composed-exact
+    (pytest-pinned on the composed output, test_llm_ops.py)."""
+    kept = corpus_prepare_kept_docs(
+        docs, buckets, embeddings, semantic_max_cluster
     )
     rewritten = D.dedup_span_rewrite(kept, n=DUP_SPAN_N)
     nonempty = rewritten.filter(F.length("clean_text") > 0).select(
@@ -606,6 +665,42 @@ def q_corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_prepare(
         load_testdata(spark, sf_dir, "documents"),
         _mh_buckets(spark, sf_dir),
+    )
+
+
+SEMDEDUP_CAP_E2E = 32  # composed-pipeline cell capacity (multi-cell at
+# BOTH driver SFs: ~40 fuzzy survivors/cluster at sf0.01 → 2 cells,
+# ~200/cluster at sf0.1 → 7 — the cap math is exercised where the
+# driver checks it, unlike the standalone entry's production-sized 512)
+
+
+def q_corpus_prepare_semantic_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``corpus_prepare_e2e`` with the SEMANTIC dedup stage composed
+    in, running the CAPACITY-BOUNDED path — the pipeline shape a
+    100 TB run actually executes (VERDICT r8 item 6):
+
+      quality gate → fuzzy MinHash-LSH dedup → SemDeDup over the
+      fuzzy survivors' embeddings, hash-cell-capped at
+      SEMDEDUP_CAP_E2E (``semantic_dedup(max_cluster=…)`` — per-task
+      quadratic work bounded forever; the r8 sf10 sweep measured the
+      uncapped stage at ~70×/decade) → span removal → chunk → pack.
+
+    Stage ordering is the production one: exact/near dups die cheaply
+    on shingles first, the embedding stage only pays for
+    paraphrase-level survivors. Docs without an embedding row pass
+    the semantic stage untouched (drop-list anti-join — see
+    ``corpus_prepare_kept_docs``). Capped semantic drops are a SUBSET
+    of exact drops, so this pipeline's kept corpus is a SUPERSET of
+    the exact-semantic pipeline's (pytest-pinned at the kept-docs
+    layer, tests/test_llm_ops.py). Returns (doc_id, chunk_id,
+    pack_group, seq_bin, n_tokens)."""
+    return corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+        embeddings=load_testdata(spark, sf_dir, "embeddings"),
+        semantic_max_cluster=SEMDEDUP_CAP_E2E,
     )
 
 
@@ -772,6 +867,85 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
         "quality",
         F.ntile(CURRICULUM_BINS).over(w).alias("bin"),
+    )
+
+
+def q_curriculum_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-curriculum-stage ablation table a training team reads
+    before committing a staged run: for every (stratum, bin) of
+    ``curriculum_bins``, how many docs the stage holds, how many
+    survive the quality gate (``corpus_keep_flags``), the kept token
+    mass, and — if the stage's kept docs were packed ALONE (each
+    curriculum stage trains as its own packing run) — how many
+    training sequences that yields and the fill ratio vs the pack
+    budget in micro-units (``pack_efficiency``'s padding-waste
+    metric). Pure composition of three already-oracled fragments
+    (curriculum NTILE, keep-list conjunction, chunk+pack window);
+    the pack window partitions by (stratum, bin, pack_group) — still
+    stage-bounded, never a global sort. Returns (stratum, bin,
+    n_docs, n_kept, kept_tokens, n_seqs, util_micro); util_micro is
+    NULL for a stage with no kept chunks."""
+    from aggregator_spark.operators.corpus import DEFAULT_PACK_BUDGET
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    bins = q_curriculum_bins(spark, sf_dir).select("doc_id", "stratum", "bin")
+    keep = corpus_keep_flags(docs).select("doc_id", "keep")
+    membership = bins.join(keep, "doc_id")
+    counts = membership.groupBy("stratum", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    kept_chunks = C.doc_chunks(docs).join(
+        membership.filter("keep").select("doc_id", "stratum", "bin"),
+        "doc_id",
+    )
+    w = (
+        Window.partitionBy("stratum", "bin", "pack_group")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = kept_chunks.withColumn(
+        "pack_group", (F.col("doc_id") % C.DEFAULT_PACK_GROUPS).cast("int")
+    ).withColumn(
+        "seq_bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / DEFAULT_PACK_BUDGET
+        ).cast("int"),
+    )
+    per_bin = packed.groupBy("stratum", "bin").agg(
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.countDistinct(
+            F.col("pack_group").cast("long") * 1_000_000 + F.col("seq_bin")
+        )
+        .cast("long")
+        .alias("n_seqs"),
+    )
+    return (
+        counts.join(per_bin, ["stratum", "bin"], "left")
+        .select(
+            "stratum",
+            "bin",
+            "n_docs",
+            "n_kept",
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.coalesce(F.col("n_seqs"), F.lit(0))
+            .cast("long")
+            .alias("n_seqs"),
+            F.when(
+                F.coalesce(F.col("n_seqs"), F.lit(0)) > 0,
+                F.floor(
+                    F.lit(1_000_000)
+                    * F.col("kept_tokens")
+                    / (F.col("n_seqs") * F.lit(DEFAULT_PACK_BUDGET))
+                ).cast("long"),
+            ).alias("util_micro"),
+        )
+        .orderBy("stratum", "bin")
     )
 
 
@@ -1023,10 +1197,12 @@ LLM_QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "corpus_keep_list": q_corpus_keep_list,
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
+    "corpus_prepare_semantic_e2e": q_corpus_prepare_semantic_e2e,
     "corpus_train_split_e2e": q_corpus_train_split_e2e,
     "corpus_prepare_incremental": q_corpus_prepare_incremental,
     "span_rewrite_incremental": q_span_rewrite_incremental,
     "curriculum_bins": q_curriculum_bins,
+    "curriculum_ablation": q_curriculum_ablation,
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "mix_waterfill": q_mix_waterfill,
     "eval_split_quota": q_eval_split_quota,

@@ -985,16 +985,20 @@ LLM_ORACLES["ngram_containment_pairs"] = f"""
 # capacity-bounded semantic-dedup scale path (r8): same nearest-
 # centroid assignment, clusters hash-split into ceil(size/cap) md5
 # cells, comparisons within cells only — the per-task quadratic work
-# is capacity-bounded however the corpus grows
+# is capacity-bounded however the corpus grows. Parametrized on cap
+# so the composed pipeline (oracles_pipeline.py, cap=SEMDEDUP_CAP_E2E
+# over the fuzzy survivors' embeddings) reuses the fragment verbatim.
 from aggregator_spark.llm_queries import SEMDEDUP_CAP  # noqa: E402
 
-LLM_ORACLES["semantic_dedup_capped"] = f"""
+
+def semdedup_capped_sql(cap: int) -> str:
+    return f"""
     WITH {_ASSIGN_CTES},
     sizes AS (SELECT cluster, COUNT(*) AS c_n FROM asg GROUP BY cluster),
     cells AS (
       SELECT a.vec_id, a.cluster,
              CAST({_hex8_to_bigint("md5(CAST(a.vec_id AS VARCHAR))")}
-                  % CAST(ceil(s.c_n / {SEMDEDUP_CAP}) AS BIGINT)
+                  % CAST(ceil(s.c_n / {cap}) AS BIGINT)
                AS INT) AS cell
       FROM asg a JOIN sizes s USING (cluster)),
     dropped AS (
@@ -1011,6 +1015,9 @@ LLM_ORACLES["semantic_dedup_capped"] = f"""
     SELECT g.vec_id, g.cluster, (d.vec_id IS NULL) AS keep
     FROM cells g LEFT JOIN dropped d ON g.vec_id = d.vec_id
 """
+
+
+LLM_ORACLES["semantic_dedup_capped"] = semdedup_capped_sql(SEMDEDUP_CAP)
 
 # curriculum binning: the text_quality expression reused verbatim,
 # per-stratum NTILE with explicit NULLS LAST (engine defaults differ)

@@ -37,11 +37,13 @@ from aggregator_spark.oracles_llm import (
 )
 
 
-def _retarget(fragment: str, new_src: str, expect: int = 1) -> str:
-    """Point a fragment's ``FROM documents`` at an upstream CTE."""
-    n = fragment.count("FROM documents")
+def _retarget(
+    fragment: str, new_src: str, expect: int = 1, src: str = "documents"
+) -> str:
+    """Point a fragment's ``FROM <src>`` at an upstream CTE."""
+    n = fragment.count(f"FROM {src}")
     assert n == expect, f"fragment shape changed: {n} != {expect}"
-    return fragment.replace("FROM documents", f"FROM {new_src}")
+    return fragment.replace(f"FROM {src}", f"FROM {new_src}")
 
 
 # fuzzy-dedup signature CTEs over the quality survivors
@@ -398,4 +400,141 @@ PIPELINE_ORACLES["span_rewrite_incremental"] = f"""
     existing AS (
       SELECT * FROM documents WHERE doc_id % {NEW_BATCH_MOD} <> 0)
     SELECT * FROM ({_span_rewrite_incr_sql("batch", "existing")})
+"""
+
+# ---------------------------------------------------------------------
+# corpus_prepare_semantic_e2e (llm_queries.q_corpus_prepare_semantic_e2e):
+# the e2e pipeline with the CAPACITY-BOUNDED SemDeDup stage composed in
+# after fuzzy dedup. The semantic fragment is the SAME parametrized SQL
+# that hash-matches `semantic_dedup_capped` on its own
+# (oracles_llm.semdedup_capped_sql), re-targeted at the fuzzy
+# survivors' embedding slice — centroids, cluster sizes and md5 cell
+# split are all computed over the FILTERED set, exactly like the Spark
+# side (semantic_dedup receives the post-fuzzy join). Docs without an
+# embedding row pass untouched (drop-list anti-join, not an inner
+# join). fz is now referenced twice (femb + fkept) → MATERIALIZED, per
+# the DuckDB multiply-referenced-recursive-CTE trap.
+from aggregator_spark.llm_queries import SEMDEDUP_CAP_E2E  # noqa: E402
+from aggregator_spark.oracles_llm import semdedup_capped_sql  # noqa: E402
+
+_SEM_FEMB = _retarget(
+    semdedup_capped_sql(SEMDEDUP_CAP_E2E), "femb", 2, src="embeddings"
+)
+
+PIPELINE_ORACLES["corpus_prepare_semantic_e2e"] = f"""
+    WITH keepq AS ({LLM_ORACLES["corpus_keep_list"]}),
+    qsurv AS (
+      SELECT d.* FROM documents d JOIN keepq k USING (doc_id)
+      WHERE k.keep),
+    fz AS MATERIALIZED (
+      WITH RECURSIVE {_SH_Q},
+      sigs AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh),
+      buckets AS (
+{_BAND_SELECTS}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id),
+      ver AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS ic,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        WHERE ic > 0
+          AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+              >= {JACCARD_THRESHOLD}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        UNION
+        SELECT doc_b, doc_a FROM ver),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT q.doc_id FROM qsurv q LEFT JOIN comp c ON q.doc_id = c.node
+      WHERE q.doc_id = COALESCE(c.component, q.doc_id)),
+    femb AS MATERIALIZED (
+      SELECT e.* FROM embeddings e JOIN fz ON e.vec_id = fz.doc_id),
+    semdrop AS MATERIALIZED (
+      SELECT vec_id FROM ({_SEM_FEMB}) WHERE NOT keep),
+    fkept AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN fz USING (doc_id)
+      ANTI JOIN semdrop s ON d.doc_id = s.vec_id),
+    rewritten AS (
+      SELECT doc_id, clean_text FROM ({_SPAN_KEPT})),
+    src2 AS (
+      SELECT doc_id, clean_text AS text FROM rewritten
+      WHERE clean_text <> ''),
+    packed AS (
+      WITH {_CHUNKS_RW}
+      SELECT doc_id, chunk_id,
+             CAST(doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group,
+             n_tokens
+      FROM chunks)
+    SELECT doc_id, chunk_id, pack_group,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin,
+           n_tokens
+    FROM packed
+"""
+
+# ---------------------------------------------------------------------
+# curriculum_ablation (llm_queries.q_curriculum_ablation): the staged-
+# training readiness table — per (stratum, curriculum bin): doc count,
+# quality-gate survivors, kept token mass, and the sequence count /
+# fill ratio if the stage's kept docs were packed alone. Three
+# already-hash-matched fragments composed: the curriculum NTILE, the
+# keep-list conjunction, and the chunk CTEs with the pack window
+# re-partitioned by (stratum, bin, pack_group).
+PIPELINE_ORACLES["curriculum_ablation"] = f"""
+    WITH q AS ({LLM_ORACLES["curriculum_bins"]}),
+    keepq AS ({LLM_ORACLES["corpus_keep_list"]}),
+    {_CHUNKS},
+    kc AS (
+      SELECT c.doc_id, c.chunk_id, c.n_tokens, q.stratum, q.bin,
+             CAST(c.doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group
+      FROM chunks c
+      JOIN q USING (doc_id)
+      JOIN keepq k USING (doc_id)
+      WHERE k.keep),
+    packed AS (
+      SELECT stratum, bin, pack_group, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (
+                    PARTITION BY stratum, bin, pack_group
+                    ORDER BY doc_id, chunk_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin
+      FROM kc),
+    agg AS (
+      SELECT stratum, bin,
+             CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+             CAST(COUNT(DISTINCT CAST(pack_group AS BIGINT) * 1000000
+                                 + seq_bin) AS BIGINT) AS n_seqs
+      FROM packed GROUP BY stratum, bin),
+    counts AS (
+      SELECT q.stratum, q.bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+      FROM q JOIN keepq k USING (doc_id)
+      GROUP BY q.stratum, q.bin)
+    SELECT c.stratum, c.bin, c.n_docs, c.n_kept,
+           COALESCE(a.kept_tokens, 0) AS kept_tokens,
+           COALESCE(a.n_seqs, 0) AS n_seqs,
+           CASE WHEN COALESCE(a.n_seqs, 0) = 0 THEN NULL
+                ELSE CAST(floor(1000000 * a.kept_tokens
+                           / (a.n_seqs * {DEFAULT_PACK_BUDGET}))
+                       AS BIGINT) END AS util_micro
+    FROM counts c LEFT JOIN agg a USING (stratum, bin)
 """

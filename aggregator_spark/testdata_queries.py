@@ -193,17 +193,18 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (dict insertion order), so the window is an explicit, tested artifact
 # rotated per round to convert local green into driver CORRECTNESS rows.
-# Round-8 window (VERDICT r7 item 1, adjusted for this round's six NEW
-# entries): the §2-parity block first (fresh §2 rows every round), then
-# the six new entries (index artifacts + the two composed pipelines —
-# never driver-checked, so they must sit in the window), then the FULL
-# 25-entry r4-age pool, then the alphabetically-first 8 of the r5-age
-# pool. After this round nothing is older than r5; r9 takes the
-# remaining 27 r5-age entries (plus any r9 novelties) and leaves
-# nothing older than two rounds. Everything displaced stays covered by
+# Round-9 window (VERDICT r8 item 1 — the enumerated rotation that
+# retires the ageing debt): the §2-parity block first (fresh §2 rows
+# every round), then the two r9 novelties (never driver-checked, so
+# they must sit in the window), then the FULL 31-entry r5-age pool
+# (computed from the CORRECTNESS_r1–r8 union — matches HANDOFF's
+# enumeration exactly), then the alphabetically-first 6 ORACLED r6-age
+# entries as backfill. After this round no entry's newest driver row
+# is older than r6 — i.e. nothing older than ~1/3 of the catalog's
+# rotation period, permanently. Everything displaced stays covered by
 # the local full sweep (test_entry_oracle runs EVERY oracle at both
-# SFs); displacement only defers driver rows. The r7 window's entries
-# (all 50 green in CORRECTNESS_r07) rotate out.
+# SFs); displacement only defers driver rows. The r8 window's entries
+# (all 50 green in CORRECTNESS_r08) rotate out.
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline) — stays
     # first every round so each §2 operator always has a fresh row
@@ -218,67 +219,66 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # round-8 NEW entries: the four ingest-index artifacts (VERDICT r7
-    # item 3) and the two composed pipelines (items 2 and 7)
-    "bm25_index_postings",
-    "dedup_bucket_index",
-    "ann_ivf_index",
-    "bpe_dict_states",
-    "corpus_train_split_e2e",
-    "corpus_prepare_incremental",
-    # r8 rotation (VERDICT r7 item 1): the ENTIRE r4-age pool — their
+    # round-9 NEW entries: the composed pipeline running the
+    # capacity-bounded SemDeDup stage (VERDICT r8 item 6) and the
+    # curriculum/pack ablation report (item 7)
+    "corpus_prepare_semantic_e2e",
+    "curriculum_ablation",
+    # r9 rotation (VERDICT r8 item 1): the ENTIRE r5-age pool — their
     # latest driver row predates four rounds of code motion
-    "ann_topk",
-    "clean_text",
-    "dedup_components",
-    "dedup_components_star",
-    "doc_chunks",
-    "doc_fingerprint",
-    "gopher_quality",
-    "kmeans_assign",
-    "kmeans_fit",
-    "label_centroids",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "pack_sequences",
-    "pii_redact",
-    "simhash64",
-    "stratified_sample",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_stats",
-    "top_bigrams",
-    "unigram_logprob",
-    "vocab_edit_pairs",
-    # late r8 additions (never driver-checked): the capacity-bounded
-    # semantic-dedup scale path (born from the sf10 sweep's one
-    # super-linear finding), the standalone cross-corpus span rewrite,
-    # the prepared-index probe artifact, and curriculum binning
-    "semantic_dedup_capped",
-    "span_rewrite_incremental",
-    "prepared_probes",
-    "curriculum_bins",
-    # oldest slice of the r5-age pool (alphabetical — all equally
-    # aged); the remaining 31 rotate in next round
-    "calendar_funcs",
-    "cohort_retention",
-    "cooccur_triangles",
-    "cube_grouping_id",
+    "daily_type_jaccard",
+    "decontaminate_docs",
+    "dedup_exact",
+    "deterministic_sample",
+    "dod_change",
+    "embedding_near_dup",
+    "full_outer_reconcile",
+    "funnel_stages",
+    "gap_fill_daily",
+    "geomean_value",
+    "hll_monthly_users",
+    "interval_overlap_join",
+    "json_struct",
+    "lateral_topk_orders",
+    "map_user_type_counts",
+    "media_features",
+    "mode_event_type",
+    "rank_analytics",
+    "repetition_metrics",
+    "rolling_7d_avg",
+    "scd2_merge",
+    "snapshot_diff",
+    "stats_by_type",
+    "textrank_keywords",
+    "top_tokens",
+    "type_entropy",
+    "value_histogram",
+    "variant_json_stats",
+    "variant_json_stats_materialized",
+    "weekday_bitmap",
+    "window_value_funcs",
+    # r6-age backfill for the spare slots (alphabetically-first six
+    # ORACLED r6 entries; the rows-only ANN/approx entries carry
+    # runtime accuracy gates in-plan and rotate on their own cadence)
+    "asof_click_purchase",
+    "asof_click_purchase_bucketed",
+    "bigram_logprob",
+    "bm25_search",
+    "bpe_encode_docs",
+    "bpe_merges",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
 # oracle can reproduce them): approximate ANN routing, HLL-estimate
 # counts. Since r6 these carry runtime accuracy gates in the plan
-# itself (operators/accuracy.py). hll_monthly_users rotated out of the
-# window this round (r5 row + lossless-merge pytest stand).
+# itself (operators/accuracy.py). hll_monthly_users is back in the
+# window this round as part of the r5-age rotation.
 DRIVER_WINDOW_ROWS_ONLY = {
     "ann_topk_lsh",
     "ann_topk_ivf",
     "approx_distinct_daily",
     "approx_quantiles_daily",
+    "hll_monthly_users",
 }
 
 

@@ -545,3 +545,45 @@ def test_incremental_dedup_stored_buckets_identical(spark):
     )
     assert plain == stored
     assert plain, "empty result would vacuously pass"
+
+
+def test_corpus_prepare_semantic_capped_keeps_superset(spark, sf_dir):
+    """The composed pipeline's capacity-bounded SemDeDup stage must
+    keep a SUPERSET of the exact-semantic pipeline's corpus (capped
+    drops ⊆ exact drops ⇒ capped kept ⊇ exact kept). Pinned at the
+    kept-docs layer, where the property is exact — downstream span df
+    counts change with the kept set, so packed rows don't nest.
+    Also: the semantic stage must never drop a doc that has no
+    embedding row, and composing semantic dedup in must only ever
+    shrink the fuzzy-kept corpus."""
+    from aggregator_spark.llm_queries import (
+        SEMDEDUP_CAP_E2E,
+        _mh_buckets,
+        corpus_prepare_kept_docs,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    buckets = _mh_buckets(spark, sf_dir)
+
+    def kept_ids(**kw):
+        return {
+            r["doc_id"]
+            for r in corpus_prepare_kept_docs(docs, buckets, **kw)
+            .select("doc_id")
+            .collect()
+        }
+
+    fuzzy_only = kept_ids()
+    exact = kept_ids(embeddings=emb)
+    capped = kept_ids(embeddings=emb, semantic_max_cluster=SEMDEDUP_CAP_E2E)
+
+    assert exact <= capped <= fuzzy_only
+    assert exact < fuzzy_only, (
+        "semantic stage dropped nothing — planted embedding near-dups "
+        "should shrink the corpus, else the pin is vacuous"
+    )
+    emb_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert (fuzzy_only - emb_ids) <= capped, (
+        "a doc without an embedding row was semantically dropped"
+    )
