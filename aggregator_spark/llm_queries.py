@@ -745,23 +745,25 @@ def batch_keep_flags(batch_docs: DataFrame, probes: DataFrame) -> DataFrame:
     )
 
 
-def corpus_prepare_incremental(
+def incremental_kept_docs(
     batch: DataFrame,
     survivor_docs: DataFrame,
     survivor_buckets: DataFrame,
     probes: DataFrame,
-    is_new,
-    span_grams: DataFrame | None = None,
+    is_new=None,
 ) -> DataFrame:
-    """DataFrame-in form of the incremental batch-preparation job (see
-    ``q_corpus_prepare_incremental`` for the full stage description;
-    the stress harness drives this directly —
-    tests/stress_corpus_prepare_incremental.py). ``is_new`` is the
-    batch-membership Column predicate over doc_id (the batch and the
-    survivor corpus must partition on it). ``span_grams`` is the
-    persisted gram index of the survivor corpus (r8): spans the
-    archive already holds are removed from the batch entirely, with
-    no first-occurrence exception."""
+    """The KEEP decision of the incremental batch job — batch quality
+    gate (vs the persisted probes) → incremental fuzzy dedup against
+    the persisted survivor index — returning the (doc_id, text) batch
+    docs a cleaner appends to the corpus. Factored out of
+    ``corpus_prepare_incremental`` so the streaming composition
+    (streaming/corpus_prepare_stream.py) can append EXACTLY this set
+    while the packed tail streams out separately.
+
+    ``is_new`` is the batch-membership Column predicate over doc_id;
+    when None (the streaming case, where batch ids follow no residue
+    convention) membership is tagged explicitly on the union — the
+    predicate becomes a literal column, never a guess."""
     bkeep = (
         batch_keep_flags(batch, probes)
         .filter("keep")
@@ -769,16 +771,49 @@ def corpus_prepare_incremental(
         .localCheckpoint(eager=True)
     )
     bsurv = batch.join(bkeep, "doc_id").select("doc_id", "text")
-    union_docs = bsurv.unionByName(survivor_docs.select("doc_id", "text"))
+    if is_new is None:
+        union_docs = bsurv.withColumn("_is_new", F.lit(True)).unionByName(
+            survivor_docs.select("doc_id", "text").withColumn(
+                "_is_new", F.lit(False)
+            )
+        )
+        is_new = F.col("_is_new")
+    else:
+        union_docs = bsurv.unionByName(
+            survivor_docs.select("doc_id", "text")
+        )
     incr = D.minhash_dedup_incremental(
         union_docs,
         is_new,
         threshold=JACCARD_THRESHOLD,
         corpus_buckets=survivor_buckets,
     )
-    kept = batch.join(
+    return batch.join(
         incr.filter("keep").select("doc_id"), "doc_id"
     ).select("doc_id", "text")
+
+
+def corpus_prepare_incremental(
+    batch: DataFrame,
+    survivor_docs: DataFrame,
+    survivor_buckets: DataFrame,
+    probes: DataFrame,
+    is_new=None,
+    span_grams: DataFrame | None = None,
+) -> DataFrame:
+    """DataFrame-in form of the incremental batch-preparation job (see
+    ``q_corpus_prepare_incremental`` for the full stage description;
+    the stress harness drives this directly —
+    tests/stress_corpus_prepare_incremental.py). ``is_new`` is the
+    batch-membership Column predicate over doc_id (the batch and the
+    survivor corpus must partition on it); None tags membership
+    explicitly (see ``incremental_kept_docs``). ``span_grams`` is the
+    persisted gram index of the survivor corpus (r8): spans the
+    archive already holds are removed from the batch entirely, with
+    no first-occurrence exception."""
+    kept = incremental_kept_docs(
+        batch, survivor_docs, survivor_buckets, probes, is_new
+    )
     rewritten = D.dedup_span_rewrite(
         kept, n=DUP_SPAN_N, corpus_grams=span_grams
     )
