@@ -8,53 +8,193 @@ so a plan regression — a new exchange, a lost broadcast, a filter that
 stopped pushing down — fails loudly at bench time instead of drifting
 wall-clock across rounds.
 
-Caps are measured sf0.1 values (round 8) with ~2.5× headroom: loose
-enough to survive driver testdata regeneration (content changes, same
-scale), tight enough that an extra corpus-sized exchange (typically
-5–100× on these keys) trips them. Keys without a cap are recorded but
-not gated. The complementary SCALE-INDEPENDENT gate is
-tests/test_shuffle_budgets.py, which pins exchange COUNTS per plan via
-plans/lint.plan_report — that one runs in the suite at sf0.001.
+Caps (round 9) cover EVERY bench key: per key, the measured sf0.1
+shuffle write is the MAX of the driver's independent round-8 run and
+the round-9 local run, the cap is 1.5× that with a 2 MB floor (layout/
+compression noise on tiny keys sits well under the floor; an extra
+corpus-sized exchange — typically 5–100× on the keys that matter —
+still trips it). Enforcement is ON by default in bench.py since r9
+(SPARK_GRAFT_ENFORCE_SHUFFLE=0 to disable). The complementary
+SCALE-INDEPENDENT gate is tests/test_shuffle_budgets.py, which pins
+exchange COUNTS per plan via plans/lint.plan_report — that one runs in
+the suite at sf0.001.
 """
 
 from __future__ import annotations
 
-# measured shuffle write at sf0.1 (round-8 run, BENCH_DETAIL.json
-# "shuffle"), cap = ~2.5x measured, floor 8 MB so tiny keys don't flap
-# on layout; keys under 2 MB measured stay ungated (recorded only)
+# cap = 1.5x max(driver r8 run, local r9 run) sf0.1 shuffle write,
+# floor 2 MB; every key budgeted
 SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
-    "ann_ivf_index_build": 8.0,
-    "ann_topk_ivf": 8.0,
-    "ann_topk_lsh": 22.6,
-    "asof_click_purchase_bucketed": 10.9,
-    "bpe_encode_docs": 20.5,
-    "corpus_keep_list": 19.6,
-    "corpus_prepare_e2e": 76.0,
-    "corpus_prepare_incremental": 18.6,
-    "corpus_prepared_index_build": 26.4,
-    "corpus_train_split_e2e": 76.0,
-    "daily_type_jaccard": 8.0,
-    "dedup_bucket_index_build": 8.0,
-    "dedup_cluster_sizes": 13.3,
-    "dedup_span_rewrite": 18.0,
-    "dup_span_stats": 19.6,
-    "embedding_near_dup": 9.4,
-    "heavy_bigrams": 8.0,
-    "kmeans_assign": 8.0,
-    "kmeans_fit": 10.2,
-    "minhash_signatures": 8.0,
-    "ngram_containment_pairs": 26.0,
-    "ngram_jaccard_capped": 12.8,
-    "ngram_jaccard_pairs": 26.0,
-    "semantic_dedup": 8.0,
-    "session_window_native": 8.0,
-    "sessionize": 8.0,
-    "tfidf_top_terms": 8.0,
-    "tpch_q16_supplier_cnt": 24.2,
-    "tpch_q21_waiting": 55.5,
-    "tpch_q2_min_supp": 16.0,
-    "zscore_outliers": 9.7,
-    "zscore_outliers_bucketed": 16.1,
+    "amplified_counts": 2.0,
+    "ann_ivf_index": 2.0,
+    "ann_ivf_index_build": 3.1,
+    "ann_lsh_index_build": 2.0,
+    "ann_topk": 2.0,
+    "ann_topk_ivf": 4.4,
+    "ann_topk_lsh": 13.6,
+    "approx_distinct_daily": 2.0,
+    "approx_quantiles_daily": 2.0,
+    "asof_click_purchase": 2.8,
+    "asof_click_purchase_bucketed": 6.6,
+    "bigram_logprob": 2.0,
+    "bloom_prefiltered_join": 2.0,
+    "bm25_index_build": 3.0,
+    "bm25_index_postings": 2.0,
+    "bm25_rrf_rerank": 2.0,
+    "bm25_search": 2.0,
+    "bpe_dict_build": 2.0,
+    "bpe_dict_states": 2.0,
+    "bpe_encode_docs": 12.3,
+    "bpe_merges": 2.0,
+    "calendar_funcs": 2.0,
+    "clean_text": 2.0,
+    "clicks_before_purchase": 2.0,
+    "cms_user_counts": 2.0,
+    "cohort_retention": 2.0,
+    "cooccur_triangles": 2.0,
+    "corpus_keep_list": 11.8,
+    "corpus_prepare_e2e": 45.6,
+    "corpus_prepare_incremental": 12.0,
+    "corpus_prepare_semantic_e2e": 50.5,
+    "corpus_prepared_index_build": 14.1,
+    "corpus_train_split_e2e": 45.6,
+    "cube_grouping_id": 2.0,
+    "cube_month": 2.0,
+    "cube_quarter": 2.0,
+    "cube_week": 2.0,
+    "cube_year": 2.0,
+    "curriculum_ablation": 13.4,
+    "curriculum_bins": 2.0,
+    "daily_counts": 2.0,
+    "daily_type_jaccard": 3.1,
+    "decontaminate_docs": 2.0,
+    "dedup_batch_sign": 2.0,
+    "dedup_bucket_index": 2.0,
+    "dedup_bucket_index_build": 3.4,
+    "dedup_cluster_sizes": 8.0,
+    "dedup_components": 2.0,
+    "dedup_components_star": 2.0,
+    "dedup_exact": 2.0,
+    "dedup_fuzzy_keep": 8.0,
+    "dedup_incremental": 8.7,
+    "dedup_incremental_serve": 2.0,
+    "dedup_span_rewrite": 10.8,
+    "deterministic_sample": 2.0,
+    "dim_date": 2.0,
+    "distinct_users_daily": 2.0,
+    "doc_chunks": 2.0,
+    "doc_fingerprint": 2.0,
+    "dod_change": 2.0,
+    "dq_report": 2.3,
+    "dsir_weights": 2.0,
+    "dup_span_stats": 11.7,
+    "embedding_near_dup": 5.7,
+    "embedding_normalize": 2.0,
+    "embedding_quantize": 2.0,
+    "eval_split_quota": 2.0,
+    "full_outer_reconcile": 2.0,
+    "funnel_stages": 2.0,
+    "gap_fill_daily": 2.0,
+    "geomean_value": 2.0,
+    "gopher_quality": 2.0,
+    "grouping_sets_daily": 2.0,
+    "heavy_bigrams": 3.0,
+    "hll_monthly_users": 2.0,
+    "incremental_daily_counts": 2.0,
+    "interval_overlap_join": 2.8,
+    "json_props": 2.0,
+    "json_struct": 2.0,
+    "kmeans_assign": 3.1,
+    "kmeans_fit": 6.1,
+    "label_centroids": 2.0,
+    "lang_id": 2.0,
+    "lateral_topk_orders": 2.0,
+    "latest_event_per_user": 2.0,
+    "map_user_type_counts": 2.0,
+    "media_features": 2.0,
+    "median_value": 2.0,
+    "minhash_lsh_pairs": 2.0,
+    "minhash_signatures": 3.4,
+    "missing_users": 2.0,
+    "mix_waterfill": 2.0,
+    "mode_event_type": 2.0,
+    "ngram_containment_pairs": 15.6,
+    "ngram_jaccard_capped": 7.7,
+    "ngram_jaccard_pairs": 15.6,
+    "pack_efficiency": 2.0,
+    "pack_sequences": 2.0,
+    "pii_redact": 2.0,
+    "pivot_daily": 2.0,
+    "pmi_collocations": 2.0,
+    "prepared_probes": 2.0,
+    "profile_events": 2.0,
+    "rank_analytics": 2.0,
+    "regr_value_by_type": 2.0,
+    "repaired_user_dim": 2.0,
+    "repetition_metrics": 2.0,
+    "rolling_7d_avg": 2.0,
+    "rollup_orders": 2.0,
+    "salted_type_counts": 2.0,
+    "scd2_merge": 2.0,
+    "semantic_decontaminate": 2.0,
+    "semantic_dedup": 4.4,
+    "semantic_dedup_capped": 4.4,
+    "session_window_native": 3.0,
+    "sessionize": 3.0,
+    "set_ops_users": 2.0,
+    "simhash64": 2.0,
+    "sliding_halfhour": 2.0,
+    "snapshot_diff": 2.0,
+    "span_rewrite_incremental": 5.2,
+    "stats_by_type": 2.0,
+    "stratified_sample": 2.0,
+    "string_funcs": 2.0,
+    "temperature_mix": 2.0,
+    "text_quality": 2.0,
+    "textrank_keywords": 2.0,
+    "tfidf_top_terms": 4.5,
+    "token_stats": 2.0,
+    "top_bigrams": 2.0,
+    "top_events_per_type": 2.0,
+    "top_tokens": 2.0,
+    "tpch_q1": 2.0,
+    "tpch_q10_returns": 2.0,
+    "tpch_q11_important_stock": 2.0,
+    "tpch_q12_priority": 2.0,
+    "tpch_q13_custdist": 2.0,
+    "tpch_q14_promo": 2.0,
+    "tpch_q15_top_supplier": 2.0,
+    "tpch_q16_supplier_cnt": 14.5,
+    "tpch_q17_small_qty": 2.0,
+    "tpch_q18_big_orders": 2.5,
+    "tpch_q19_disjunctive": 2.0,
+    "tpch_q20_nested_in": 2.0,
+    "tpch_q21_waiting": 33.5,
+    "tpch_q22_idle": 2.0,
+    "tpch_q2_min_supp": 9.6,
+    "tpch_q3": 2.0,
+    "tpch_q4_semi": 2.0,
+    "tpch_q5": 2.0,
+    "tpch_q6": 2.0,
+    "tpch_q7_nation_pairs": 2.0,
+    "tpch_q8_market_share": 2.0,
+    "tpch_q9_profit": 2.0,
+    "tumbling_hourly": 2.0,
+    "type_entropy": 2.0,
+    "unigram_logprob": 2.0,
+    "unpivot_daily": 2.0,
+    "user_type_arrays": 2.0,
+    "value_bands": 2.0,
+    "value_histogram": 2.0,
+    "variant_ingest": 2.0,
+    "variant_json_stats": 2.0,
+    "variant_json_stats_materialized": 2.0,
+    "video_frames": 2.0,
+    "vocab_edit_pairs": 2.0,
+    "weekday_bitmap": 2.0,
+    "window_value_funcs": 2.0,
+    "zscore_outliers": 5.8,
+    "zscore_outliers_bucketed": 9.6,
 }
 
 

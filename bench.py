@@ -144,12 +144,20 @@ def _canary_queries():
     }
 
 
-def _time_canaries(spark, sf_dir) -> dict[str, float]:
+def _time_canaries(spark, sf_dir, passes: int = 3) -> dict[str, float]:
+    """Best-of-``passes`` per canary: the single-pass form flagged the
+    r9 shakedown run 'contended' on pure JIT tiering (start canaries
+    0.36→0.47 s vs 0.20→0.27 s at the end of the SAME clean run — the
+    start was slow, not the end; one untimed pass doesn't finish C2
+    compilation). Min-of-3 measures the machine, not the JIT ramp."""
     out: dict[str, float] = {}
     for name, fn in _canary_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 

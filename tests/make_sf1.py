@@ -47,8 +47,19 @@ VERBATIM = ["region", "nation", "supplier", "part", "orders", "lineitem"]
 
 
 def _copy_tag(i: int) -> str:
-    """Two-letter copy tag (aa..dz covers 104 copies)."""
-    return chr(97 + i // 26) + chr(97 + i % 26)
+    """Copy tag: two letters while the run's COPIES fits base-26²
+    (676), else fixed-width three letters for every copy — widths must
+    not MIX within one directory (a 2-letter tag + token could equal a
+    3-letter tag + shorter token, re-creating exactly the cross-copy
+    shingle overlap the tag exists to kill). The r9 sf100 decade
+    (COPIES=1000) is the first 3-letter user."""
+    if COPIES <= 676:
+        return chr(97 + i // 26) + chr(97 + i % 26)
+    return (
+        chr(97 + i // 676)
+        + chr(97 + (i // 26) % 26)
+        + chr(97 + i % 26)
+    )
 
 
 def _doc_text(i: int) -> str:
