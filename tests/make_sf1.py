@@ -90,9 +90,15 @@ def build(out_dir: str, copies: int = COPIES) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
-    def copies_sql(table: str, select_i) -> str:
+    # ≤200 UNION ALL branches per statement: a single 1000-branch
+    # union (sf100, COPIES=1000) exceeds DuckDB's parser expression
+    # depth; chunked INSERTs into a temp table keep the identical
+    # per-copy SQL while staying shallow.
+    CHUNK = 200
+
+    def chunk_sql(table: str, select_i, lo: int, hi: int) -> str:
         return "\nUNION ALL\n".join(
-            select_i(i, f"'{SRC}/{table}.parquet'") for i in range(COPIES)
+            select_i(i, f"'{SRC}/{table}.parquet'") for i in range(lo, hi)
         )
 
     sql = {
@@ -120,10 +126,20 @@ def build(out_dir: str, copies: int = COPIES) -> None:
     }
     for table, select_i in sql.items():
         out = os.path.join(out_dir, f"{table}.parquet")
+        con.execute("DROP TABLE IF EXISTS _sfn_build")
         con.execute(
-            f"COPY ({copies_sql(table, select_i)}) TO '{out}'"
-            " (FORMAT PARQUET)"
+            "CREATE TABLE _sfn_build AS "
+            + chunk_sql(table, select_i, 0, min(CHUNK, COPIES))
         )
+        for lo in range(CHUNK, COPIES, CHUNK):
+            con.execute(
+                "INSERT INTO _sfn_build "
+                + chunk_sql(table, select_i, lo, min(lo + CHUNK, COPIES))
+            )
+        con.execute(
+            f"COPY _sfn_build TO '{out}' (FORMAT PARQUET)"
+        )
+        con.execute("DROP TABLE _sfn_build")
         n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {n} rows")
     for table in VERBATIM:
