@@ -410,6 +410,50 @@ def q_dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (operators/dedup.py:
+    simhash_near_dup — Manku WWW'07): 16-bit-band candidates (pigeonhole-
+    exact for Hamming ≤ 3) + JVM bit_count verification. Complements
+    the MinHash family: SimHash catches small-edit near-dups whose
+    shingle Jaccard already collapsed."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.simhash_near_dup(docs).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware fuzzy-dedup survivor selection: the same verified
+    LSH → exact-Jaccard → connected-components clusters as
+    `dedup_fuzzy_keep`, but the kept representative per cluster is the
+    best-QUALITY member — gopher_pass first, then n_words, doc_id as
+    the deterministic tiebreak — instead of min-id. This is what a
+    production cleaner actually keeps: when a boilerplate-laden copy
+    and a clean copy are near-duplicates, min-id keeps whichever
+    crawled first; quality-aware keep retains the clean one. One extra
+    doc_id-keyed join (quality signals are per-doc, no shuffle beyond
+    the join) + a per-component window over cluster-sized groups."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    comp = D.minhash_dedup_keep(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        buckets=_mh_buckets(spark, sf_dir),
+    ).select("doc_id", "component")
+    m = X.gopher_metrics(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        m["gopher_pass"].alias("gopher_pass"),
+        m["n_words"].alias("n_words"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("gopher_pass").desc(), F.col("n_words").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("keep_best", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "gopher_pass", "n_words", "keep_best")
+        .orderBy("doc_id")
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted corpus mixing by source char mass
     (operators/corpus.py:temperature_mix) — alpha<1 flattens the mix
@@ -1218,6 +1262,8 @@ LLM_QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_components_star": q_dedup_components_star,
     "simhash64": q_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
+    "dedup_keep_best": q_dedup_keep_best,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,

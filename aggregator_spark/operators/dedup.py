@@ -386,6 +386,79 @@ def simhash64(
     ).mapInPandas(_simhash_batches(), "doc_id long, simhash string")
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_near_dup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """SimHash near-duplicate pairs, the Manku/Jain/Sarma WWW'07
+    web-crawl dedup: 64-bit signatures, candidate generation by
+    equality on ONE of (max_hamming+1) equal-width bit bands, exact
+    Hamming verification. The pigeonhole argument makes candidate
+    recall EXACT (no false negatives): ≤ max_hamming differing bits
+    cannot touch all max_hamming+1 bands, so every qualifying pair
+    shares at least one full band; verification then restores
+    precision. Returns (doc_a, doc_b, hamming) for pairs with
+    hamming ≤ max_hamming.
+
+    Scale: the band join is an equi-shuffle on (band, 16-bit bucket)
+    — never all-pairs; signature construction spreads docs across the
+    2^16 buckets per band, and the verification join touches candidate
+    rows only. Hamming itself stays JVM-side (whole-stage codegen):
+    each 32-bit half of the bit string → conv(_, 2, 10) → long, XOR,
+    bit_count — no Python in the hot path (the signature worker is the
+    one Arrow pass, shared with ``simhash64``)."""
+    nb = max_hamming + 1
+    assert 64 % nb == 0, "band count must divide 64"
+    width = 64 // nb
+    sig = simhash64(docs, id_col, text_col).localCheckpoint(eager=True)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", 1 + width * b, width)
+                    for b in range(nb)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    l = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    r = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    def halves(prefix: str):
+        return [
+            F.conv(F.substring("simhash", 1 + 32 * i, 32), 2, 10)
+            .cast("long")
+            .alias(f"{prefix}{i}")
+            for i in range(2)
+        ]
+
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *halves("a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *halves("b"))
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def verified_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame,

@@ -681,6 +681,42 @@ LLM_ORACLES["dedup_fuzzy_keep"] = f"""
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
+# SimHash near-dup pairs: the simhash64 oracle reused as a subquery,
+# then the SAME 16-bit-band pigeonhole candidates + exact Hamming
+# verify (DuckDB's hamming() over the 64-char bit strings ==
+# bit_count(xor) over the halves on the Spark side)
+LLM_ORACLES["simhash_near_dup"] = f"""
+    WITH sh0 AS MATERIALIZED ({LLM_ORACLES["simhash64"]}),
+    bands AS (
+      SELECT doc_id, b.band,
+             substr(simhash, 1 + 16 * b.band, 16) AS bucket
+      FROM sh0, (SELECT unnest(generate_series(0, 3)) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(hamming(x.simhash, y.simhash) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sh0 x ON x.doc_id = c.doc_a
+    JOIN sh0 y ON y.doc_id = c.doc_b
+    WHERE hamming(x.simhash, y.simhash) <= 3
+"""
+
+# quality-aware survivor selection: fuzzy components × gopher signals,
+# one window — both fragments reused verbatim (materialized: the
+# fuzzy oracle holds the recursive closure)
+LLM_ORACLES["dedup_keep_best"] = f"""
+    WITH comp AS MATERIALIZED ({LLM_ORACLES["dedup_fuzzy_keep"]}),
+    g AS MATERIALIZED ({LLM_ORACLES["gopher_quality"]})
+    SELECT c.doc_id, c.component, g.gopher_pass, g.n_words,
+           (row_number() OVER (PARTITION BY c.component
+              ORDER BY g.gopher_pass DESC, g.n_words DESC, c.doc_id)
+            = 1) AS keep_best
+    FROM comp c JOIN g ON g.doc_id = c.doc_id
+"""
+
 # cluster-size histogram over the SAME fuzzy-dedup components — the
 # fuzzy-keep oracle reused verbatim as a subquery, then two GROUP BYs
 LLM_ORACLES["dedup_cluster_sizes"] = f"""

@@ -220,10 +220,14 @@ DRIVER_WINDOW = [
     "cube_quarter",
     "cube_year",
     # round-9 NEW entries: the composed pipeline running the
-    # capacity-bounded SemDeDup stage (VERDICT r8 item 6) and the
-    # curriculum/pack ablation report (item 7)
+    # capacity-bounded SemDeDup stage (VERDICT r8 item 6), the
+    # curriculum/pack ablation report (item 7), SimHash near-dup pairs
+    # (Manku banding + exact Hamming — completes the SimHash family),
+    # and quality-aware fuzzy-dedup survivor selection
     "corpus_prepare_semantic_e2e",
     "curriculum_ablation",
+    "simhash_near_dup",
+    "dedup_keep_best",
     # r9 rotation (VERDICT r8 item 1): the ENTIRE r5-age pool — their
     # latest driver row predates four rounds of code motion
     "daily_type_jaccard",
@@ -257,15 +261,14 @@ DRIVER_WINDOW = [
     "variant_json_stats_materialized",
     "weekday_bitmap",
     "window_value_funcs",
-    # r6-age backfill for the spare slots (alphabetically-first six
-    # ORACLED r6 entries; the rows-only ANN/approx entries carry
-    # runtime accuracy gates in-plan and rotate on their own cadence)
+    # r6-age backfill for the spare slots (alphabetically-first ORACLED
+    # r6 entries; the rows-only ANN/approx entries carry runtime
+    # accuracy gates in-plan and rotate on their own cadence; two slots
+    # ceded to the extra r9 novelties above)
     "asof_click_purchase",
     "asof_click_purchase_bucketed",
     "bigram_logprob",
     "bm25_search",
-    "bpe_encode_docs",
-    "bpe_merges",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -12,6 +12,7 @@ from aggregator_spark.operators.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_near_dup,
 )
 from aggregator_spark.operators.similarity import (
     ann_topk_bruteforce,
@@ -587,3 +588,46 @@ def test_corpus_prepare_semantic_capped_keeps_superset(spark, sf_dir):
     assert (fuzzy_only - emb_ids) <= capped, (
         "a doc without an embedding row was semantically dropped"
     )
+
+
+def test_simhash_near_dup_equals_bruteforce(spark, sf_dir):
+    """Pigeonhole banding is candidate-EXACT: the banded operator must
+    return exactly the all-pairs Hamming<=3 set (independent of the
+    DuckDB oracle, which shares the banding construction)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(sims)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(sims[a], sims[b]))
+            if h <= 3:
+                brute[(a, b)] = h
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup(docs).collect()
+    }
+    assert got == brute
+    assert brute, "sf0.001 documents should contain at least one near-dup"
+
+
+def test_dedup_keep_best_one_survivor_per_cluster(spark, sf_dir):
+    """Exactly one keep_best per component, and it is the quality
+    argmax under (gopher_pass desc, n_words desc, doc_id asc)."""
+    from aggregator_spark.llm_queries import q_dedup_keep_best
+
+    rows = q_dedup_keep_best(spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert any(len(v) > 1 for v in by_comp.values()), (
+        "no multi-doc fuzzy cluster at this SF — pin is vacuous"
+    )
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r["keep_best"]]
+        assert len(kept) == 1, (comp, len(kept))
+        best = min(
+            members,
+            key=lambda r: (-r["gopher_pass"], -r["n_words"], r["doc_id"]),
+        )
+        assert kept[0]["doc_id"] == best["doc_id"], comp
