@@ -145,18 +145,28 @@ def _canary_queries():
 
 
 def _time_canaries(spark, sf_dir, passes: int = 3) -> dict[str, float]:
-    """Best-of-``passes`` per canary: the single-pass form flagged the
-    r9 shakedown run 'contended' on pure JIT tiering (start canaries
-    0.36→0.47 s vs 0.20→0.27 s at the end of the SAME clean run — the
-    start was slow, not the end; one untimed pass doesn't finish C2
-    compilation). Min-of-3 measures the machine, not the JIT ramp."""
+    """Convergent best-of per canary. History: the single-pass form
+    flagged the r9 shakedown run 'contended' on pure JIT tiering (one
+    untimed pass doesn't finish C2 compilation); then min-of-3 STILL
+    stamped two clean r9 full runs contended in the fast direction
+    (start canaries ~25% slower than end — the JIT/page-cache ramp
+    outlasts 3 passes on 0.15 s shapes). Now each canary keeps
+    passing until the running best stops improving by >3% for two
+    consecutive passes (min ``passes``, cap 10), so both measurement
+    points sit at steady state and the ±15% verdict compares the
+    MACHINE, not the ramp."""
     out: dict[str, float] = {}
     for name, fn in _canary_queries().items():
         best = float("inf")
-        for _ in range(passes):
+        stale = 0
+        n = 0
+        while n < passes or (stale < 2 and n < 10):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            stale = stale + 1 if dt > best * 0.97 else 0
+            best = min(best, dt)
+            n += 1
         out[name] = round(best, 3)
     return out
 
@@ -189,18 +199,49 @@ def _run_conditions() -> dict:
     return cond
 
 
-def canary_verdict(start: dict, end: dict, thresh: float = 1.15):
-    """(per-key end/start ratios, contended?) — contended iff any
-    canary's end run disagrees with its start run by more than
-    ``thresh`` in either direction. Pure function (unit-tested without
-    Spark in tests/test_bench_merge.py)."""
+def canary_verdict(
+    start: dict,
+    end: dict,
+    thresh: float = 1.15,
+    fast_thresh: float = 0.55,
+    exclude: tuple = ("canary_arrow",),
+):
+    """(per-key end/start ratios, contended?) — ASYMMETRIC: contended
+    iff any canary's end run is >``thresh`` SLOWER than its start run
+    (load arrived mid-run — the signature that matters for trusting
+    the timings), or faster than ``fast_thresh`` (load that was there
+    at the start drained mid-run). The slow and fast bounds differ
+    because a clean 170-query run systematically lands its end
+    canaries 10–33% FASTER than its start ones: the canary-specific
+    shapes converge (min-until-stable warm-up) but the SHARED JVM
+    infrastructure — parquet reader, hash-agg, Arrow codecs — keeps
+    collecting C2 profile wins across the whole run, a drift four r9
+    clean-machine runs reproduced (ratios 0.67–0.93). Symmetric ±15%
+    stamped every clean full run "contended" and would have
+    discredited the mechanism; the fast bound sits at 0.55, under the
+    observed clean span but above the drained-contention signature
+    (jit_drift × 1/contention ≈ 0.8 × ≤0.6 for the ≥1.3× drifts that
+    matter). The cross-RUN end-canary comparison in main() covers the
+    uniform-drift class within-run deltas can't see.
+
+    ``exclude`` names canaries RECORDED in the ratios but left out of
+    the verdict: canary_arrow is bimodal across clean runs (end
+    best-of ~0.22 vs ~0.33 s — Python worker-pool reuse vs respawn,
+    pool state rather than machine load) and stamped two of four
+    clean-machine r9 runs; the two JVM canaries alone gave the
+    correct verdict on all four (including catching the one genuinely
+    loaded run at shuffle ratio 1.21). Pure function (unit-tested in
+    tests/test_bench_merge.py).
+    """
     ratios = {
         k: round(end[k] / start[k], 3)
         for k in start
         if k in end and start[k] > 0
     }
-    worst = max((max(v, 1.0 / v) for v in ratios.values()), default=1.0)
-    return ratios, worst > thresh
+    judged = [v for k, v in ratios.items() if k not in exclude]
+    worst_slow = max(judged, default=1.0)
+    worst_fast = min(judged, default=1.0)
+    return ratios, worst_slow > thresh or worst_fast < fast_thresh
 
 
 def main() -> None:
@@ -450,6 +491,25 @@ def main() -> None:
             old = json.load(f)
     except (OSError, ValueError):
         pass
+    # Cross-RUN canary comparison (the round-over-round question the
+    # within-run delta can't answer): END canaries are at JIT steady
+    # state in every full run, so new-end/prior-end on the same box is
+    # a clean environment ratio. >1.3× slower than the previously
+    # recorded run stamps the run suspect — the r7/r8 "uniform drift"
+    # class would have been flagged here mechanically.
+    prior_end = (old.get("run_conditions") or {}).get("canary_end")
+    if run_conditions.get("canary_end") and prior_end:
+        vs_prior = {
+            k: round(run_conditions["canary_end"][k] / prior_end[k], 3)
+            for k in prior_end
+            if k in run_conditions["canary_end"] and prior_end[k] > 0
+        }
+        run_conditions["canary_end_vs_prior_run"] = vs_prior
+        if any(v > 1.3 for k, v in vs_prior.items()
+               if k != "canary_arrow"):
+            run_conditions["slower_than_prior_run"] = True
+            print(f"# canary END slower than prior recorded run: "
+                  f"{vs_prior}", file=sys.stderr)
     with open(detail_path, "w") as f:
         json.dump(merge_detail(old, detail, section), f, indent=1,
                   sort_keys=True)

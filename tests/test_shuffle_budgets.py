@@ -45,6 +45,47 @@ def test_check_budgets_skips_unmeasured_keys():
     assert check_budgets({}, 0.1, budgets={"k": 40.0}) == []
 
 
+def test_check_budgets_group_sum():
+    # attribution-coupled pairs are capped on their SUM: the probe may
+    # attribute a shared eager sub-plan's bytes to either member
+    groups = [(("a", "b"), 10.0)]
+    ok = check_budgets({"a": 7.0, "b": 2.9}, 0.1, budgets={}, groups=groups)
+    assert ok == []
+    bad = check_budgets({"a": 7.0, "b": 3.1}, 0.1, budgets={}, groups=groups)
+    assert len(bad) == 1 and "a+b" in bad[0] and "10.1" in bad[0]
+    # a partial measurement (restricted run) checks the present members
+    assert check_budgets({"a": 9.9}, 0.1, budgets={}, groups=groups) == []
+    assert len(
+        check_budgets({"a": 10.1}, 0.1, budgets={}, groups=groups)
+    ) == 1
+    assert check_budgets({}, 0.1, budgets={}, groups=groups) == []
+
+
+def test_every_bench_key_budgeted():
+    """The r9 claim 'caps cover EVERY bench key' is derived, not
+    hand-maintained: every catalog key plus the bench-only ingest/
+    accounting keys must appear in the per-key map or a group."""
+    from aggregator_spark.plans.shuffle_budgets import (
+        BUDGET_GROUPS,
+        SHUFFLE_WRITE_BUDGET_MB,
+    )
+
+    bench_only = {
+        # ingest keys timed by bench.py's pre-loop (cold cache builds)
+        "variant_ingest", "ann_ivf_index_build", "ann_lsh_index_build",
+        "dedup_bucket_index_build", "corpus_prepared_index_build",
+        "bm25_index_build", "bpe_dict_build",
+        # incremental-dedup accounting split
+        "dedup_batch_sign", "dedup_incremental_serve",
+    }
+    covered = set(SHUFFLE_WRITE_BUDGET_MB)
+    for keys, _cap in BUDGET_GROUPS:
+        covered |= set(keys)
+    want = set(entry_mod.queries()) | bench_only
+    missing = sorted(want - covered)
+    assert not missing, f"bench keys without a shuffle budget: {missing}"
+
+
 # -------------------------------------------------- exchange-count pins
 
 # (shuffle Exchange count, BroadcastExchange count) per plan — exact
