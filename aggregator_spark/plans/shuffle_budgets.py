@@ -13,7 +13,10 @@ shuffle write is the MAX of the driver's independent round-8 run and
 the round-9 local run, the cap is 1.5× that with a 2 MB floor (layout/
 compression noise on tiny keys sits well under the floor; an extra
 corpus-sized exchange — typically 5–100× on the keys that matter —
-still trips it). Enforcement is ON by default in bench.py since r9
+still trips it). Attribution-coupled families are capped on their SUM
+instead (``BUDGET_GROUPS``, enforced by the same ``check_budgets``);
+the derived coverage pin is tests/test_shuffle_budgets.py::
+test_every_bench_key_budgeted. Enforcement is ON by default in bench.py since r9
 (SPARK_GRAFT_ENFORCE_SHUFFLE=0 to disable). The complementary
 SCALE-INDEPENDENT gate is tests/test_shuffle_budgets.py, which pins
 exchange COUNTS per plan via plans/lint.plan_report — that one runs in
