@@ -316,3 +316,43 @@ def test_waterfill_invariants(masses, num, den):
         )]
         for s in kept_whole:
             assert allocs[s] == mass_by[s]
+
+
+@given(
+    sigs=st.lists(st.integers(0, 2**64 - 1), min_size=2, max_size=40),
+    flips=st.lists(st.integers(0, 63), min_size=0, max_size=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_simhash_banding_pigeonhole_exact(sigs, flips):
+    """The 4x16-bit banding used by ``simhash_near_dup`` is
+    candidate-EXACT for Hamming <= 3 on ARBITRARY signatures: a pair
+    within the radius always shares at least one full band
+    (pigeonhole: 3 differing bits cannot touch 4 bands). Pure-Python
+    model of the banding — no Spark; the Spark-level twin is
+    test_llm_ops.test_simhash_near_dup_equals_bruteforce."""
+    # plant a guaranteed near pair: sigs[1] = sigs[0] with <=3 flips
+    planted = sigs[0]
+    for b in set(flips):
+        planted ^= 1 << b
+    sigs = [planted] + sigs
+
+    def bands(v):
+        return [(i, (v >> (16 * i)) & 0xFFFF) for i in range(4)]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    n = len(sigs)
+    true_pairs = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if hamming(sigs[i], sigs[j]) <= 3
+    }
+    candidates = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if set(bands(sigs[i])) & set(bands(sigs[j]))
+    }
+    assert true_pairs <= candidates
