@@ -101,6 +101,12 @@ EXCHANGE_PINS = {
     "tpch_q6": (1, 0),            # scan -> partial agg -> single gather
     "bloom_prefiltered_join": (1, 1),
     "dedup_exact": (1, 0),
+    # r9: band self-join + hamming verify joins broadcast at sf0.001
+    # (threshold-governed; they degrade to shuffle joins at scale)
+    "simhash_near_dup": (2, 3),
+    # r9: fuzzy components (checkpointed sub-plan) + quality join +
+    # per-component window
+    "dedup_keep_best": (4, 1),
     "doc_chunks": (1, 0),         # scatter only, no agg shuffle
     "pack_sequences": (2, 0),
     "mix_waterfill": (2, 0),      # corpus -> strata agg -> windows
