@@ -1228,6 +1228,165 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word 3-grams that occur NOWHERE else in the corpus (corpus document
+    frequency == 1) — the self-information/novelty score a curation
+    team uses to up-weight rare content and spot boilerplate (novelty
+    ~0 ⇒ the doc is assembled from corpus-common phrases).
+
+    Scale shape: the corpus-wide gram relation is aggregated ONCE by
+    gram and never joined back — a df==1 gram has exactly one owner, so
+    ``min(doc_id)`` inside the same aggregate IS the attribution, and
+    only the unique-gram residue (≤ one row per novel gram, collapsing
+    to ≤ one row per doc) flows onward. Per-doc totals ride the same
+    shingle relation through a doc_id aggregate; both residues join the
+    doc spine at |docs| scale. No corpus²-shaped intermediate exists.
+    Shingling itself is the Arrow-vectorized ``doc_shingles`` shared
+    with the whole dedup family (same tokenizer, same n)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    pairs = D.doc_shingles(docs)  # (doc_id, shingle), distinct per doc
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams_raw")
+    )
+    novel = (
+        pairs.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel_raw"))
+    )
+    n_grams = F.coalesce(F.col("n_grams_raw"), F.lit(0).cast("long"))
+    n_novel = F.coalesce(F.col("n_novel_raw"), F.lit(0).cast("long"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_novel.alias("n_novel"),
+            # short docs (zero grams) carry NULL, not 0/0
+            F.round(
+                n_novel / F.nullif(n_grams, F.lit(0)).cast("double"), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+
+def q_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate pairs:
+    signature-agreement Jaccard estimate (matches/k) vs the exact
+    n-gram Jaccard, with the absolute error — the report that tells a
+    dedup owner whether k=8 signatures justify the banding threshold
+    before trusting the keep-list (the standard accept/reject evidence
+    for an LSH configuration).
+
+    Scale shape: candidates come from the persisted bucket index (no
+    all-pairs anywhere); the exact side is the candidate-bounded
+    ``verified_jaccard_pairs`` (shingling semi-joined to candidate
+    docs); the estimate side joins the signature table — computed once,
+    checkpointed, k columns wide — to the candidate pair list from both
+    ends. Everything downstream of the banded join is O(candidates)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(
+        docs, buckets=_mh_buckets(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+    # exact Jaccard restricted to candidates (threshold 0 keeps all:
+    # a shared band hash implies a shared min-shingle, so every
+    # candidate pair has n_common >= 1 on both engines)
+    exact = D.verified_jaccard_pairs(docs, cand, threshold=0.0)
+    sigs = D.minhash_signatures(docs).localCheckpoint(eager=True)
+    k = D.DEFAULT_MINHASHES
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(k)],
+    )
+    matches = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(k)
+    )
+    est = cand.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.round(matches / F.lit(float(k)), 6).alias("est_jaccard"),
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+def q_corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: Jensen–Shannon divergence between
+    each source's unigram distribution P and the whole-corpus
+    distribution Q (natural log; Q includes the source, the standard
+    "slice vs corpus" drift monitor) — the report that catches a
+    crawler/source going off-distribution between corpus generations
+    before it poisons the mixing weights.
+
+    JS(P,Q) = Σ_present 0.5·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+              + 0.5·(1 − Σ_present q)·ln 2
+    — the closed form over the SOURCE's support only: tokens absent
+    from the source have p=0 and contribute 0.5·q·ln 2, folded into the
+    residual-mass term, so the per-source relation never needs the full
+    vocabulary outer join.
+
+    Scale shape: one (source, token) hash aggregate over the exploded
+    tokens (map-side partials absorb within-partition repeats),
+    localCheckpoint'ed eagerly because FOUR consumers read it (the
+    token join plus the global/per-source/grand-total aggregates) —
+    without the checkpoint each consumer re-scans and re-explodes the
+    raw corpus (8 exchanges → 6, fact scanned once). Everything
+    downstream runs on the vocab×sources relation, orders smaller than
+    the corpus; per-source totals are a |sources|-row broadcast and
+    the grand total a 1-row scalar broadcast. The token-level join
+    keys on the vocabulary, the natural partitioning."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
+    gt = st.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
+    stot = st.groupBy("source").agg(F.sum("cnt").alias("s_total"))
+    gtot = st.select(F.sum("cnt").alias("g_total"))
+    p = F.col("cnt") / F.col("s_total").cast("double")
+    q = F.col("gcnt") / F.col("g_total").cast("double")
+    term = 0.5 * (
+        p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
+    )
+    return (
+        st.join(gt, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .groupBy("source")
+        .agg(
+            F.max("s_total").alias("n_tokens"),
+            F.round(
+                F.sum(term)
+                + 0.5 * (1.0 - F.sum(q)) * F.log(F.lit(2.0)),
+                6,
+            ).alias("js_div"),
+        )
+    )
+
+
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetitious-text metrics
     (operators/text.py:repetition_metrics) — per-doc top-2/3-gram char
@@ -1270,6 +1429,9 @@ LLM_QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "decontaminate_docs": q_decontaminate_docs,
     "repetition_metrics": q_repetition_metrics,
+    "ngram_novelty": q_ngram_novelty,
+    "minhash_est_accuracy": q_minhash_est_accuracy,
+    "corpus_drift_js": q_corpus_drift_js,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_capped": q_semantic_dedup_capped,
     "dedup_fuzzy_keep": q_dedup_fuzzy_keep,

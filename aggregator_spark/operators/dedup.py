@@ -262,20 +262,24 @@ def lsh_buckets(
     k: int = DEFAULT_MINHASHES,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_SHINGLE,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc LSH bucket keys: MinHash signatures hashed per band →
     one (doc_id, band, bucket) row per band. The shared candidate-
     generation seam for the self-join (``lsh_candidate_pairs``) and the
     incremental new-vs-corpus join (``minhash_dedup_incremental``).
+    Pass ``sigs`` (a precomputed/checkpointed ``minhash_signatures``
+    result) when the caller also consumes the signatures elsewhere —
+    the shingle→minhash sub-plan then runs once, not per consumer.
 
     Zero-shingle docs (all-NULL signatures) are excluded — see
     ``lsh_candidate_pairs`` for why."""
     if k % bands:
         raise ValueError("k must be divisible by bands")
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, n).filter(
-        F.col("mh_0").isNotNull()
-    )
+    if sigs is None:
+        sigs = minhash_signatures(docs, id_col, text_col, k, n)
+    sigs = sigs.filter(F.col("mh_0").isNotNull())
     band_cols = [
         F.md5(
             F.concat_ws(

@@ -1067,3 +1067,103 @@ LLM_ORACLES["curriculum_bins"] = f"""
              AS INT) AS bin
     FROM ({_QUALITY}) q JOIN documents d USING (doc_id)
 """
+
+# per-doc 3-gram novelty: corpus gram df computed once; df==1 grams
+# attributed via MIN(doc_id) (the only owner), never joined back to the
+# corpus-wide gram relation — same closed form as the Spark plan
+LLM_ORACLES["ngram_novelty"] = f"""
+    WITH {_SHINGLES},
+    ps AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM ps GROUP BY doc_id),
+    novel AS (
+      SELECT doc_id, COUNT(*) AS n_novel FROM (
+        SELECT MIN(doc_id) AS doc_id
+        FROM ps GROUP BY shingle HAVING COUNT(*) = 1)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(u.n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(COALESCE(u.n_novel, 0)
+                 / CAST(NULLIF(COALESCE(p.n_grams, 0), 0) AS DOUBLE),
+                 6) AS novel_frac
+    FROM documents d
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    LEFT JOIN novel u ON d.doc_id = u.doc_id
+"""
+
+# MinHash estimator calibration: signature-agreement estimate vs exact
+# Jaccard on the SAME banded candidate pairs; est uses matches/k over
+# the k md5 min-hashes (identical md5 math both engines)
+_MH_MATCHES = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(DEFAULT_MINHASHES)
+)
+LLM_ORACLES["minhash_est_accuracy"] = f"""
+    WITH {_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+         {_MH_COLS}
+      FROM sh),
+    buckets AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    ps AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ps GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM ps a JOIN ps b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    est AS (
+      SELECT doc_a, doc_b,
+             round(({_MH_MATCHES}) / {DEFAULT_MINHASHES}.0, 6)
+               AS est_jaccard
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = doc_a
+      JOIN sigs sb ON sb.doc_id = doc_b),
+    exact AS (
+      SELECT doc_a, doc_b,
+             round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, x.jaccard,
+           round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
+    FROM est e JOIN exact x
+      ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+"""
+
+# per-source Jensen-Shannon drift vs the whole-corpus unigram
+# distribution (natural log); the residual-mass term folds every
+# token absent from the source into 0.5*(1 - sum(q))*ln(2)
+LLM_ORACLES["corpus_drift_js"] = r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    st AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    gt AS (SELECT token, SUM(cnt) AS gcnt FROM st GROUP BY token),
+    stot AS (SELECT source, SUM(cnt) AS s_total FROM st GROUP BY source),
+    gtot AS (SELECT SUM(cnt) AS g_total FROM st),
+    terms AS (
+      SELECT st.source,
+             st.cnt / CAST(s_total AS DOUBLE) AS p,
+             gcnt / CAST(g_total AS DOUBLE) AS q,
+             s_total
+      FROM st
+      JOIN gt USING (token)
+      JOIN stot USING (source)
+      CROSS JOIN gtot)
+    SELECT source,
+           CAST(MAX(s_total) AS BIGINT) AS n_tokens,
+           ROUND(SUM(0.5 * (p * ln(2 * p / (p + q))
+                            + q * ln(2 * q / (p + q))))
+                 + 0.5 * (1 - SUM(q)) * ln(2), 6) AS js_div
+    FROM terms
+    GROUP BY source
+"""

@@ -55,6 +55,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "cms_user_counts": 2.0,
     "cohort_retention": 2.0,
     "cooccur_triangles": 2.0,
+    "corpus_drift_js": 2.0,
     "corpus_keep_list": 11.8,
     "corpus_prepare_e2e": 45.6,
     "corpus_prepare_incremental": 12.0,
@@ -115,6 +116,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "map_user_type_counts": 2.0,
     "media_features": 2.0,
     "median_value": 2.0,
+    "minhash_est_accuracy": 8.8,
     "minhash_lsh_pairs": 2.0,
     "minhash_signatures": 3.4,
     "missing_users": 2.0,
@@ -123,6 +125,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "ngram_containment_pairs": 15.6,
     "ngram_jaccard_capped": 7.7,
     "ngram_jaccard_pairs": 15.6,
+    "ngram_novelty": 8.7,
     "pack_efficiency": 2.0,
     "pack_sequences": 2.0,
     "pii_redact": 2.0,

@@ -261,14 +261,18 @@ DRIVER_WINDOW = [
     "variant_json_stats_materialized",
     "weekday_bitmap",
     "window_value_funcs",
-    # r6-age backfill for the spare slots (alphabetically-first ORACLED
-    # r6 entries; the rows-only ANN/approx entries carry runtime
-    # accuracy gates in-plan and rotate on their own cadence; two slots
-    # ceded to the extra r9 novelties above)
+    # round-9 LATE novelties (this round's second build wave): per-doc
+    # n-gram novelty scoring, MinHash estimator-vs-exact calibration on
+    # the banded candidates, per-source Jensen-Shannon drift — each
+    # hash-matched its oracle at sf0.001+sf0.01 first try; a fresh
+    # driver row beats re-rowing an r6 entry that rotates next round
+    "ngram_novelty",
+    "minhash_est_accuracy",
+    "corpus_drift_js",
+    # r6-age backfill for the last spare slot (alphabetically-first
+    # ORACLED r6 entry; the rows-only ANN/approx entries carry runtime
+    # accuracy gates in-plan and rotate on their own cadence)
     "asof_click_purchase",
-    "asof_click_purchase_bucketed",
-    "bigram_logprob",
-    "bm25_search",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

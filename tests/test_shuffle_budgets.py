@@ -123,6 +123,16 @@ EXCHANGE_PINS = {
     # archive index must never shuffle)
     "curriculum_bins": (1, 0),
     "span_rewrite_incremental": (5, 5),
+    # r9 late novelties. ngram_novelty: gram-df agg + per-doc residue
+    # joins (the corpus-wide gram relation is never joined back).
+    # minhash_est_accuracy: candidate/sig pipelines are checkpointed
+    # out of the plan; what remains is the candidate-bounded verify
+    # (the ngram_jaccard SMJ family) + the two signature joins.
+    # corpus_drift_js: token aggregate checkpointed (fact scanned
+    # once); residual aggs + vocab join + scalar/total broadcasts.
+    "ngram_novelty": (5, 2),
+    "minhash_est_accuracy": (15, 5),
+    "corpus_drift_js": (4, 3),
 }
 
 
