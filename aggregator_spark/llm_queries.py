@@ -1245,36 +1245,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingling itself is the Arrow-vectorized ``doc_shingles`` shared
     with the whole dedup family (same tokenizer, same n)."""
     docs = load_testdata(spark, sf_dir, "documents")
-    pairs = D.doc_shingles(docs)  # (doc_id, shingle), distinct per doc
-    per_doc = pairs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams_raw")
-    )
-    novel = (
-        pairs.groupBy("shingle")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.min("doc_id").alias("doc_id"),
-        )
-        .filter(F.col("df") == 1)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_novel_raw"))
-    )
-    n_grams = F.coalesce(F.col("n_grams_raw"), F.lit(0).cast("long"))
-    n_novel = F.coalesce(F.col("n_novel_raw"), F.lit(0).cast("long"))
-    return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .join(novel, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_grams.alias("n_grams"),
-            n_novel.alias("n_novel"),
-            # short docs (zero grams) carry NULL, not 0/0
-            F.round(
-                n_novel / F.nullif(n_grams, F.lit(0)).cast("double"), 6
-            ).alias("novel_frac"),
-        )
-    )
+    return D.ngram_novelty(docs)
 
 
 def q_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1354,37 +1325,7 @@ def q_corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grand total a 1-row scalar broadcast. The token-level join
     keys on the vocabulary, the natural partitioning."""
     docs = load_testdata(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        ).alias("token"),
-    )
-    st = toks.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=True)
-    gt = st.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
-    stot = st.groupBy("source").agg(F.sum("cnt").alias("s_total"))
-    gtot = st.select(F.sum("cnt").alias("g_total"))
-    p = F.col("cnt") / F.col("s_total").cast("double")
-    q = F.col("gcnt") / F.col("g_total").cast("double")
-    term = 0.5 * (
-        p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
-    )
-    return (
-        st.join(gt, "token")
-        .join(F.broadcast(stot), "source")
-        .crossJoin(F.broadcast(gtot))
-        .groupBy("source")
-        .agg(
-            F.max("s_total").alias("n_tokens"),
-            F.round(
-                F.sum(term)
-                + 0.5 * (1.0 - F.sum(q)) * F.log(F.lit(2.0)),
-                6,
-            ).alias("js_div"),
-        )
-    )
+    return C.js_source_drift(docs)
 
 
 def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

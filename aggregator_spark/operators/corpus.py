@@ -447,6 +447,51 @@ def temperature_mix(
     )
 
 
+def js_source_drift(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum Jensen–Shannon divergence (natural log) between the
+    stratum's unigram distribution and the whole-corpus distribution:
+    (stratum_col, n_tokens, js_div). Closed form over the stratum's own
+    support — tokens absent from the stratum contribute their mass via
+    the 0.5·(1−Σq)·ln 2 residual, so no full-vocabulary outer join
+    exists. See ``llm_queries.q_corpus_drift_js`` for the checkpoint /
+    broadcast scale rationale."""
+    toks = docs.select(
+        stratum_col,
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    )
+    st = toks.groupBy(stratum_col, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
+    gt = st.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
+    stot = st.groupBy(stratum_col).agg(F.sum("cnt").alias("s_total"))
+    gtot = st.select(F.sum("cnt").alias("g_total"))
+    p = F.col("cnt") / F.col("s_total").cast("double")
+    q = F.col("gcnt") / F.col("g_total").cast("double")
+    term = 0.5 * (
+        p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
+    )
+    return (
+        st.join(gt, "token")
+        .join(F.broadcast(stot), stratum_col)
+        .crossJoin(F.broadcast(gtot))
+        .groupBy(stratum_col)
+        .agg(
+            F.max("s_total").alias("n_tokens"),
+            F.round(
+                F.sum(term)
+                + 0.5 * (1.0 - F.sum(q)) * F.log(F.lit(2.0)),
+                6,
+            ).alias("js_div"),
+        )
+    )
+
+
 def token_budget_waterfill(
     docs: DataFrame,
     budget_frac: float = 0.5,

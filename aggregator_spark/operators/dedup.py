@@ -705,6 +705,50 @@ def minhash_dedup_incremental(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Per-document n-gram novelty: (doc_id, n_grams, n_novel,
+    novel_frac) where n_novel counts the doc's distinct n-grams with
+    corpus document frequency 1 (novel_frac NULL for docs shorter than
+    n tokens). See ``llm_queries.q_ngram_novelty`` for the full scale
+    rationale: the corpus-wide gram relation is aggregated once with
+    ``min(doc_id)`` as the df==1 attribution and never joined back."""
+    pairs = doc_shingles(docs, id_col, text_col, n)
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams_raw")
+    )
+    novel = (
+        pairs.groupBy("shingle")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel_raw"))
+    )
+    n_grams = F.coalesce(F.col("n_grams_raw"), F.lit(0).cast("long"))
+    n_novel = F.coalesce(F.col("n_novel_raw"), F.lit(0).cast("long"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_novel.alias("n_novel"),
+            # short docs (zero grams) carry NULL, not 0/0
+            F.round(
+                n_novel / F.nullif(n_grams, F.lit(0)).cast("double"), 6
+            ).alias("novel_frac"),
+        )
+    )
+
+
 def dup_span_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -631,3 +631,103 @@ def test_dedup_keep_best_one_survivor_per_cluster(spark, sf_dir):
             key=lambda r: (-r["gopher_pass"], -r["n_words"], r["doc_id"]),
         )
         assert kept[0]["doc_id"] == best["doc_id"], comp
+
+
+def test_ngram_novelty_crafted(spark):
+    """Exact-duplicate docs share every gram (df >= 2 -> novelty 0);
+    a unique doc's grams are all its own (novelty 1); sub-n-token docs
+    carry NULL novel_frac, not 0/0."""
+    from aggregator_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # exact twin of 1
+            (3, "epsilon zeta eta theta"),  # fully unique
+            (4, "too short"),  # < 3 tokens: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_novel"] == 0
+    assert rows[2]["n_grams"] == 2 and rows[2]["n_novel"] == 0
+    assert rows[1]["novel_frac"] == 0.0 and rows[2]["novel_frac"] == 0.0
+    assert rows[3]["n_grams"] == 2 and rows[3]["n_novel"] == 2
+    assert rows[3]["novel_frac"] == 1.0
+    assert rows[4]["n_grams"] == 0 and rows[4]["n_novel"] == 0
+    assert rows[4]["novel_frac"] is None
+
+
+def test_ngram_novelty_conservation(spark, sf_dir):
+    """Corpus-level conservation: the per-doc novel counts must sum to
+    the number of df==1 grams computed independently, and every row
+    obeys 0 <= n_novel <= n_grams with one row per document."""
+    from aggregator_spark.operators.dedup import doc_shingles, ngram_novelty
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    rows = ngram_novelty(docs).collect()
+    assert len(rows) == docs.count()
+    assert all(0 <= r["n_novel"] <= r["n_grams"] for r in rows)
+    n_unique_grams = (
+        doc_shingles(docs)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") == 1)
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == n_unique_grams
+
+
+def test_minhash_est_bounds_on_candidates(spark, sf_dir):
+    """Every banded candidate pair shares at least one full band (two
+    consecutive signature rows), so the agreement estimate is >= 2/k;
+    est and exact both live in [0, 1] and abs_err is their gap."""
+    from aggregator_spark.llm_queries import q_minhash_est_accuracy
+    from aggregator_spark.operators.dedup import DEFAULT_MINHASHES as K
+
+    rows = q_minhash_est_accuracy(spark, sf_dir).collect()
+    assert rows, "sf testdata plants near-dups; no candidate pairs found"
+    for r in rows:
+        assert 2.0 / K <= r["est_jaccard"] <= 1.0, r
+        assert 0.0 <= r["jaccard"] <= 1.0, r
+        assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["jaccard"]), 6)) < 1e-9
+
+
+def test_js_source_drift_identical_and_disjoint(spark):
+    """Two strata with the SAME token distribution sit at JS == 0
+    against the pooled corpus; two token-disjoint strata of equal mass
+    sit at the half-split divergence 0.5*ln(2) each; everything is
+    bounded by ln(2)."""
+    import math
+
+    from aggregator_spark.operators.corpus import js_source_drift
+
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in js_source_drift(same).collect()}
+    assert rows["a"]["js_div"] == 0.0 and rows["b"]["js_div"] == 0.0
+    disjoint = spark.createDataFrame(
+        [("a", "x x x"), ("b", "y y y")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in js_source_drift(disjoint).collect()}
+    # P = delta on own token, Q = (1/2, 1/2), M = (3/4, 1/4):
+    # JS = 0.5*[KL(P||M) + KL(Q||M)]
+    #    = 0.5*[ln(4/3) + 0.5*ln(2/3) + 0.5*ln(2)] = 0.215762
+    expect = round(
+        0.5
+        * (
+            math.log(4 / 3)
+            + 0.5 * math.log(2 / 3)
+            + 0.5 * math.log(2)
+        ),
+        6,
+    )
+    for r in rows.values():
+        assert 0.0 < r["js_div"] <= math.log(2) + 1e-9
+        assert r["n_tokens"] == 3
+    # symmetric construction -> identical divergence both sides
+    assert rows["a"]["js_div"] == rows["b"]["js_div"]
+    assert abs(rows["a"]["js_div"] - expect) < 1e-6
