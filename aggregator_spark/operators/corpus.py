@@ -468,6 +468,17 @@ def js_source_drift(
     st = toks.groupBy(stratum_col, "token").agg(
         F.count(F.lit(1)).alias("cnt")
     ).localCheckpoint(eager=True)
+    return js_from_counts(st, stratum_col)
+
+
+def js_from_counts(st: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """The divergence stage of ``js_source_drift`` over an
+    already-aggregated (stratum, token, cnt) relation — the seam the
+    streaming drift monitor serves from (its running count table IS
+    this relation, maintained incrementally), guaranteeing batch/stream
+    parity structurally rather than by re-implementation. ``st`` must
+    have one row per (stratum, token); callers maintaining it
+    incrementally aggregate their deltas first."""
     gt = st.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
     stot = st.groupBy(stratum_col).agg(F.sum("cnt").alias("s_total"))
     gtot = st.select(F.sum("cnt").alias("g_total"))
