@@ -77,3 +77,23 @@ def test_batch_retry_does_not_double_count(spark, tmp_path):
     )
     drift_micro_batch(wave0, 0, root, SF)
     assert _rows(served_counts(spark, root)) == before
+
+
+def test_compaction_preserves_served_state(spark, tmp_path):
+    root = str(tmp_path / "drift_compact")
+    # two waves -> compact -> remaining wave appends as a delta; the
+    # served relation and report must be identical to the uncompacted
+    # full stream at every point
+    run_drift_stream(spark, SF, root, n_waves=N_WAVES, max_waves=2)
+    mid = _rows(served_counts(spark, root))
+    from aggregator_spark.streaming.drift_stream import compact_deltas
+
+    compact_deltas(spark, root)
+    assert os.listdir(os.path.join(root, "deltas")) == []
+    assert _rows(served_counts(spark, root)) == mid
+    # compaction is idempotent (base-only state re-folds to itself)
+    compact_deltas(spark, root)
+    assert _rows(served_counts(spark, root)) == mid
+    run_drift_stream(spark, SF, root, n_waves=N_WAVES)
+    batch = js_source_drift(load_testdata(spark, SF, "documents"))
+    assert _rows(served_drift(spark, root)) == _rows(batch)
