@@ -464,6 +464,37 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+LINE_SEG_LEN = 12  # the synthetic corpus's "line": 12 consecutive tokens
+LINE_DF_THRESHOLD = 3  # CCNet-style: in >= 3 docs => boilerplate
+
+
+def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators/dedup.py:
+    line_dedup_rewrite, CCNet/Wenzek et al. 2020 §4.1): every segment
+    whose exact normalized form occurs in >= 3 documents is deleted
+    from ALL of them (no first-occurrence exception) and each doc is
+    rebuilt from its surviving segments in order."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.line_dedup_rewrite(
+        docs, seg_len=LINE_SEG_LEN, df_threshold=LINE_DF_THRESHOLD
+    )
+
+
+def q_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate mass (operators/dedup.py:
+    boilerplate_stats) — the observability twin of the line rewrite:
+    which sources are mostly chrome, under the SAME segment/df
+    definition the rewrite deletes with."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.boilerplate_stats(
+        docs, seg_len=LINE_SEG_LEN, df_threshold=LINE_DF_THRESHOLD
+    )
+
+
+
+
 DUP_SPAN_N = 16
 
 
@@ -1379,6 +1410,8 @@ LLM_QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "temperature_mix": q_temperature_mix,
     "dup_span_stats": q_dup_span_stats,
+    "line_dedup_rewrite": q_line_dedup_rewrite,
+    "boilerplate_stats": q_boilerplate_stats,
     "corpus_keep_list": q_corpus_keep_list,
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
     "corpus_prepare_semantic_e2e": q_corpus_prepare_semantic_e2e,

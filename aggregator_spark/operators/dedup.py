@@ -968,3 +968,179 @@ def dedup_span_rewrite(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def doc_segments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 12,
+    by_lines: bool = False,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """CCNet-style "lines" of a document as (doc_id, seg_idx, seg) rows
+    (Wenzek et al. 2020 dedup the crawl at LINE granularity before any
+    document-level pass — repeated lines are navigation chrome, cookie
+    banners, share buttons). ``by_lines=True`` splits on newlines and
+    canonicalizes each line to lowercased single-space token form (the
+    real-corpus mode); the default segments the token stream into
+    consecutive ``seg_len``-token windows — the synthetic corpus has no
+    newlines, so fixed token windows play the role of lines while
+    keeping the operator's semantics (exact segment identity across
+    documents) unchanged. ``extra_cols`` are carried through unchanged
+    (e.g. ``("source",)`` for per-source boilerplate accounting).
+
+    Segments are NON-overlapping — unlike ``word_ngrams`` there is no
+    ×n blowup: the exploded relation is the same size as the token
+    stream, so segmentation is a narrow projection with no shuffle."""
+    from aggregator_spark.operators.text import word_tokens
+
+    keep = [F.col(id_col).alias("doc_id"), *(F.col(c) for c in extra_cols)]
+    if by_lines:
+        lines = docs.select(
+            *keep,
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "seg_idx", "raw"
+            ),
+        )
+        return lines.select(
+            "doc_id",
+            *extra_cols,
+            "seg_idx",
+            F.concat_ws(" ", word_tokens(F.col("raw"))).alias("seg"),
+        ).filter(F.col("seg") != "")
+    toks = docs.select(*keep, word_tokens(F.col(text_col)).alias("ts"))
+    # sequence(0, ceil/-1) counts DOWN for empty docs — guard to an
+    # empty segment array (same trap as word_ngrams)
+    n_seg = F.ceil(F.size("ts") / F.lit(seg_len)).cast("int")
+    segs = F.when(F.size("ts") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("ts"), i * seg_len + 1, seg_len)
+            ),
+        )
+    )
+    return toks.select(
+        "doc_id", *extra_cols, F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+def line_dedup_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 12,
+    df_threshold: int = 3,
+    by_lines: bool = False,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet, Wenzek et al. 2020 §4.1;
+    RefinedWeb/FineWeb run the same stage): a segment whose exact
+    normalized form occurs in >= ``df_threshold`` distinct documents is
+    boilerplate and ALL its occurrences are deleted — unlike
+    ``dedup_span_rewrite`` there is no first-occurrence exception,
+    because repeated lines are chrome, not content, and every copy is
+    noise. Documents are rebuilt from their surviving segments in
+    order. Returns (doc_id, n_segments, n_removed, clean_text) for
+    EVERY input document (clean_text '' when everything was removed).
+
+    Scale shape: segmentation is a narrow no-shuffle projection
+    (non-overlapping windows — the exploded relation is token-stream
+    sized, not xn like grams); document frequency aggregates on the
+    8-byte xxhash64 of the segment (raw segment text never shuffles
+    for the df pass; a 64-bit collision deletes a real segment — the
+    same accepted trade as the span-rewrite family, unobservable at
+    oracle SFs); the boilerplate set joins back on that hash key and
+    is deliberately NOT broadcast (real crawls have boilerplate sets
+    proportional to the site count); the one place segment text
+    shuffles is the per-doc rebuild, keyed by doc_id and linear in
+    output size — unavoidable for a rewrite."""
+    segs = doc_segments(
+        docs, id_col=id_col, text_col=text_col, seg_len=seg_len,
+        by_lines=by_lines,
+    ).select("doc_id", "seg_idx", "seg", F.xxhash64("seg").alias("sh"))
+    boiler = (
+        segs.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("sh", F.lit(True).alias("is_boiler"))
+    )
+    flagged = segs.join(boiler, "sh", "left").select(
+        "doc_id",
+        "seg_idx",
+        "seg",
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("seg_idx", "seg", "is_boiler")
+                        )
+                    ),
+                    lambda s: ~s["is_boiler"],
+                ),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias(
+                "n_segments"
+            ),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    seg_len: int = 12,
+    df_threshold: int = 3,
+    by_lines: bool = False,
+) -> DataFrame:
+    """Per-``group_col`` boilerplate mass — the observability twin of
+    ``line_dedup_rewrite`` (which sources are mostly chrome?): docs,
+    segments, boilerplate occurrences, and the removed fraction, using
+    the SAME segment/df definition so the report matches what the
+    rewrite would delete. Segment df is CORPUS-wide (a segment shared
+    across sources is boilerplate in all of them)."""
+    segs = doc_segments(
+        docs, id_col=id_col, text_col=text_col, seg_len=seg_len,
+        by_lines=by_lines, extra_cols=(group_col,),
+    ).select("doc_id", group_col, F.xxhash64("seg").alias("sh"))
+    boiler = (
+        segs.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("sh", F.lit(True).alias("is_boiler"))
+    )
+    return (
+        segs.join(boiler, "sh", "left")
+        .groupBy(group_col)
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.coalesce("is_boiler", F.lit(False)).cast("long")).alias(
+                "n_boiler"
+            ),
+            F.round(
+                F.sum(F.coalesce("is_boiler", F.lit(False)).cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )

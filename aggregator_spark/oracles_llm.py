@@ -1167,3 +1167,56 @@ LLM_ORACLES["corpus_drift_js"] = r"""
     FROM terms
     GROUP BY source
 """
+
+
+# line-level boilerplate dedup (CCNet §4.1): a SEGMENT (12 consecutive
+# word tokens — the synthetic corpus's stand-in for a line) occurring
+# in >= 3 distinct documents is boilerplate; ALL occurrences drop (no
+# first-occurrence exception — repeated lines are chrome, not content)
+# and each doc is rebuilt from its surviving segments in order. The
+# Spark side counts df on xxhash64(seg); the oracle groups by the
+# segment string — identical absent a 64-bit collision (the span-family
+# trade, unobservable at oracle SFs).
+_LINE_SEGS = f"""
+    toks AS (SELECT doc_id, source, {WORD_TOKS} AS ts FROM documents),
+    segs AS (
+      SELECT doc_id, source,
+             CAST((i - 1) / 12 AS BIGINT) AS seg_idx,
+             array_to_string(ts[i:i+11], ' ') AS seg
+      FROM toks, UNNEST(generate_series(1, len(ts), 12)) AS u(i)),
+    boiler AS (
+      SELECT seg FROM (
+        SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+      WHERE df >= 3)
+"""
+
+LLM_ORACLES["line_dedup_rewrite"] = f"""
+    WITH {_LINE_SEGS},
+    reb AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_segments,
+             SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_removed,
+             string_agg(CASE WHEN b.seg IS NULL THEN s.seg END, ' '
+                        ORDER BY s.seg_idx) AS clean_text
+      FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+      GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(r.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id
+"""
+
+LLM_ORACLES["boilerplate_stats"] = f"""
+    WITH {_LINE_SEGS}
+    SELECT s.source,
+           CAST(COUNT(DISTINCT s.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           ROUND(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS boiler_frac
+    FROM segs s LEFT JOIN boiler b ON s.seg = b.seg
+    GROUP BY s.source
+"""

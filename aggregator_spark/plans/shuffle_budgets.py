@@ -41,6 +41,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "asof_click_purchase_bucketed": 6.6,
     "bigram_logprob": 2.0,
     "bloom_prefiltered_join": 2.0,
+    "boilerplate_stats": 2.0,  # r9 late: floor (0.69 MB measured)
     "bm25_index_build": 3.0,
     "bm25_index_postings": 2.0,
     "bm25_rrf_rerank": 2.0,
@@ -111,6 +112,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "kmeans_fit": 6.1,
     "label_centroids": 2.0,
     "lang_id": 2.0,
+    "line_dedup_rewrite": 2.8,  # r9 late: 1.5x the 1.88 MB local measure
     "lateral_topk_orders": 2.0,
     "latest_event_per_user": 2.0,
     "map_user_type_counts": 2.0,

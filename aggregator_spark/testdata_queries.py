@@ -196,12 +196,15 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-9 window (VERDICT r8 item 1 — the enumerated rotation that
 # retires the ageing debt): the §2-parity block first (fresh §2 rows
 # every round), then the two r9 novelties (never driver-checked, so
-# they must sit in the window), then the FULL 31-entry r5-age pool
-# (computed from the CORRECTNESS_r1–r8 union — matches HANDOFF's
-# enumeration exactly), then the alphabetically-first 6 ORACLED r6-age
-# entries as backfill. After this round no entry's newest driver row
-# is older than r6 — i.e. nothing older than ~1/3 of the catalog's
-# rotation period, permanently. Everything displaced stays covered by
+# they must sit in the window), then the r5-age pool (computed from
+# the CORRECTNESS_r1–r8 union — matches HANDOFF's enumeration, minus
+# variant_json_stats whose slot went to a third-wave novelty with its
+# oracle still r9-matched via the identical-oracle materialized twin),
+# then this round's LATE novelties in the former backfill slots (a
+# never-driver-checked entry beats re-rowing an r6 one that rotates
+# next round). After this round no entry's newest driver row is older
+# than r6 except that one twinned entry — nothing older than ~1/3 of
+# the catalog's rotation period. Everything displaced stays covered by
 # the local full sweep (test_entry_oracle runs EVERY oracle at both
 # SFs); displacement only defers driver rows. The r8 window's entries
 # (all 50 green in CORRECTNESS_r08) rotate out.
@@ -257,7 +260,11 @@ DRIVER_WINDOW = [
     "top_tokens",
     "type_entropy",
     "value_histogram",
-    "variant_json_stats",
+    # variant_json_stats yields its r9 slot to the third-wave novelty
+    # boilerplate_stats (below): its oracle is IDENTICAL to
+    # variant_json_stats_materialized's (oracles_analytics8.py:74 —
+    # same SQL object), so the stats themselves still get a fresh r9
+    # hash-match through the twin; the raw entry rotates first in r10
     "variant_json_stats_materialized",
     "weekday_bitmap",
     "window_value_funcs",
@@ -269,10 +276,14 @@ DRIVER_WINDOW = [
     "ngram_novelty",
     "minhash_est_accuracy",
     "corpus_drift_js",
-    # r6-age backfill for the last spare slot (alphabetically-first
-    # ORACLED r6 entry; the rows-only ANN/approx entries carry runtime
-    # accuracy gates in-plan and rotate on their own cadence)
-    "asof_click_purchase",
+    # r9 third-wave novelty takes the final slot (same rule as the
+    # late wave: a NEVER-driver-checked entry beats re-rowing an
+    # r6-age one that rotates into the r10 pool anyway — which
+    # asof_click_purchase, displaced here, does): CCNet-style
+    # line-level boilerplate removal and its per-source observability
+    # twin (the twin's slot freed by variant_json_stats above)
+    "line_dedup_rewrite",
+    "boilerplate_stats",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

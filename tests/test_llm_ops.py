@@ -731,3 +731,78 @@ def test_js_source_drift_identical_and_disjoint(spark):
     # symmetric construction -> identical divergence both sides
     assert rows["a"]["js_div"] == rows["b"]["js_div"]
     assert abs(rows["a"]["js_div"] - expect) < 1e-6
+
+
+def test_line_dedup_rewrite_crafted(spark):
+    """A segment present in >= 3 docs drops from ALL of them (no
+    first-occurrence exception — CCNet removes every copy of a
+    repeated line); df==2 segments survive; an all-boiler doc rebuilds
+    to '' and an empty doc still gets its output row."""
+    from aggregator_spark.operators.dedup import line_dedup_rewrite
+
+    boiler = "b1 b2 b3"
+    rare = "r1 r2 r3"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} u1 u2 u3"),
+            (2, f"{boiler} {rare}"),
+            (3, f"{boiler}"),           # all-boiler: rebuilds to ''
+            (4, f"{rare} u4 u5 u6"),    # rare is df==2: survives
+            (5, ""),                    # empty doc: row still emitted
+        ],
+        "doc_id long, text string",
+    )
+    out = line_dedup_rewrite(docs, seg_len=3, df_threshold=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[1]["clean_text"] == "u1 u2 u3"
+    assert rows[1]["n_segments"] == 2 and rows[1]["n_removed"] == 1
+    assert rows[2]["clean_text"] == rare
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 1
+    assert rows[4]["clean_text"] == f"{rare} u4 u5 u6"
+    assert rows[5]["n_segments"] == 0 and rows[5]["clean_text"] == ""
+
+
+def test_line_dedup_rewrite_by_lines(spark):
+    """Real-corpus mode: segments are newline-split lines, normalized
+    to canonical token form before comparison — 'Accept Cookies!' and
+    'accept  cookies' are the same line; blank lines are not segments;
+    surviving lines rejoin in document order."""
+    from aggregator_spark.operators.dedup import line_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Accept Cookies!\nreal content one\n\nmore text"),
+            (2, "accept  cookies\nreal content two"),
+            (3, "ACCEPT COOKIES\nunique third line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = line_dedup_rewrite(docs, df_threshold=3, by_lines=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["clean_text"] == "real content one more text"
+    assert rows[1]["n_segments"] == 3  # blank line never counted
+    assert rows[1]["n_removed"] == 1
+    assert rows[2]["clean_text"] == "real content two"
+    assert rows[3]["clean_text"] == "unique third line"
+
+
+def test_boilerplate_stats_matches_rewrite(spark, sf_dir):
+    """The stats report and the rewrite must agree on the SAME df
+    definition: total removed segments per the rewrite == total boiler
+    occurrences per the stats, and fractions are consistent."""
+    from aggregator_spark.llm_queries import (
+        q_boilerplate_stats,
+        q_line_dedup_rewrite,
+    )
+
+    stats = q_boilerplate_stats(spark, sf_dir).collect()
+    rewrite = q_line_dedup_rewrite(spark, sf_dir).collect()
+    assert sum(r["n_boiler"] for r in stats) == sum(
+        r["n_removed"] for r in rewrite
+    )
+    assert sum(r["n_segments"] for r in stats) == sum(
+        r["n_segments"] for r in rewrite
+    )
+    for r in stats:
+        assert 0.0 <= r["boiler_frac"] <= 1.0

@@ -133,6 +133,13 @@ EXCHANGE_PINS = {
     "ngram_novelty": (5, 2),
     "minhash_est_accuracy": (15, 5),
     "corpus_drift_js": (4, 3),
+    # r9 line-dedup family: segment df agg (count_distinct two-phase)
+    # + per-doc rebuild; the boiler-set and final doc joins broadcast
+    # at sf0.001 only (threshold-governed — deliberately un-hinted, a
+    # real crawl's boilerplate set is corpus-sized and must degrade to
+    # a shuffle join)
+    "line_dedup_rewrite": (3, 2),
+    "boilerplate_stats": (4, 1),
 }
 
 
