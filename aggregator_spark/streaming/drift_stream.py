@@ -89,9 +89,9 @@ def drift_micro_batch(
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    delta.write.mode("overwrite").parquet(
-        _p(root, "deltas", f"batch_id={batch_id}")
-    )
+    from aggregator_spark.streaming import delta_store
+
+    delta_store.write_delta(delta, root, batch_id)
 
 
 def run_drift_stream(
@@ -133,23 +133,15 @@ def served_counts(spark: SparkSession, root: str) -> DataFrame:
     """The running (source, token, cnt) relation: additive merge of
     every committed batch delta — plus the compacted base generation
     when one exists — performed at read time (idempotent under batch
-    retries by construction)."""
-    parts = []
-    deltas = _p(root, "deltas")
-    if os.path.isdir(deltas) and os.listdir(deltas):
-        # project away the batch_id partition-discovery column so the
-        # delta and base relations union cleanly
-        parts.append(
-            spark.read.parquet(deltas).select("source", "token", "cnt")
-        )
-    if os.path.isdir(_p(root, "base")):
-        parts.append(spark.read.parquet(_p(root, "base")))
-    if not parts:
-        raise FileNotFoundError(f"no drift state under {root}")
-    union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    return union.groupBy("source", "token").agg(
-        F.sum("cnt").alias("cnt")
-    )
+    retries by construction). Store mechanics live in the shared
+    ``streaming/delta_store.py`` (also used by the boilerplate
+    monitor)."""
+    from aggregator_spark.streaming import delta_store
+
+    try:
+        return delta_store.served_counts(spark, root, ("source", "token"))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no drift state under {root}") from None
 
 
 def compact_deltas(spark: SparkSession, root: str) -> None:
@@ -157,21 +149,10 @@ def compact_deltas(spark: SparkSession, root: str) -> None:
     any previous base) into a single summed base generation, then drop
     the delta dirs — the store returns to vocab×sources rows however
     many batches have arrived, and ``served_counts``/``served_drift``
-    read identically before and after (pinned in tests). Written
-    base-first via a temp dir + rename so a crash between steps leaves
-    either the old state (deltas intact) or the new one — never a
-    half-merged store."""
-    import shutil
+    read identically before and after (pinned in tests)."""
+    from aggregator_spark.streaming import delta_store
 
-    merged = served_counts(spark, root)
-    tmp = _p(root, "base_next")
-    merged.write.mode("overwrite").parquet(tmp)
-    base = _p(root, "base")
-    shutil.rmtree(base, ignore_errors=True)
-    os.rename(tmp, base)
-    deltas = _p(root, "deltas")
-    shutil.rmtree(deltas, ignore_errors=True)
-    os.makedirs(deltas, exist_ok=True)
+    delta_store.compact(spark, root, ("source", "token"))
 
 
 def served_drift(spark: SparkSession, root: str) -> DataFrame:
