@@ -32,6 +32,21 @@ def _rows(df):
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
 
+def test_seg_len_lockstep():
+    """The monitor's segment length must match the catalog entry's —
+    a drift here would silently make the served df relation count
+    different segments than the batch rewrite deletes (kept as a pin
+    instead of an import to avoid a streaming→llm_queries module
+    dependency)."""
+    from aggregator_spark.llm_queries import (
+        LINE_DF_THRESHOLD,
+        LINE_SEG_LEN,
+    )
+
+    assert SEG_LEN == LINE_SEG_LEN
+    assert DF_THRESHOLD == LINE_DF_THRESHOLD
+
+
 def _batch_rewrite(spark):
     docs = load_testdata(spark, SF, "documents")
     return line_dedup_rewrite(
