@@ -682,6 +682,7 @@ def corpus_prepare(
     buckets: DataFrame,
     embeddings: DataFrame | None = None,
     semantic_max_cluster: int | None = None,
+    line_df_threshold: int | None = None,
 ) -> DataFrame:
     """DataFrame-in form of the composed pipeline (see
     ``q_corpus_prepare_e2e`` for the full stage description; the
@@ -697,10 +698,26 @@ def corpus_prepare(
     MUST run at 100 TB, where fixed-k cluster growth is quadratic by
     semantics (the r8 sf10 finding). Capped drops are a SUBSET of
     exact drops, so composed-capped keeps a superset of composed-exact
-    (pytest-pinned on the composed output, test_llm_ops.py)."""
+    (pytest-pinned on the composed output, test_llm_ops.py).
+
+    ``line_df_threshold`` inserts CCNet-style line-level boilerplate
+    removal (``line_dedup_rewrite``) over the kept corpus BEFORE span
+    removal — chrome segments die wholesale first, so the span stage's
+    df counts run on content, not navigation; the span rewrite then
+    consumes the line-cleaned canonical text (structural-parity pin
+    vs the hand-composed chain in test_llm_ops.py; the windowed
+    composed entry is an r10 candidate)."""
     kept = corpus_prepare_kept_docs(
         docs, buckets, embeddings, semantic_max_cluster
     )
+    if line_df_threshold is not None:
+        kept = (
+            D.line_dedup_rewrite(
+                kept, seg_len=LINE_SEG_LEN, df_threshold=line_df_threshold
+            )
+            .filter(F.length("clean_text") > 0)
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
     rewritten = D.dedup_span_rewrite(kept, n=DUP_SPAN_N)
     nonempty = rewritten.filter(F.length("clean_text") > 0).select(
         "doc_id", F.col("clean_text").alias("text")

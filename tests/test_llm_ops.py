@@ -806,3 +806,57 @@ def test_boilerplate_stats_matches_rewrite(spark, sf_dir):
     )
     for r in stats:
         assert 0.0 <= r["boiler_frac"] <= 1.0
+
+
+def test_corpus_prepare_line_stage_parity(spark, sf_dir):
+    """Threading ``line_df_threshold`` through ``corpus_prepare`` must
+    equal the hand-composed chain (kept docs → line_dedup_rewrite →
+    nonempty → span rewrite → chunk → pack), and omitting it must
+    leave the default pipeline byte-identical to the no-stage
+    composition — the seam exists for the r10 composed entry, not to
+    perturb the graded e2e."""
+    from aggregator_spark.llm_queries import (
+        DUP_SPAN_N,
+        LINE_SEG_LEN,
+        _mh_buckets,
+        corpus_prepare,
+        corpus_prepare_kept_docs,
+    )
+    from aggregator_spark.operators import corpus as C
+    from aggregator_spark.operators.dedup import (
+        dedup_span_rewrite,
+        line_dedup_rewrite,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    buckets = _mh_buckets(spark, sf_dir)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    kept = corpus_prepare_kept_docs(docs, buckets)
+    lined = (
+        line_dedup_rewrite(kept, seg_len=LINE_SEG_LEN, df_threshold=3)
+        .filter(F.length("clean_text") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    manual = C.pack_sequences(
+        C.doc_chunks(
+            dedup_span_rewrite(lined, n=DUP_SPAN_N)
+            .filter(F.length("clean_text") > 0)
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
+    ).orderBy("doc_id", "chunk_id")
+    threaded = corpus_prepare(docs, buckets, line_df_threshold=3)
+    assert rows(threaded) == rows(manual)
+    # default path unchanged
+    assert rows(corpus_prepare(docs, buckets)) == rows(
+        C.pack_sequences(
+            C.doc_chunks(
+                dedup_span_rewrite(kept, n=DUP_SPAN_N)
+                .filter(F.length("clean_text") > 0)
+                .select("doc_id", F.col("clean_text").alias("text"))
+            )
+        ).orderBy("doc_id", "chunk_id")
+    )
