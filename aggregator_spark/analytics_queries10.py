@@ -379,6 +379,44 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, cached_bpe_index(spark, sf_dir)["dict"])
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit report: per-source BPE fertility (BPE tokens per
+    word — the standard "how well does the vocabulary fit this
+    source" metric) and bytes-per-BPE-token compression, from the
+    already-oracled encode pass (``bpe_encode_docs``) joined back to
+    the corpus for source + raw length. A training team reads this
+    per-source table to decide whether the trained vocabulary
+    under-serves a stratum (fertility ≫ corpus mean ⇒ re-train or
+    re-weight). Two shuffles total: the encode's dictionary join and
+    the |sources|-row aggregate. Returns (source, n_docs, n_words,
+    n_bpe_tokens, fertility, chars_per_token)."""
+    from aggregator_spark.operators.bpe import bpe_encode
+    from aggregator_spark.sources.bpe_index import cached_bpe_index
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, cached_bpe_index(spark, sf_dir)["dict"])
+    return (
+        enc.join(
+            docs.select(
+                "doc_id", "source", F.length("text").alias("len_chars")
+            ),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_words"),
+            F.sum("n_symbols").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("n_symbols") / F.sum("n_tokens"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("len_chars") / F.sum("n_symbols"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
 ANALYTICS10_QUERIES = {
     "clicks_before_purchase": q_clicks_before_purchase,
     "zscore_outliers": q_zscore_outliers,
@@ -393,4 +431,5 @@ ANALYTICS10_QUERIES = {
     "semantic_decontaminate": q_semantic_decontaminate,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_docs": q_bpe_encode_docs,
+    "bpe_fertility": q_bpe_fertility,
 }

@@ -1076,6 +1076,62 @@ def q_curriculum_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_TOP_FRAC = 0.1  # FineWeb-edu-style top-p%-per-source gate
+
+
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile gating (the FineWeb-edu-style
+    "keep the top p% of each source" selection): within each source,
+    docs rank by the heuristic quality score (``text_quality``'s
+    expression — already hash-matched on its own) with doc_id as the
+    total-order tie-break, and ``percent_rank`` marks the top
+    QUALITY_TOP_FRAC for keeping. Per-SOURCE windows only — the same
+    stratum-bounded-ordering scale contract as ``curriculum_bins``;
+    no global sort ever forms. Returns (doc_id, source, quality,
+    pct_rank, keep_top)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.quality_score(F.col("text")),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc_nulls_last(), "doc_id"
+    )
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pr, 6).alias("pct_rank"),
+        (pr <= F.lit(QUALITY_TOP_FRAC)).alias("keep_top"),
+    )
+
+
+def q_corpus_prepare_line_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_prepare_e2e`` with CCNet line-level boilerplate removal
+    composed in between the keep decision and span removal — the stage
+    order a crawl-scale run wants (chrome segments die wholesale
+    FIRST, so the span stage's df counts run on content, not
+    navigation; the span rewrite consumes the line-cleaned text):
+
+      quality gate → fuzzy MinHash-LSH dedup → line-dedup rewrite
+      (``line_dedup_rewrite`` at LINE_DF_THRESHOLD over the KEPT
+      corpus — segment df counted within survivors, exactly what the
+      previous stages left) → span removal → chunk → pack.
+
+    The seam (``corpus_prepare(line_df_threshold=…)``) landed with a
+    structural-parity pin in r9's third wave
+    (test_corpus_prepare_line_stage_parity); this entry is the
+    driver-checkable composition. Returns (doc_id, chunk_id,
+    pack_group, seq_bin, n_tokens)."""
+    return corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+        line_df_threshold=LINE_DF_THRESHOLD,
+    )
+
+
 def q_span_rewrite_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1432,6 +1488,8 @@ LLM_QUERIES = {
     "corpus_keep_list": q_corpus_keep_list,
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
     "corpus_prepare_semantic_e2e": q_corpus_prepare_semantic_e2e,
+    "corpus_prepare_line_e2e": q_corpus_prepare_line_e2e,
+    "quality_percentile": q_quality_percentile,
     "corpus_train_split_e2e": q_corpus_train_split_e2e,
     "corpus_prepare_incremental": q_corpus_prepare_incremental,
     "span_rewrite_incremental": q_span_rewrite_incremental,

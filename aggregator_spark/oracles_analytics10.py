@@ -333,6 +333,23 @@ from aggregator_spark.operators.bpe import BPE_MERGES  # noqa: E402
 ANALYTICS10_ORACLES["bpe_merges"] = _bpe_merges_sql(BPE_MERGES)
 ANALYTICS10_ORACLES["bpe_encode_docs"] = _bpe_encode_sql(BPE_MERGES)
 
+# per-source tokenizer-fit report: the encode fragment reused verbatim,
+# joined back to documents for source + raw char length; MATERIALIZED
+# because the merge-chain CTEs are heavy and DuckDB would inline them
+ANALYTICS10_ORACLES["bpe_fertility"] = f"""
+    WITH enc AS MATERIALIZED ({_bpe_encode_sql(BPE_MERGES)})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_symbols) AS BIGINT) AS n_bpe_tokens,
+           round(SUM(e.n_symbols) / CAST(SUM(e.n_tokens) AS DOUBLE), 6)
+             AS fertility,
+           round(SUM(length(d.text)) / CAST(SUM(e.n_symbols) AS DOUBLE), 6)
+             AS chars_per_token
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""
+
 from aggregator_spark.analytics_queries10 import (  # noqa: E402
     PMI_MIN_COUNT,
     PMI_TOP_K,

@@ -1068,6 +1068,21 @@ LLM_ORACLES["curriculum_bins"] = f"""
     FROM ({_QUALITY}) q JOIN documents d USING (doc_id)
 """
 
+# per-source quality percentile gate: the same text_quality expression,
+# percent_rank over a total order (quality DESC, doc_id) — both engines
+# compute (rank-1)/(n-1) in doubles over identical orderings, so the
+# unrounded keep_top comparison is deterministic
+from aggregator_spark.llm_queries import QUALITY_TOP_FRAC  # noqa: E402
+
+LLM_ORACLES["quality_percentile"] = f"""
+    SELECT q.doc_id, d.source, q.quality,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           (percent_rank() OVER w <= {QUALITY_TOP_FRAC}) AS keep_top
+    FROM ({_QUALITY}) q JOIN documents d USING (doc_id)
+    WINDOW w AS (PARTITION BY d.source
+                 ORDER BY q.quality DESC NULLS LAST, q.doc_id)
+"""
+
 # per-doc 3-gram novelty: corpus gram df computed once; df==1 grams
 # attributed via MIN(doc_id) (the only owner), never joined back to the
 # corpus-wide gram relation — same closed form as the Spark plan

@@ -403,6 +403,89 @@ PIPELINE_ORACLES["span_rewrite_incremental"] = f"""
 """
 
 # ---------------------------------------------------------------------
+# corpus_prepare_line_e2e (llm_queries.q_corpus_prepare_line_e2e): the
+# e2e pipeline with CCNet line-level boilerplate removal composed in
+# between the keep decision and span removal. The line fragment is the
+# SAME SQL object that hash-matches `line_dedup_rewrite` on its own,
+# re-targeted at the fuzzy-kept corpus (fkeptd re-attaches the source
+# column the fragment's segment CTE selects — it never reaches the
+# rewrite output); segment df is counted WITHIN the kept set, exactly
+# like the Spark side (line_dedup_rewrite receives the post-fuzzy
+# corpus). Fully-boilerplate docs drop before the span stage, so their
+# grams never count toward span df — same as the Spark filter.
+_LINE_FKEPT = _retarget(LLM_ORACLES["line_dedup_rewrite"], "fkeptd", 2)
+_SPAN_LINED = _retarget(ANALYTICS10_ORACLES["dedup_span_rewrite"], "lsrc")
+
+PIPELINE_ORACLES["corpus_prepare_line_e2e"] = f"""
+    WITH keepq AS ({LLM_ORACLES["corpus_keep_list"]}),
+    qsurv AS (
+      SELECT d.* FROM documents d JOIN keepq k USING (doc_id)
+      WHERE k.keep),
+    fz AS MATERIALIZED (
+      WITH RECURSIVE {_SH_Q},
+      sigs AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh),
+      buckets AS (
+{_BAND_SELECTS}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id),
+      ver AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS ic,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        WHERE ic > 0
+          AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+              >= {JACCARD_THRESHOLD}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        UNION
+        SELECT doc_b, doc_a FROM ver),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT q.doc_id FROM qsurv q LEFT JOIN comp c ON q.doc_id = c.node
+      WHERE q.doc_id = COALESCE(c.component, q.doc_id)),
+    fkeptd AS MATERIALIZED (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN fz USING (doc_id)),
+    lined AS MATERIALIZED (
+      {_LINE_FKEPT}),
+    lsrc AS (
+      SELECT doc_id, clean_text AS text FROM lined
+      WHERE clean_text <> ''),
+    rewritten AS (
+      SELECT doc_id, clean_text FROM ({_SPAN_LINED})),
+    src2 AS (
+      SELECT doc_id, clean_text AS text FROM rewritten
+      WHERE clean_text <> ''),
+    packed AS (
+      WITH {_CHUNKS_RW}
+      SELECT doc_id, chunk_id,
+             CAST(doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group,
+             n_tokens
+      FROM chunks)
+    SELECT doc_id, chunk_id, pack_group,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin,
+           n_tokens
+    FROM packed
+"""
+
+# ---------------------------------------------------------------------
 # corpus_prepare_semantic_e2e (llm_queries.q_corpus_prepare_semantic_e2e):
 # the e2e pipeline with the CAPACITY-BOUNDED SemDeDup stage composed in
 # after fuzzy dedup. The semantic fragment is the SAME parametrized SQL

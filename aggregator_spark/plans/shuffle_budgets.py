@@ -49,6 +49,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "bpe_dict_build": 2.0,
     "bpe_dict_states": 2.0,
     "bpe_encode_docs": 12.3,
+    "bpe_fertility": 2.0,  # r9 fourth wave: floor (0.11 MB measured)
     "bpe_merges": 2.0,
     "calendar_funcs": 2.0,
     "clean_text": 2.0,
@@ -60,6 +61,9 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "corpus_keep_list": 11.8,
     "corpus_prepare_e2e": 45.6,
     "corpus_prepare_incremental": 12.0,
+    # r9 fourth wave: 1.5x the 36.3 MB local measure (the e2e's 30.4 MB
+    # plus the line stage's segment-df + rebuild shuffles)
+    "corpus_prepare_line_e2e": 54.5,
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,
     "corpus_train_split_e2e": 45.6,
@@ -135,6 +139,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "pmi_collocations": 2.0,
     "prepared_probes": 2.0,
     "profile_events": 2.0,
+    "quality_percentile": 2.0,  # r9 fourth wave: floor (0.04 MB measured)
     "rank_analytics": 2.0,
     "regr_value_by_type": 2.0,
     "repaired_user_dim": 2.0,

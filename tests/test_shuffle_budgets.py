@@ -140,6 +140,12 @@ EXCHANGE_PINS = {
     # a shuffle join)
     "line_dedup_rewrite": (3, 2),
     "boilerplate_stats": (4, 1),
+    # r9 fourth wave. quality_percentile: ONE per-source window (no
+    # global sort — the stratum-bounded ordering contract).
+    # bpe_fertility: the encode's dictionary join (broadcast at
+    # sf0.001, threshold-governed) + doc join + |sources|-row agg.
+    "quality_percentile": (1, 0),
+    "bpe_fertility": (2, 2),
 }
 
 
