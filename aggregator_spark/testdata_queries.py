@@ -259,15 +259,17 @@ DRIVER_WINDOW = [
     "textrank_keywords",
     "top_tokens",
     "type_entropy",
-    "value_histogram",
     # variant_json_stats yields its r9 slot to the third-wave novelty
     # boilerplate_stats (below): its oracle is IDENTICAL to
     # variant_json_stats_materialized's (oracles_analytics8.py:74 —
     # same SQL object), so the stats themselves still get a fresh r9
     # hash-match through the twin; the raw entry rotates first in r10
     "variant_json_stats_materialized",
-    "weekday_bitmap",
-    "window_value_funcs",
+    # weekday_bitmap / window_value_funcs / value_histogram (the
+    # alphabetically-last pool entries, per the stated tie-break) yield
+    # their slots to the fourth-wave novelties below — a NEVER-checked
+    # entry beats re-rowing an r5 one; all three displaced entries
+    # rotate first in r10 and stay covered by the local full sweep
     # round-9 LATE novelties (this round's second build wave): per-doc
     # n-gram novelty scoring, MinHash estimator-vs-exact calibration on
     # the banded candidates, per-source Jensen-Shannon drift — each
@@ -284,6 +286,12 @@ DRIVER_WINDOW = [
     # twin (the twin's slot freed by variant_json_stats above)
     "line_dedup_rewrite",
     "boilerplate_stats",
+    # r9 FOURTH-wave novelties (never driver-checked): the per-source
+    # quality percentile gate, the tokenizer-fit report, and the
+    # composed pipeline with the line-dedup stage
+    "quality_percentile",
+    "bpe_fertility",
+    "corpus_prepare_line_e2e",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
