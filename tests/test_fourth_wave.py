@@ -1,0 +1,79 @@
+"""Property pins for the round-9 fourth-wave entries (the hash-match
+against the oracle proves value equality; these pin the SEMANTIC
+contracts a refactor could silently break while still matching a
+co-refactored oracle)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_quality_percentile_top_frac_contract(spark, sf_dir):
+    """Per source: pct_rank is (rank-1)/(n-1) over a total order, so
+    exactly 1 + floor(p*(n-1)) docs are kept, every kept doc's quality
+    is >= every dropped doc's quality (DESC ordering), and pct_rank
+    spans [0, 1]."""
+    from aggregator_spark.llm_queries import (
+        QUALITY_TOP_FRAC,
+        q_quality_percentile,
+    )
+
+    rows = q_quality_percentile(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        n = len(rs)
+        kept = [r for r in rs if r["keep_top"]]
+        want = 1 + math.floor(QUALITY_TOP_FRAC * (n - 1)) if n > 1 else 1
+        assert len(kept) == want, (src, n, len(kept), want)
+        ranks = sorted(r["pct_rank"] for r in rs)
+        assert ranks[0] == 0.0 and ranks[-1] == 1.0
+        dropped = [r for r in rs if not r["keep_top"]]
+        if kept and dropped:
+            assert min(r["quality"] for r in kept) >= max(
+                r["quality"] for r in dropped
+            ), src
+
+
+def test_bpe_fertility_bounds_and_consistency(spark, sf_dir):
+    """Fertility >= 1 (every word encodes to at least one symbol) and
+    the per-source sums must equal aggregating the already-oracled
+    encode pass directly — the report is a pure rollup, never a
+    re-tokenization."""
+    from aggregator_spark.analytics_queries10 import (
+        q_bpe_encode_docs,
+        q_bpe_fertility,
+    )
+    from aggregator_spark.schemas import load_testdata
+
+    fert = {r["source"]: r for r in q_bpe_fertility(spark, sf_dir).collect()}
+    assert fert
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    manual = {
+        r["source"]: r
+        for r in q_bpe_encode_docs(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("w"),
+            F.sum("n_symbols").alias("s"),
+            F.count(F.lit(1)).alias("d"),
+        )
+        .collect()
+    }
+    assert set(fert) == set(manual)
+    for src, r in fert.items():
+        m = manual[src]
+        assert (r["n_words"], r["n_bpe_tokens"], r["n_docs"]) == (
+            m["w"],
+            m["s"],
+            m["d"],
+        )
+        assert r["fertility"] >= 1.0, (src, r["fertility"])
+        assert r["chars_per_token"] > 0.0
