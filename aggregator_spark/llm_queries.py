@@ -1108,6 +1108,42 @@ def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QP_ID_BUCKET = 64  # id-range rows per task in the bucketed twin: small
+# enough that BOTH driver SFs exercise multi-bucket carry-in (sf0.01's
+# tie-groups span several 64-id ranges), same reasoning as
+# SEMDEDUP_CAP_E2E — production would run the operator default (100k)
+
+
+def q_quality_percentile_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``quality_percentile``'s scale-path twin (the zscore/asof
+    `_bucketed` family pattern): at crawl scale a "source" is billions
+    of docs, so the plain per-source window is one task per source —
+    here ranks come from (source, quality, doc_id-range) bounded
+    partitions plus carry-in counts off the bucket summary
+    (operators/rankdist.py:percent_rank_bucketed), bit-identical to
+    the plain window (integer rank equality ⇒ identical doubles;
+    pinned vs the plain form in tests/test_fourth_wave.py). Same
+    output columns, same oracle SQL."""
+    from aggregator_spark.operators.rankdist import percent_rank_bucketed
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", X.quality_score(F.col("text"))
+    )
+    pr = percent_rank_bucketed(
+        scored, "source", "quality", "doc_id", id_bucket=QP_ID_BUCKET
+    )
+    return pr.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round("pct_rank", 6).alias("pct_rank"),
+        (F.col("pct_rank") <= F.lit(QUALITY_TOP_FRAC)).alias("keep_top"),
+    )
+
+
 def q_corpus_prepare_line_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``corpus_prepare_e2e`` with CCNet line-level boilerplate removal
     composed in between the keep decision and span removal — the stage
@@ -1490,6 +1526,7 @@ LLM_QUERIES = {
     "corpus_prepare_semantic_e2e": q_corpus_prepare_semantic_e2e,
     "corpus_prepare_line_e2e": q_corpus_prepare_line_e2e,
     "quality_percentile": q_quality_percentile,
+    "quality_percentile_bucketed": q_quality_percentile_bucketed,
     "corpus_train_split_e2e": q_corpus_train_split_e2e,
     "corpus_prepare_incremental": q_corpus_prepare_incremental,
     "span_rewrite_incremental": q_span_rewrite_incremental,

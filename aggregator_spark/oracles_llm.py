@@ -1083,6 +1083,13 @@ LLM_ORACLES["quality_percentile"] = f"""
                  ORDER BY q.quality DESC NULLS LAST, q.doc_id)
 """
 
+# the bucketed twin computes the SAME doubles (integer rank equality),
+# so it shares the oracle SQL OBJECT — the variant_json_stats twin
+# precedent
+LLM_ORACLES["quality_percentile_bucketed"] = LLM_ORACLES[
+    "quality_percentile"
+]
+
 # per-doc 3-gram novelty: corpus gram df computed once; df==1 grams
 # attributed via MIN(doc_id) (the only owner), never joined back to the
 # corpus-wide gram relation — same closed form as the Spark plan

@@ -140,6 +140,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "prepared_probes": 2.0,
     "profile_events": 2.0,
     "quality_percentile": 2.0,  # r9 fourth wave: floor (0.04 MB measured)
+    "quality_percentile_bucketed": 2.0,  # floor (0.17 MB measured)
     "rank_analytics": 2.0,
     "regr_value_by_type": 2.0,
     "repaired_user_dim": 2.0,

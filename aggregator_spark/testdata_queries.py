@@ -258,7 +258,8 @@ DRIVER_WINDOW = [
     "stats_by_type",
     "textrank_keywords",
     "top_tokens",
-    "type_entropy",
+    # type_entropy joins the displaced tie-break set (see below): its
+    # slot goes to the bucketed percentile scale twin
     # variant_json_stats yields its r9 slot to the third-wave novelty
     # boilerplate_stats (below): its oracle is IDENTICAL to
     # variant_json_stats_materialized's (oracles_analytics8.py:74 —
@@ -290,6 +291,7 @@ DRIVER_WINDOW = [
     # quality percentile gate, the tokenizer-fit report, and the
     # composed pipeline with the line-dedup stage
     "quality_percentile",
+    "quality_percentile_bucketed",
     "bpe_fertility",
     "corpus_prepare_line_e2e",
 ]

@@ -39,6 +39,60 @@ def test_quality_percentile_top_frac_contract(spark, sf_dir):
             ), src
 
 
+def test_quality_percentile_bucketed_bit_parity(spark, sf_dir):
+    """The bucketed twin must equal the plain window BIT-FOR-BIT, with
+    a bucket small enough that carry-in is exercised across many
+    (source, quality, id-range) partitions."""
+    from aggregator_spark.llm_queries import (
+        QUALITY_TOP_FRAC,
+        q_quality_percentile,
+    )
+    from aggregator_spark.operators.rankdist import percent_rank_bucketed
+    from aggregator_spark.operators.text import quality_score
+    from aggregator_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "source", quality_score(F.col("text")))
+    bucketed = percent_rank_bucketed(
+        scored, "source", "quality", "doc_id", id_bucket=7
+    ).select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round("pct_rank", 6).alias("pct_rank"),
+        (F.col("pct_rank") <= F.lit(QUALITY_TOP_FRAC)).alias("keep_top"),
+    )
+    plain = {r["doc_id"]: r for r in q_quality_percentile(spark, sf_dir).collect()}
+    got = {r["doc_id"]: r for r in bucketed.collect()}
+    assert set(plain) == set(got)
+    for k in plain:
+        assert tuple(plain[k]) == tuple(got[k]), (k, plain[k], got[k])
+
+
+def test_percent_rank_bucketed_null_scores_and_singletons(spark):
+    """NULL scores rank LAST as one tie-group (never dropped) and a
+    single-row group gets pct_rank 0.0 — the two edge contracts a
+    null-unsafe join or a (n-1) division would silently break."""
+    from aggregator_spark.operators.rankdist import percent_rank_bucketed
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 0.9),
+            ("a", 2, None),
+            ("a", 3, 0.9),
+            ("a", 4, 0.1),
+            ("a", 5, None),
+            ("b", 6, 0.5),
+        ],
+        "g string, id long, s double",
+    )
+    rows = {
+        r["id"]: r["pct_rank"]
+        for r in percent_rank_bucketed(df, "g", "s", "id", id_bucket=2).collect()
+    }
+    assert rows == {1: 0.0, 3: 0.25, 4: 0.5, 2: 0.75, 5: 1.0, 6: 0.0}
+
+
 def test_bpe_fertility_bounds_and_consistency(spark, sf_dir):
     """Fertility >= 1 (every word encodes to at least one symbol) and
     the per-source sums must equal aggregating the already-oracled

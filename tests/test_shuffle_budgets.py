@@ -146,6 +146,11 @@ EXCHANGE_PINS = {
     # sf0.001, threshold-governed) + doc join + |sources|-row agg.
     "quality_percentile": (1, 0),
     "bpe_fertility": (2, 2),
+    # bucketed twin: local-rank + summary-carry shuffles plus the
+    # rank⋈carry join (broadcast at sf0.001 — threshold-governed, the
+    # carry table is summary-sized and must degrade to a shuffle join
+    # when tie-groups × buckets outgrow it)
+    "quality_percentile_bucketed": (3, 1),
 }
 
 
