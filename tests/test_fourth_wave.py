@@ -93,6 +93,63 @@ def test_percent_rank_bucketed_null_scores_and_singletons(spark):
     assert rows == {1: 0.0, 3: 0.25, 4: 0.5, 2: 0.75, 5: 1.0, 6: 0.0}
 
 
+def test_ntile_bucketed_bit_parity_with_curriculum_bins(spark, sf_dir):
+    """The bucketed NTILE must reproduce the graded curriculum binning
+    bit-for-bit (same per-stratum quartiles from bounded partitions)."""
+    from aggregator_spark.llm_queries import (
+        CURRICULUM_BINS,
+        q_curriculum_bins,
+    )
+    from aggregator_spark.operators.rankdist import ntile_bucketed
+    from aggregator_spark.operators.text import quality_score
+    from aggregator_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("source").alias("stratum"),
+        quality_score(F.col("text")),
+    )
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in ntile_bucketed(
+            scored, "stratum", "quality", "doc_id", CURRICULUM_BINS,
+            id_bucket=7,
+        ).collect()
+    }
+    plain = {
+        r["doc_id"]: tuple(r) for r in q_curriculum_bins(spark, sf_dir).collect()
+    }
+    assert got == plain
+
+
+def test_ntile_bucketed_edges_match_plain_window(spark):
+    """NULL scores, a group smaller than the tile count, and an exact
+    multiple — bucketed NTILE must equal Spark's own ntile() in all
+    three regimes."""
+    from pyspark.sql import Window
+
+    from aggregator_spark.operators.rankdist import ntile_bucketed
+
+    rows = [("a", i, float(v) if v is not None else None)
+            for i, v in enumerate([9, 7, 7, 7, 5, None, 3, 2, 1, None, 8])]
+    rows += [("b", 100 + i, float(i)) for i in range(2)]   # n < k
+    rows += [("c", 200 + i, float(i % 3)) for i in range(8)]  # n % k == 0
+    df = spark.createDataFrame(rows, "g string, id long, s double")
+    w = Window.partitionBy("g").orderBy(
+        F.col("s").desc_nulls_last(), "id"
+    )
+    plain = {
+        r["id"]: r["bin"]
+        for r in df.select("id", F.ntile(4).over(w).alias("bin")).collect()
+    }
+    got = {
+        r["id"]: r["bin"]
+        for r in ntile_bucketed(df, "g", "s", "id", 4, id_bucket=3).collect()
+    }
+    assert got == plain
+
+
 def test_bpe_fertility_bounds_and_consistency(spark, sf_dir):
     """Fertility >= 1 (every word encodes to at least one symbol) and
     the per-source sums must equal aggregating the already-oracled
