@@ -81,6 +81,44 @@ def _rank0_bucketed(
     return joined.select(*df.columns, rank0, "__n")
 
 
+def topk_per_group(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[Column],
+    k: int,
+    salt_col: Column,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k rows per group under ``ORDER BY order_cols`` (must
+    be a total order within a group), with bounded task input — the
+    two-phase pattern: the global top-k is a subset of the union of
+    per-salt-partition top-ks for ANY row partitioning, so phase 1
+    takes a local top-k within (group, salt) and phase 2 ranks only
+    the buckets×k survivors per group. Returns the winning rows plus
+    ``rk`` (1-based rank within the group).
+
+    Use where a plain ``row_number() OVER (PARTITION BY group)``
+    window would drag a crawl-scale group onto one task just to label
+    its first k rows (the eval-split quota shape). ``salt_col`` should
+    be a deterministic function of a unique row id (determinism is for
+    reproducible EXPLAIN/metrics only — the result is salt-invariant
+    by construction)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(salt_col, F.lit(int(salt_buckets)))
+    )
+    w1 = Window.partitionBy(part_col, "__salt").orderBy(*order_cols)
+    local = (
+        salted.withColumn("__lrn", F.row_number().over(w1))
+        .filter(F.col("__lrn") <= k)
+    )
+    w2 = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        local.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(*df.columns, "rk")
+    )
+
+
 def percent_rank_bucketed(
     df: DataFrame,
     part_col: str,
