@@ -127,19 +127,30 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window ranking: top-3 most active users per event type
-    (row_number with total tiebreak)."""
+    """Window ranking: top-3 most active users per event type (total
+    tiebreak). Unlike the other event_type windows in this catalog
+    (which run over day-grained aggregates), the per-user count
+    relation scales with the USER POPULATION, so a plain
+    ``row_number() OVER (PARTITION BY event_type)`` would drag a
+    type's every user onto one task at crawl scale — this runs the
+    two-phase exact top-k instead (operators/rankdist.py:
+    topk_per_group: global top-k ⊆ union of per-salt local top-ks,
+    phase 2 ranks only buckets×k survivors), bit-identical to the
+    window form by construction and pinned by the unchanged oracle."""
+    from aggregator_spark.operators.rankdist import topk_per_group
+
     events = load_testdata(spark, sf_dir, "events")
     counts = events.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("cnt").desc(), F.col("user_id")
-    )
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("event_type", "user_id", "cnt", "rank")
+    return topk_per_group(
+        counts,
+        "event_type",
+        [F.col("cnt").desc(), F.col("user_id")],
+        3,
+        salt_col=F.xxhash64("user_id"),
+    ).select(
+        "event_type", "user_id", "cnt", F.col("rk").alias("rank")
     )
 
 
