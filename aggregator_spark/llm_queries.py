@@ -1252,16 +1252,32 @@ def q_corpus_train_split_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "selected"
         ),
     )
-    w = Window.partitionBy("stratum").orderBy(_md5_of_id(), "doc_id")
-    rn = F.row_number().over(w)
+    # quota carve-out via the two-phase exact top-k (rankdist; the
+    # r9 fourth-wave hazard audit): only the first VAL+TEST selected
+    # docs per stratum need a rank — the plain per-stratum window
+    # would drag every selected doc of a crawl-scale stratum onto one
+    # task to label the other 99.99% 'train'
+    from aggregator_spark.operators.rankdist import topk_per_group
+
+    chosen = sel.filter("selected")
+    top = topk_per_group(
+        chosen.select("doc_id", "stratum"),
+        "stratum",
+        [_md5_of_id(), F.col("doc_id")],
+        SPLIT_VAL_N + SPLIT_TEST_N,
+        salt_col=F.xxhash64("doc_id"),
+    ).select(
+        "doc_id",
+        F.when(F.col("rk") <= SPLIT_VAL_N, "val")
+        .otherwise("test")
+        .alias("__heldout"),
+    )
     picked = (
-        sel.filter("selected")
+        chosen.select("doc_id")
+        .join(top, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(rn <= SPLIT_VAL_N, "val")
-            .when(rn <= SPLIT_VAL_N + SPLIT_TEST_N, "test")
-            .otherwise("train")
-            .alias("split"),
+            F.coalesce("__heldout", F.lit("train")).alias("split"),
         )
     )
     return sel.join(picked, "doc_id", "left").select(
@@ -1277,20 +1293,39 @@ def q_eval_split_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate-based sampling (``stratified_sample``), the held-out sets
     have exactly the requested size per stratum — the eval-split
     contract a benchmark needs — and re-runs/engines agree bit-for-bit
-    (same md5 ordering everywhere). One window per stratum, corpus
-    shuffled once on the stratum key; no RNG state."""
+    (same md5 ordering everywhere). Since the r9 fourth wave the rank
+    comes from the two-phase exact top-k (operators/rankdist.py:
+    topk_per_group) instead of a per-stratum window: only the first
+    VAL+TEST docs per stratum need a rank, and the plain window would
+    drag a crawl-scale stratum onto ONE task to label the rest
+    'train' — the two-phase form is bit-identical by construction
+    (pinned in tests/test_fourth_wave.py) and the oracle is
+    unchanged. No RNG state."""
     docs = load_testdata(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.partitionBy("source").orderBy(h, "doc_id")
-    rn = F.row_number().over(w)
-    return docs.select(
+    from aggregator_spark.operators.rankdist import topk_per_group
+
+    base = docs.select("doc_id", F.col("source").alias("stratum"))
+    top = topk_per_group(
+        base,
+        "stratum",
+        [_md5_of_id(), F.col("doc_id")],
+        SPLIT_VAL_N + SPLIT_TEST_N,
+        salt_col=F.xxhash64("doc_id"),
+    ).select(
         "doc_id",
-        F.col("source").alias("stratum"),
-        F.when(rn <= SPLIT_VAL_N, "val")
-        .when(rn <= SPLIT_VAL_N + SPLIT_TEST_N, "test")
-        .otherwise("train")
-        .alias("split"),
-    ).orderBy("doc_id")
+        F.when(F.col("rk") <= SPLIT_VAL_N, "val")
+        .otherwise("test")
+        .alias("__heldout"),
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "stratum",
+            F.coalesce("__heldout", F.lit("train")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 WATERFILL_BUDGET_FRAC = 0.5

@@ -151,47 +151,35 @@ def test_ntile_bucketed_edges_match_plain_window(spark):
 
 
 def test_topk_per_group_reproduces_eval_split_quota(spark, sf_dir):
-    """The two-phase top-k (bounded tasks) must reproduce the graded
-    eval-split assignment bit-for-bit: rank the buckets×k survivors
-    only, label everything else train via the join-back."""
+    """The graded ``eval_split_quota`` (which RUNS the two-phase top-k
+    since the fourth wave) must equal the plain per-stratum window
+    form built here from scratch — the independent expected value, so
+    the pin cannot become tautological."""
+    from pyspark.sql import Window
+
     from aggregator_spark.llm_queries import (
         SPLIT_TEST_N,
         SPLIT_VAL_N,
         q_eval_split_quota,
     )
-    from aggregator_spark.operators.rankdist import topk_per_group
     from aggregator_spark.schemas import load_testdata
 
     docs = load_testdata(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    base = docs.select(
-        "doc_id", F.col("source").alias("stratum"), h.alias("__h")
-    )
-    k = SPLIT_VAL_N + SPLIT_TEST_N
-    top = topk_per_group(
-        base,
-        "stratum",
-        [F.col("__h"), F.col("doc_id")],
-        k,
-        salt_col=F.xxhash64("doc_id"),
-        salt_buckets=5,
-    ).select(
-        "doc_id",
-        F.when(F.col("rk") <= SPLIT_VAL_N, "val")
-        .otherwise("test")
-        .alias("__split"),
-    )
-    got = {
-        (r["doc_id"], r["stratum"], r["split"])
-        for r in base.join(top, "doc_id", "left")
-        .select(
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    rn = F.row_number().over(w)
+    plain = {
+        tuple(r)
+        for r in docs.select(
             "doc_id",
-            "stratum",
-            F.coalesce("__split", F.lit("train")).alias("split"),
-        )
-        .collect()
+            F.col("source").alias("stratum"),
+            F.when(rn <= SPLIT_VAL_N, "val")
+            .when(rn <= SPLIT_VAL_N + SPLIT_TEST_N, "test")
+            .otherwise("train")
+            .alias("split"),
+        ).collect()
     }
-    plain = {tuple(r) for r in q_eval_split_quota(spark, sf_dir).collect()}
+    got = {tuple(r) for r in q_eval_split_quota(spark, sf_dir).collect()}
     assert got == plain
 
 

@@ -110,7 +110,11 @@ EXCHANGE_PINS = {
     "doc_chunks": (1, 0),         # scatter only, no agg shuffle
     "pack_sequences": (2, 0),
     "mix_waterfill": (2, 0),      # corpus -> strata agg -> windows
-    "eval_split_quota": (2, 0),
+    # r9 fourth wave: quota carve-out moved off the per-stratum window
+    # onto the two-phase exact top-k — +1 exchange (the salted local
+    # phase) +1 broadcast (the buckets×k winner set joins back small;
+    # threshold-governed, degrades to a shuffle join if k explodes)
+    "eval_split_quota": (3, 1),
     # index-artifact serves: pure scans of the persisted parquet —
     # ZERO exchanges is the whole point of the ingest/serve split
     "bm25_index_postings": (0, 0),
