@@ -976,25 +976,25 @@ def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs rank by the heuristic quality score (``text_quality``'s
     expression, ties broken by doc_id) and NTILE into
     CURRICULUM_BINS quartiles — bin 1 = highest-quality quarter, the
-    stage a run trains on first. Per-STRATUM windows, never a global
-    sort (the ``eval_split_quota`` precedent: stratum-bounded ordering
-    is the exactness/scale trade, and strata are the natural
-    curriculum unit anyway). Returns (doc_id, stratum, quality, bin)."""
+    stage a run trains on first. Since the r9 fourth wave the NTILE
+    comes from the bounded-rank core (operators/rankdist.py:
+    ntile_bucketed) instead of a per-stratum window: a stratum is a
+    whole source, so the plain window was one task per source at
+    crawl scale — the bucketed form is bit-identical (pinned vs an
+    in-test plain window, tests/test_fourth_wave.py) and the oracle
+    is unchanged. Returns (doc_id, stratum, quality, bin)."""
+    from aggregator_spark.operators.rankdist import ntile_bucketed
+
     docs = load_testdata(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         F.col("source").alias("stratum"),
         X.quality_score(F.col("text")).alias("quality"),
     )
-    w = Window.partitionBy("stratum").orderBy(
-        F.col("quality").desc_nulls_last(), "doc_id"
-    )
-    return scored.select(
-        "doc_id",
-        "stratum",
-        "quality",
-        F.ntile(CURRICULUM_BINS).over(w).alias("bin"),
-    )
+    return ntile_bucketed(
+        scored, "stratum", "quality", "doc_id", CURRICULUM_BINS,
+        id_bucket=QP_ID_BUCKET,
+    ).select("doc_id", "stratum", "quality", "bin")
 
 
 def q_curriculum_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,8 +94,13 @@ def test_percent_rank_bucketed_null_scores_and_singletons(spark):
 
 
 def test_ntile_bucketed_bit_parity_with_curriculum_bins(spark, sf_dir):
-    """The bucketed NTILE must reproduce the graded curriculum binning
-    bit-for-bit (same per-stratum quartiles from bounded partitions)."""
+    """The graded curriculum binning (which RUNS ntile_bucketed since
+    the fourth wave) must equal the plain per-stratum NTILE window
+    built here from scratch — the independent expected value, so the
+    pin cannot become tautological. A second bucketing (id_bucket=7,
+    forcing many carry partitions) must agree too."""
+    from pyspark.sql import Window
+
     from aggregator_spark.llm_queries import (
         CURRICULUM_BINS,
         q_curriculum_bins,
@@ -110,17 +115,31 @@ def test_ntile_bucketed_bit_parity_with_curriculum_bins(spark, sf_dir):
         F.col("source").alias("stratum"),
         quality_score(F.col("text")),
     )
-    got = {
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("quality").desc_nulls_last(), "doc_id"
+    )
+    plain = {
+        r["doc_id"]: tuple(r)
+        for r in scored.select(
+            "doc_id",
+            "stratum",
+            "quality",
+            F.ntile(CURRICULUM_BINS).over(w).alias("bin"),
+        ).collect()
+    }
+    graded = {
+        r["doc_id"]: tuple(r)
+        for r in q_curriculum_bins(spark, sf_dir).collect()
+    }
+    rebucketed = {
         r["doc_id"]: tuple(r)
         for r in ntile_bucketed(
             scored, "stratum", "quality", "doc_id", CURRICULUM_BINS,
             id_bucket=7,
         ).collect()
     }
-    plain = {
-        r["doc_id"]: tuple(r) for r in q_curriculum_bins(spark, sf_dir).collect()
-    }
-    assert got == plain
+    assert graded == plain
+    assert rebucketed == plain
 
 
 def test_ntile_bucketed_edges_match_plain_window(spark):

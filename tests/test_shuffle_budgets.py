@@ -125,7 +125,10 @@ EXCHANGE_PINS = {
     # the cross-corpus span rewrite's 5 broadcasts are the probe
     # DIRECTION contract (batch gram set out, hit set back — the
     # archive index must never shuffle)
-    "curriculum_bins": (1, 0),
+    # r9 fourth wave: NTILE moved off the per-stratum window onto the
+    # bounded-rank core — +local-rank/summary exchanges + the carry
+    # broadcast (summary-sized; threshold-governed)
+    "curriculum_bins": (3, 1),
     "span_rewrite_incremental": (5, 5),
     # r9 late novelties. ngram_novelty: gram-df agg + per-doc residue
     # joins (the corpus-wide gram relation is never joined back).
