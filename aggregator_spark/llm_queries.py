@@ -627,6 +627,7 @@ def corpus_prepare_kept_docs(
     buckets: DataFrame,
     embeddings: DataFrame | None = None,
     semantic_max_cluster: int | None = None,
+    keep_ids: DataFrame | None = None,
 ) -> DataFrame:
     """The KEEP decision layers of the composed pipeline — quality
     gate → fuzzy dedup → optional SEMANTIC dedup — returning the
@@ -645,13 +646,17 @@ def corpus_prepare_kept_docs(
     The fuzzy-kept id list is localCheckpoint'ed before the semantic
     stage: ``semantic_dedup`` scans its input ≥3× (centroid agg,
     assignment, drop-join) and each scan would otherwise re-run the
-    whole gate+LSH+CC sub-plan."""
-    keep_ids = (
-        corpus_keep_flags(docs)
-        .filter("keep")
-        .select("doc_id")
-        .localCheckpoint(eager=True)
-    )
+    whole gate+LSH+CC sub-plan.
+
+    ``keep_ids`` swaps the quality-gate stage for an externally
+    computed (doc_id) keep relation — the seam that lets a run gate
+    by the per-source quality PERCENTILE (FineWeb-style top-p%)
+    instead of the absolute keep-list conjunction, with every
+    downstream stage untouched (None keeps the default gate
+    byte-identical)."""
+    if keep_ids is None:
+        keep_ids = corpus_keep_flags(docs).filter("keep").select("doc_id")
+    keep_ids = keep_ids.localCheckpoint(eager=True)
     survivors = docs.join(keep_ids, "doc_id")
     fuzzy = D.minhash_dedup_keep(
         survivors,
@@ -683,6 +688,7 @@ def corpus_prepare(
     embeddings: DataFrame | None = None,
     semantic_max_cluster: int | None = None,
     line_df_threshold: int | None = None,
+    keep_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame-in form of the composed pipeline (see
     ``q_corpus_prepare_e2e`` for the full stage description; the
@@ -708,7 +714,7 @@ def corpus_prepare(
     vs the hand-composed chain in test_llm_ops.py; the windowed
     composed entry is an r10 candidate)."""
     kept = corpus_prepare_kept_docs(
-        docs, buckets, embeddings, semantic_max_cluster
+        docs, buckets, embeddings, semantic_max_cluster, keep_ids
     )
     if line_df_threshold is not None:
         kept = (
@@ -1168,6 +1174,29 @@ def q_corpus_prepare_line_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prepare_topp_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_prepare_e2e`` with the quality gate swapped for the
+    per-source PERCENTILE gate (FineWeb-style: keep each source's top
+    QUALITY_TOP_FRAC by the heuristic score) — the other production
+    gating regime, where selection pressure is relative per stratum
+    instead of an absolute conjunction; every downstream stage (fuzzy
+    dedup → span removal → chunk → pack) is byte-identical to the
+    base pipeline via the ``keep_ids`` seam. Runs the BUCKETED
+    percentile form (the scale path — bit-identical to the plain
+    window, so the oracle uses the plain SQL). Returns (doc_id,
+    chunk_id, pack_group, seq_bin, n_tokens)."""
+    gate_ids = (
+        q_quality_percentile_bucketed(spark, sf_dir)
+        .filter("keep_top")
+        .select("doc_id")
+    )
+    return corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+        keep_ids=gate_ids,
+    )
+
+
 def q_span_rewrite_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1560,6 +1589,7 @@ LLM_QUERIES = {
     "corpus_prepare_e2e": q_corpus_prepare_e2e,
     "corpus_prepare_semantic_e2e": q_corpus_prepare_semantic_e2e,
     "corpus_prepare_line_e2e": q_corpus_prepare_line_e2e,
+    "corpus_prepare_topp_e2e": q_corpus_prepare_topp_e2e,
     "quality_percentile": q_quality_percentile,
     "quality_percentile_bucketed": q_quality_percentile_bucketed,
     "corpus_train_split_e2e": q_corpus_train_split_e2e,

@@ -64,6 +64,10 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     # r9 fourth wave: 1.5x the 36.3 MB local measure (the e2e's 30.4 MB
     # plus the line stage's segment-df + rebuild shuffles)
     "corpus_prepare_line_e2e": 54.5,
+    # r9 fourth wave: 1.5x the 4.15 MB measure — the top-10% gate
+    # shrinks the kept corpus, so every downstream stage shuffles less
+    # than the base e2e
+    "corpus_prepare_topp_e2e": 6.2,
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,
     "corpus_train_split_e2e": 45.6,

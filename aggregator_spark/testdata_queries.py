@@ -257,9 +257,9 @@ DRIVER_WINDOW = [
     "snapshot_diff",
     "stats_by_type",
     "textrank_keywords",
-    "top_tokens",
-    # type_entropy joins the displaced tie-break set (see below): its
-    # slot goes to the bucketed percentile scale twin
+    # top_tokens and type_entropy join the displaced tie-break set
+    # (see below): their slots go to the bucketed percentile scale
+    # twin and the top-p-gated composed pipeline
     # variant_json_stats yields its r9 slot to the third-wave novelty
     # boilerplate_stats (below): its oracle is IDENTICAL to
     # variant_json_stats_materialized's (oracles_analytics8.py:74 —
@@ -294,6 +294,7 @@ DRIVER_WINDOW = [
     "quality_percentile_bucketed",
     "bpe_fertility",
     "corpus_prepare_line_e2e",
+    "corpus_prepare_topp_e2e",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

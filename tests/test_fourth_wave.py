@@ -202,6 +202,37 @@ def test_topk_per_group_reproduces_eval_split_quota(spark, sf_dir):
     assert got == plain
 
 
+def test_corpus_prepare_keep_ids_seam_identity(spark, sf_dir):
+    """Passing the DEFAULT gate's ids through the new ``keep_ids``
+    seam must be byte-identical to not passing it — the seam exists
+    to swap gates, never to perturb the graded default pipeline."""
+    from aggregator_spark.llm_queries import (
+        _mh_buckets,
+        corpus_keep_flags,
+        corpus_prepare,
+    )
+    from aggregator_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    buckets = _mh_buckets(spark, sf_dir)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    default = rows(corpus_prepare(docs, buckets))
+    explicit = rows(
+        corpus_prepare(
+            docs,
+            buckets,
+            keep_ids=corpus_keep_flags(docs)
+            .filter("keep")
+            .select("doc_id"),
+        )
+    )
+    assert default == explicit
+
+
 def test_bpe_fertility_bounds_and_consistency(spark, sf_dir):
     """Fertility >= 1 (every word encodes to at least one symbol) and
     the per-source sums must equal aggregating the already-oracled
