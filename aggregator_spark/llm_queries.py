@@ -1503,6 +1503,64 @@ def q_minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps-law vocabulary growth: total and half-corpus
+    (doc_id parity split — deterministic, engine-agnostic) token and
+    vocabulary counts, plus the implied Heaps exponent
+    β = ln(V/V_half) / ln(N/N_half). A tokenizer/corpus report: β far
+    from the corpus norm flags a source whose vocabulary scales
+    abnormally (boilerplate-heavy → sub-norm; noise/IDs → super-norm).
+    One corpus scan, two shuffles: the (source, token) aggregate
+    carries both the full and half counts (map-side partial), the
+    |sources|-row rollup derives everything else. Same tokenizer as
+    ``corpus_drift_js``. Returns (source, n_tokens, vocab,
+    n_tokens_half, vocab_half, heaps_beta)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    )
+    st = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)
+        ).alias("cnt_half"),
+    )
+    agg = st.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("cnt_half").cast("long").alias("n_tokens_half"),
+        F.sum((F.col("cnt_half") > 0).cast("long"))
+        .cast("long")
+        .alias("vocab_half"),
+    )
+    # degenerate half-split (a tiny source whose doc_ids are all odd,
+    # seen at sf0.001) ⇒ β undefined, NULL on both engines
+    beta = F.when(
+        (F.col("vocab_half") > 0)
+        & (F.col("n_tokens_half") > 0)
+        & (F.col("n_tokens") != F.col("n_tokens_half")),
+        F.round(
+            F.log(F.col("vocab").cast("double") / F.col("vocab_half"))
+            / F.log(
+                F.col("n_tokens").cast("double") / F.col("n_tokens_half")
+            ),
+            6,
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "n_tokens_half",
+        "vocab_half",
+        beta.alias("heaps_beta"),
+    )
+
+
 def q_corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift: Jensen–Shannon divergence between
     each source's unigram distribution P and the whole-corpus
@@ -1577,6 +1635,7 @@ LLM_QUERIES = {
     "ngram_novelty": q_ngram_novelty,
     "minhash_est_accuracy": q_minhash_est_accuracy,
     "corpus_drift_js": q_corpus_drift_js,
+    "vocab_growth": q_vocab_growth,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_capped": q_semantic_dedup_capped,
     "dedup_fuzzy_keep": q_dedup_fuzzy_keep,

@@ -1191,6 +1191,38 @@ LLM_ORACLES["corpus_drift_js"] = r"""
 """
 
 
+# per-source Heaps-law vocabulary growth: full vs doc-parity-half
+# token/vocab counts and the implied exponent; same tokenizer as
+# corpus_drift_js, ln on identical doubles both engines (the drift
+# precedent), rounded to 6
+LLM_ORACLES["vocab_growth"] = r"""
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    st AS (
+      SELECT source, token, COUNT(*) AS cnt,
+             SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_half
+      FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT source,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(cnt_half) AS BIGINT) AS n_tokens_half,
+             CAST(SUM(CASE WHEN cnt_half > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_half
+      FROM st GROUP BY source)
+    SELECT source, n_tokens, vocab, n_tokens_half, vocab_half,
+           CASE WHEN vocab_half > 0 AND n_tokens_half > 0
+                     AND n_tokens <> n_tokens_half
+                THEN round(ln(CAST(vocab AS DOUBLE) / vocab_half)
+                           / ln(CAST(n_tokens AS DOUBLE) / n_tokens_half),
+                           6)
+           END AS heaps_beta
+    FROM agg
+"""
+
+
 # line-level boilerplate dedup (CCNet §4.1): a SEGMENT (12 consecutive
 # word tokens — the synthetic corpus's stand-in for a line) occurring
 # in >= 3 distinct documents is boilerplate; ALL occurrences drop (no

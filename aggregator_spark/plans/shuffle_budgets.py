@@ -208,6 +208,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "variant_json_stats": 2.0,
     "variant_json_stats_materialized": 2.0,
     "video_frames": 2.0,
+    "vocab_growth": 2.0,  # r9 fourth wave: floor (0.02 MB measured)
     "vocab_edit_pairs": 2.0,
     "weekday_bitmap": 2.0,
     "window_value_funcs": 2.0,

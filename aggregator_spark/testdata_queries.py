@@ -256,7 +256,8 @@ DRIVER_WINDOW = [
     "scd2_merge",
     "snapshot_diff",
     "stats_by_type",
-    "textrank_keywords",
+    # textrank_keywords joins the displaced tie-break set: its slot
+    # goes to the Heaps-law vocab-growth report
     # top_tokens and type_entropy join the displaced tie-break set
     # (see below): their slots go to the bucketed percentile scale
     # twin and the top-p-gated composed pipeline
@@ -295,6 +296,7 @@ DRIVER_WINDOW = [
     "bpe_fertility",
     "corpus_prepare_line_e2e",
     "corpus_prepare_topp_e2e",
+    "vocab_growth",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
