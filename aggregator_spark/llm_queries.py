@@ -1522,7 +1522,10 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.split(F.trim(F.lower(F.col("text"))), r"\s+")
         ).alias("token"),
-    )
+    ).filter(F.col("token") != "")
+    # the split of an empty/whitespace-only doc yields one '' token;
+    # dropping it keeps n_tokens and the vocabulary (hence the Heaps-β
+    # inputs) honest for sources with blank docs (ADVICE r9)
     st = toks.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(

@@ -1196,10 +1196,11 @@ LLM_ORACLES["corpus_drift_js"] = r"""
 # corpus_drift_js, ln on identical doubles both engines (the drift
 # precedent), rounded to 6
 LLM_ORACLES["vocab_growth"] = r"""
-    WITH tok AS (
+    WITH tok0 AS (
       SELECT source, doc_id,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
       FROM documents),
+    tok AS (SELECT * FROM tok0 WHERE token <> ''),
     st AS (
       SELECT source, token, COUNT(*) AS cnt,
              SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_half

@@ -271,3 +271,116 @@ def test_bpe_fertility_bounds_and_consistency(spark, sf_dir):
         )
         assert r["fertility"] >= 1.0, (src, r["fertility"])
         assert r["chars_per_token"] > 0.0
+
+
+def test_percent_rank_two_level_carry_continuous_scores(spark):
+    """ADVICE r9 medium: with near-unique CONTINUOUS scores the
+    single-level carry degenerates to one task per group; the
+    two-level form (score_coarse quantizer) must stay bit-identical
+    to the plain window in exactly that regime — near-unique doubles,
+    duplicates straddling coarse-bucket boundaries, NULLs, and a
+    quantizer coarse enough that many scores share a cell."""
+    import random
+
+    from pyspark.sql import Window
+
+    from aggregator_spark.operators.rankdist import (
+        ntile_bucketed,
+        percent_rank_bucketed,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    i = 0
+    for g in ("a", "b"):
+        for _ in range(400):
+            rows.append((g, i, round(rng.random(), 9)))
+            i += 1
+        # exact duplicates that share a coarse cell AND ones at a cell
+        # boundary (floor(s*16) edges), plus NULLs
+        rows += [(g, i, 0.5), (g, i + 1, 0.5), (g, i + 2, 0.0625),
+                 (g, i + 3, 0.0625), (g, i + 4, None), (g, i + 5, None)]
+        i += 6
+    df = spark.createDataFrame(rows, "g string, id long, s double")
+    coarse = lambda c: F.floor(c * 16)  # noqa: E731
+
+    w = Window.partitionBy("g").orderBy(F.col("s").desc_nulls_last(), "id")
+    plain_pct = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", F.percent_rank().over(w).alias("p")
+        ).collect()
+    }
+    got_pct = {
+        r["id"]: r["pct_rank"]
+        for r in percent_rank_bucketed(
+            df, "g", "s", "id", id_bucket=37, score_coarse=coarse
+        ).collect()
+    }
+    assert got_pct == plain_pct
+
+    plain_bin = {
+        r["id"]: r["b"]
+        for r in df.select("id", F.ntile(7).over(w).alias("b")).collect()
+    }
+    got_bin = {
+        r["id"]: r["bin"]
+        for r in ntile_bucketed(
+            df, "g", "s", "id", 7, id_bucket=37, score_coarse=coarse
+        ).collect()
+    }
+    assert got_bin == plain_bin
+
+
+def test_percent_rank_bucketed_null_group_key(spark):
+    """ADVICE r9 low: rows with a NULL group key must rank within
+    their own (NULL) partition exactly like the plain window — a
+    non-null-safe join on part_col silently dropped them."""
+    from pyspark.sql import Window
+
+    from aggregator_spark.operators.rankdist import percent_rank_bucketed
+
+    df = spark.createDataFrame(
+        [(None, 1, 0.9), (None, 2, 0.3), (None, 3, 0.9), (None, 4, None),
+         ("a", 5, 0.7), ("a", 6, 0.1)],
+        "g string, id long, s double",
+    )
+    w = Window.partitionBy("g").orderBy(F.col("s").desc_nulls_last(), "id")
+    plain = {
+        r["id"]: r["p"]
+        for r in df.select("id", F.percent_rank().over(w).alias("p")).collect()
+    }
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percent_rank_bucketed(df, "g", "s", "id", id_bucket=2).collect()
+    }
+    assert got == plain  # 4 NULL-group rows present, not dropped
+    assert len(got) == 6
+
+
+def test_rankdist_reserved_name_guard(spark):
+    """ADVICE r9 low: an input already carrying an internal/output
+    name (re-ranking a ranked frame) must fail loudly, not select the
+    wrong column."""
+    import pytest
+
+    from aggregator_spark.operators.rankdist import (
+        ntile_bucketed,
+        percent_rank_bucketed,
+        topk_per_group,
+    )
+
+    base = spark.createDataFrame([("a", 1, 0.5)], "g string, id long, s double")
+    ranked = percent_rank_bucketed(base, "g", "s", "id")
+    with pytest.raises(ValueError, match="pct_rank"):
+        percent_rank_bucketed(ranked, "g", "s", "id")
+    with pytest.raises(ValueError, match="__rn"):
+        percent_rank_bucketed(base.withColumn("__rn", F.lit(1)), "g", "s", "id")
+    with pytest.raises(ValueError, match="bin"):
+        ntile_bucketed(
+            base.withColumn("bin", F.lit(1)), "g", "s", "id", 4
+        )
+    with pytest.raises(ValueError, match="rk"):
+        topk_per_group(
+            base.withColumn("rk", F.lit(1)), "g", [F.col("s")], 1, F.col("id")
+        )
