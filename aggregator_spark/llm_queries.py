@@ -454,6 +454,53 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_fuzzy_keep_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-candidate fuzzy dedup (operators/dedup.py:
+    fuzzy_dedup_keep_union): verified MinHash-LSH edges UNION SimHash
+    near-dup edges (complementary recall — the production
+    configuration), connected components over the union, min-id
+    survivor. The union keep-list is pinned a subset of each
+    single-family keep-list (tests/test_llm_ops.py)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    return D.fuzzy_dedup_keep_union(
+        docs,
+        threshold=JACCARD_THRESHOLD,
+        buckets=_mh_buckets(spark, sf_dir),
+    ).orderBy("doc_id")
+
+
+def q_contamination_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE contamination report: the table that decides whether
+    to drop a source vs filter its documents. Rolls the per-doc
+    benchmark-decontamination flags (`decontaminate_docs` — broadcast
+    probe join, corpus text never shuffles) up by source: docs,
+    contaminated docs, contamination rate, total distinct probe-gram
+    hits. Pure reuse of the oracled fragment + a |sources|-row
+    aggregate over a doc_id-keyed join."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    flags = X.contamination_flags(docs, benchmark_probes(docs), n=DECONTAM_N)
+    return (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(F.col("contaminated").cast("long"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination_rate"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted corpus mixing by source char mass
     (operators/corpus.py:temperature_mix) — alpha<1 flattens the mix
@@ -1629,6 +1676,8 @@ LLM_QUERIES = {
     "simhash64": q_simhash,
     "simhash_near_dup": q_simhash_near_dup,
     "dedup_keep_best": q_dedup_keep_best,
+    "dedup_fuzzy_keep_union": q_dedup_fuzzy_keep_union,
+    "contamination_by_source": q_contamination_by_source,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,

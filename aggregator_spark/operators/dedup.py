@@ -557,6 +557,66 @@ def minhash_dedup_keep(
     )
 
 
+def fuzzy_dedup_keep_union(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    buckets: DataFrame | None = None,
+) -> DataFrame:
+    """``minhash_dedup_keep`` with the candidate-edge set widened to
+    the UNION of the two banded families — the production dedup
+    configuration, since the recalls are complementary: MinHash-LSH
+    (shingle-set Jaccard) catches block-level copies whose token sets
+    overlap, SimHash (Manku banding + exact Hamming) catches
+    small-edit near-dups whose shingle Jaccard already collapsed.
+
+    Edges = verified-Jaccard(LSH candidates, >= threshold)
+          UNION simhash pairs (Hamming <= max_hamming),
+    then the same connected components / min-id survivor as the
+    single-family keeps. Because both single-family edge sets are
+    subsets of the union, every union component is a union of
+    single-family components, so the union keep-list is a SUBSET of
+    each single-family keep-list (pytest-pinned) — widening recall can
+    only merge clusters, never resurrect a dropped doc.
+
+    Scale shape: both candidate generators are equi-shuffle banded
+    joins (never all-pairs), verification touches candidate rows only,
+    SimHash pairs arrive already verified (JVM bit_count), and the
+    union is a set-union of two pair relations orders smaller than the
+    corpus. Same eager-checkpoint discipline as minhash_dedup_keep:
+    the LSH candidate table feeds three plan sides."""
+    from aggregator_spark.operators.components import (
+        _persistent_ids,
+        _unpersist_ids,
+        dedup_clusters,
+    )
+
+    spark = docs.sparkSession
+    before = _persistent_ids(spark)
+    cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, buckets)
+    cand = cand.localCheckpoint(eager=True)
+    tmp_ids = _persistent_ids(spark) - before
+    jac_edges = verified_jaccard_pairs(
+        docs, cand, id_col, text_col, n, threshold
+    ).select("doc_a", "doc_b")
+    sim_edges = simhash_near_dup(docs, id_col, text_col, max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    edges = jac_edges.union(sim_edges).distinct()
+    comp = dedup_clusters(docs, edges, id_col)
+    _unpersist_ids(spark, tmp_ids)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 def lsh_candidate_pairs_incremental(
     docs: DataFrame,
     new_ids: DataFrame,

@@ -717,6 +717,72 @@ LLM_ORACLES["dedup_keep_best"] = f"""
     FROM comp c JOIN g ON g.doc_id = c.doc_id
 """
 
+# union-candidate fuzzy dedup: the SAME verified-Jaccard edges as
+# dedup_fuzzy_keep UNION the simhash_near_dup pairs (both fragments'
+# CTE bodies reused), then the SAME recursive transitive closure. The
+# simhash oracle embeds as a materialized subquery (its own WITH is
+# nested scope; materialized because the closure references edges
+# multiply — the DuckDB CTE-inlining trap).
+LLM_ORACLES["dedup_fuzzy_keep_union"] = f"""
+    WITH RECURSIVE {_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+         {_MH_COLS}
+      FROM sh),
+    buckets AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    ver AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS ic,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b)
+      WHERE ic > 0
+        AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+            >= {JACCARD_THRESHOLD}),
+    sim AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({LLM_ORACLES["simhash_near_dup"]})),
+    uni AS (
+      SELECT doc_a, doc_b FROM ver
+      UNION
+      SELECT doc_a, doc_b FROM sim),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM uni
+      UNION
+      SELECT doc_b, doc_a FROM uni),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+           (d.doc_id = COALESCE(c.component, d.doc_id)) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+# per-source contamination report: the decontaminate_docs oracle reused
+# verbatim as a subquery, rolled up by source
+LLM_ORACLES["contamination_by_source"] = f"""
+    WITH flags AS MATERIALIZED ({LLM_ORACLES["decontaminate_docs"]})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(CAST(SUM(CASE WHEN f.contaminated THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS contamination_rate,
+           CAST(SUM(f.n_hits) AS BIGINT) AS n_hits
+    FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+    GROUP BY d.source
+"""
+
 # cluster-size histogram over the SAME fuzzy-dedup components — the
 # fuzzy-keep oracle reused verbatim as a subquery, then two GROUP BYs
 LLM_ORACLES["dedup_cluster_sizes"] = f"""

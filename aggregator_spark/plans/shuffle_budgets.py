@@ -80,6 +80,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "curriculum_bins": 2.0,
     "daily_counts": 2.0,
     "daily_type_jaccard": 3.1,
+    "contamination_by_source": 2.0,  # r10: floor (0.01 MB measured)
     "decontaminate_docs": 2.0,
     "dedup_batch_sign": 2.0,
     "dedup_bucket_index": 2.0,
@@ -230,7 +231,13 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
 # (measured sums 6.9–10.8 MB vs caps ~16 MB; a regression lands >21).
 BUDGET_GROUPS: list[tuple[tuple[str, ...], float]] = [
     (("dedup_incremental", "dedup_incremental_serve"), 16.7),
-    (("dedup_fuzzy_keep", "dedup_keep_best"), 16.2),
+    # r10: the union keep shares the eagerly-materialized LSH candidate
+    # + component sub-plans with the pair, so it joins the group; cap =
+    # 1.5 x (10.8 pair full-cost sum + 10.3 union standalone measure)
+    (
+        ("dedup_fuzzy_keep", "dedup_keep_best", "dedup_fuzzy_keep_union"),
+        31.7,
+    ),
 ]
 
 

@@ -193,21 +193,21 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (dict insertion order), so the window is an explicit, tested artifact
 # rotated per round to convert local green into driver CORRECTNESS rows.
-# Round-9 window (VERDICT r8 item 1 — the enumerated rotation that
-# retires the ageing debt): the §2-parity block first (fresh §2 rows
-# every round), then the two r9 novelties (never driver-checked, so
-# they must sit in the window), then the r5-age pool (computed from
-# the CORRECTNESS_r1–r8 union — matches HANDOFF's enumeration, minus
-# variant_json_stats whose slot went to a third-wave novelty with its
-# oracle still r9-matched via the identical-oracle materialized twin),
-# then this round's LATE novelties in the former backfill slots (a
-# never-driver-checked entry beats re-rowing an r6 one that rotates
-# next round). After this round no entry's newest driver row is older
-# than r6 except that one twinned entry — nothing older than ~1/3 of
-# the catalog's rotation period. Everything displaced stays covered by
-# the local full sweep (test_entry_oracle runs EVERY oracle at both
-# SFs); displacement only defers driver rows. The r8 window's entries
-# (all 50 green in CORRECTNESS_r08) rotate out.
+# Round-10 window (VERDICT r9 item 1): the §2-parity block first (fresh
+# §2 rows every round), then this round's novelties (never
+# driver-checked, so they MUST sit in the window — pytest-enforced),
+# then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
+# rotation left: displaced by r9 novelties under the stated tie-break),
+# then the alphabetically-FIRST 30 of the 39-entry r6-age pool. The 9
+# r6 entries dropped to r11 are the alphabetically-last pool entries
+# per the same tie-break (sessionize, temperature_mix,
+# tpch_q18_big_orders, tpch_q3, tumbling_hourly, user_type_arrays,
+# video_frames, zscore_outliers, zscore_outliers_bucketed) — the pool
+# is one round deep, nothing ages past r6+anything older than 4 rounds
+# (the derived age-ledger pin in tests/test_driver_window.py). Every
+# displaced entry stays covered by the local full sweep
+# (test_entry_oracle runs EVERY oracle at both SFs); displacement only
+# defers driver rows.
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline) — stays
     # first every round so each §2 operator always has a fresh row
@@ -222,88 +222,59 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # round-9 NEW entries: the composed pipeline running the
-    # capacity-bounded SemDeDup stage (VERDICT r8 item 6), the
-    # curriculum/pack ablation report (item 7), SimHash near-dup pairs
-    # (Manku banding + exact Hamming — completes the SimHash family),
-    # and quality-aware fuzzy-dedup survivor selection
-    "corpus_prepare_semantic_e2e",
-    "curriculum_ablation",
-    "simhash_near_dup",
-    "dedup_keep_best",
-    # r9 rotation (VERDICT r8 item 1): the ENTIRE r5-age pool — their
-    # latest driver row predates four rounds of code motion
-    "daily_type_jaccard",
-    "decontaminate_docs",
-    "dedup_exact",
-    "deterministic_sample",
-    "dod_change",
-    "embedding_near_dup",
-    "full_outer_reconcile",
-    "funnel_stages",
-    "gap_fill_daily",
-    "geomean_value",
-    "hll_monthly_users",
-    "interval_overlap_join",
-    "json_struct",
-    "lateral_topk_orders",
-    "map_user_type_counts",
-    "media_features",
-    "mode_event_type",
-    "rank_analytics",
-    "repetition_metrics",
-    "rolling_7d_avg",
-    "scd2_merge",
-    "snapshot_diff",
-    "stats_by_type",
-    # textrank_keywords joins the displaced tie-break set: its slot
-    # goes to the Heaps-law vocab-growth report
-    # top_tokens and type_entropy join the displaced tie-break set
-    # (see below): their slots go to the bucketed percentile scale
-    # twin and the top-p-gated composed pipeline
-    # variant_json_stats yields its r9 slot to the third-wave novelty
-    # boilerplate_stats (below): its oracle is IDENTICAL to
-    # variant_json_stats_materialized's (oracles_analytics8.py:74 —
-    # same SQL object), so the stats themselves still get a fresh r9
-    # hash-match through the twin; the raw entry rotates first in r10
-    "variant_json_stats_materialized",
-    # weekday_bitmap / window_value_funcs / value_histogram (the
-    # alphabetically-last pool entries, per the stated tie-break) yield
-    # their slots to the fourth-wave novelties below — a NEVER-checked
-    # entry beats re-rowing an r5 one; all three displaced entries
-    # rotate first in r10 and stay covered by the local full sweep
-    # round-9 LATE novelties (this round's second build wave): per-doc
-    # n-gram novelty scoring, MinHash estimator-vs-exact calibration on
-    # the banded candidates, per-source Jensen-Shannon drift — each
-    # hash-matched its oracle at sf0.001+sf0.01 first try; a fresh
-    # driver row beats re-rowing an r6 entry that rotates next round
-    "ngram_novelty",
-    "minhash_est_accuracy",
-    "corpus_drift_js",
-    # r9 third-wave novelty takes the final slot (same rule as the
-    # late wave: a NEVER-driver-checked entry beats re-rowing an
-    # r6-age one that rotates into the r10 pool anyway — which
-    # asof_click_purchase, displaced here, does): CCNet-style
-    # line-level boilerplate removal and its per-source observability
-    # twin (the twin's slot freed by variant_json_stats above)
-    "line_dedup_rewrite",
-    "boilerplate_stats",
-    # r9 FOURTH-wave novelties (never driver-checked): the per-source
-    # quality percentile gate, the tokenizer-fit report, and the
-    # composed pipeline with the line-dedup stage
-    "quality_percentile",
-    "quality_percentile_bucketed",
-    "bpe_fertility",
-    "corpus_prepare_line_e2e",
-    "corpus_prepare_topp_e2e",
-    "vocab_growth",
+    # round-10 NEW entries: union-candidate fuzzy dedup (verified LSH
+    # edges UNION SimHash edges — VERDICT r9 item 4) and the per-source
+    # contamination report (item 6)
+    "dedup_fuzzy_keep_union",
+    "contamination_by_source",
+    # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
+    "textrank_keywords",
+    "top_tokens",
+    "type_entropy",
+    "value_histogram",
+    "variant_json_stats",
+    "weekday_bitmap",
+    "window_value_funcs",
+    # the alphabetically-first 30 of the r6-age pool (the rows-only
+    # ANN/approx entries take their periodic rows-only row here)
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "approx_distinct_daily",
+    "approx_quantiles_daily",
+    "asof_click_purchase",
+    "asof_click_purchase_bucketed",
+    "bigram_logprob",
+    "bm25_search",
+    "bpe_encode_docs",
+    "bpe_merges",
+    "clicks_before_purchase",
+    "cms_user_counts",
+    "corpus_keep_list",
+    "dedup_fuzzy_keep",
+    "dedup_incremental",
+    "dedup_span_rewrite",
+    "dq_report",
+    "dsir_weights",
+    "dup_span_stats",
+    "embedding_normalize",
+    "embedding_quantize",
+    "heavy_bigrams",
+    "latest_event_per_user",
+    "ngram_containment_pairs",
+    "pmi_collocations",
+    "profile_events",
+    "regr_value_by_type",
+    "semantic_decontaminate",
+    "semantic_dedup",
+    "session_window_native",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
 # oracle can reproduce them): approximate ANN routing, HLL-estimate
 # counts. Since r6 these carry runtime accuracy gates in the plan
-# itself (operators/accuracy.py). hll_monthly_users is back in the
-# window this round as part of the r5-age rotation.
+# itself (operators/accuracy.py). The four ANN/approx entries are in
+# the r10 window via the r6-age rotation; hll_monthly_users took its
+# periodic row in r9.
 DRIVER_WINDOW_ROWS_ONLY = {
     "ann_topk_lsh",
     "ann_topk_ivf",

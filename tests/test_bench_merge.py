@@ -84,3 +84,34 @@ def test_canary_verdict_degenerate_inputs():
     # zero/missing start keys are skipped, empty set is never contended
     ratios, contended = canary_verdict({"a": 0.0, "b": 1.0}, {"a": 5.0}, 1.15)
     assert ratios == {} and not contended
+
+
+def test_degraded_regime_guard():
+    """A degraded-regime full run must NOT replace a clean payload of
+    record (it gets its own section); it MAY replace an already-slow
+    or empty payload, and force overrules everything (VERDICT r9
+    item 3)."""
+    from bench import degraded_regime_section
+
+    clean_old = {"queries": {"q": 1.0}, "run_conditions": {}}
+    slow_old = {
+        "queries": {"q": 1.0},
+        "run_conditions": {"slower_than_prior_run": True},
+    }
+    slow_rc = {"slower_than_prior_run": True}
+    cont_rc = {"contended": True}
+    clean_rc: dict = {}
+
+    # slow/contended run vs clean record -> side section
+    assert degraded_regime_section(slow_rc, clean_old, False) == \
+        "slow_regime_last"
+    assert degraded_regime_section(cont_rc, clean_old, False) == \
+        "slow_regime_last"
+    # clean run always writes the main payload
+    assert degraded_regime_section(clean_rc, clean_old, False) is None
+    # a slow run may replace an already-slow record (strictly better
+    # than keeping the older slow one) or an empty/missing payload
+    assert degraded_regime_section(slow_rc, slow_old, False) is None
+    assert degraded_regime_section(slow_rc, {}, False) is None
+    # force overrules
+    assert degraded_regime_section(slow_rc, clean_old, True) is None

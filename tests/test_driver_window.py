@@ -66,3 +66,40 @@ def test_window_covers_every_never_checked_entry():
     assert outside == set(), (
         f"catalog entries that would still have no driver row: {outside}"
     )
+
+
+def latest_round_by_entry() -> tuple[dict[str, int], int]:
+    """(entry -> newest recorded CORRECTNESS round, current round).
+    The current round is max recorded + 1 — the round whose window is
+    being planned. DERIVED from the files so a HANDOFF summary can
+    never mis-state the ledger again (VERDICT r9 item 1)."""
+    latest: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        max_round = max(max_round, rnd)
+        with open(path) as f:
+            for k in json.load(f):
+                latest[k] = max(latest.get(k, 0), rnd)
+    return latest, max_round + 1
+
+
+def test_age_ledger_after_this_rotation():
+    """After this round's window lands, no catalog entry's newest
+    driver row may be older than current_round - 4 (the rotation
+    period the r9/r10 plans commit to): entries in the window get a
+    current-round row; everything else keeps its recorded latest."""
+    import __spark_entry__ as m
+
+    latest, cur = latest_round_by_entry()
+    for name in set(m.queries()):
+        latest.setdefault(name, 0)
+    for name in DRIVER_WINDOW:
+        latest[name] = cur
+    too_old = sorted(
+        (name, rnd) for name, rnd in latest.items() if rnd < cur - 4
+    )
+    assert too_old == [], (
+        f"entries whose newest driver row would predate r{cur - 4}: "
+        f"{too_old} — rotate them into the window first"
+    )

@@ -860,3 +860,53 @@ def test_corpus_prepare_line_stage_parity(spark, sf_dir):
             )
         ).orderBy("doc_id", "chunk_id")
     )
+
+
+def test_fuzzy_keep_union_subset_of_single_family_keeps(spark, sf_dir):
+    """Union-candidate dedup can only MERGE clusters (its edge set is a
+    superset of each family's), so its keep-list must be a subset of
+    BOTH the LSH-only and the SimHash-only keep-lists, its component
+    count <= each, and every doc must still be labeled exactly once."""
+    from aggregator_spark.llm_queries import JACCARD_THRESHOLD, _mh_buckets
+    from aggregator_spark.operators.components import dedup_clusters
+    from aggregator_spark.operators.dedup import (
+        fuzzy_dedup_keep_union,
+        minhash_dedup_keep,
+        simhash_near_dup,
+    )
+    from aggregator_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    buckets = _mh_buckets(spark, sf_dir)
+    union = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in fuzzy_dedup_keep_union(
+            docs, threshold=JACCARD_THRESHOLD, buckets=buckets
+        ).collect()
+    }
+    lsh = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in minhash_dedup_keep(
+            docs, threshold=JACCARD_THRESHOLD, buckets=buckets
+        ).collect()
+    }
+    sim_edges = simhash_near_dup(docs).select("doc_a", "doc_b")
+    simhash = {
+        r["doc_id"]: r["component"]
+        for r in dedup_clusters(docs, sim_edges).collect()
+    }
+
+    n_docs = docs.count()
+    assert len(union) == len(lsh) == len(simhash) == n_docs
+
+    union_keep = {d for d, (_, k) in union.items() if k}
+    lsh_keep = {d for d, (_, k) in lsh.items() if k}
+    sim_keep = {d for d, c in simhash.items() if d == c}
+    assert union_keep <= lsh_keep
+    assert union_keep <= sim_keep
+    assert len(set(c for c, _ in union.values())) <= min(
+        len(set(c for c, _ in lsh.values())), len(set(simhash.values()))
+    )
+    # non-vacuous: both families contribute real merges at this SF
+    assert len(lsh_keep) < n_docs
+    assert len(sim_keep) < n_docs

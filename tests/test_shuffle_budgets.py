@@ -158,6 +158,13 @@ EXCHANGE_PINS = {
     # carry table is summary-sized and must degrade to a shuffle join
     # when tie-groups × buckets outgrow it)
     "quality_percentile_bucketed": (3, 1),
+    # r10. union keep: the LSH-candidate and component-label sub-plans
+    # are checkpointed out (same as dedup_keep_best); what remains is
+    # the verified-Jaccard SMJ residue + simhash edge union + final
+    # label join. contamination_by_source: the decontaminate fragment
+    # (probe broadcast out / flags back) + doc join + |sources|-row agg.
+    "dedup_fuzzy_keep_union": (3, 0),
+    "contamination_by_source": (5, 3),
 }
 
 
