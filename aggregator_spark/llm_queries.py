@@ -469,6 +469,43 @@ def q_dedup_fuzzy_keep_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_family_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-family overlap report — the evidence table behind the
+    union configuration (`dedup_fuzzy_keep_union`): how many verified
+    near-dup pairs each family finds, how many they agree on, and how
+    many each contributes alone. A large `*_only` count on either side
+    is the quantitative case for running both families; ~zero means
+    one family subsumes the other at this corpus's duplication
+    profile. One full-outer join of two pair relations orders smaller
+    than the corpus, then a single global rollup (1 row)."""
+    docs = load_testdata(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(docs, buckets=_mh_buckets(spark, sf_dir))
+    jac = D.verified_jaccard_pairs(
+        docs, cand.localCheckpoint(eager=True), threshold=JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_jac"))
+    sim = D.simhash_near_dup(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sim")
+    )
+    both = jac.join(sim, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.count("in_jac").cast("long").alias("n_jaccard"),
+        F.count("in_sim").cast("long").alias("n_simhash"),
+        F.sum(
+            (F.col("in_jac").isNotNull() & F.col("in_sim").isNotNull())
+            .cast("long")
+        ).cast("long").alias("n_both"),
+        F.sum(
+            (F.col("in_jac").isNotNull() & F.col("in_sim").isNull())
+            .cast("long")
+        ).cast("long").alias("n_jaccard_only"),
+        F.sum(
+            (F.col("in_jac").isNull() & F.col("in_sim").isNotNull())
+            .cast("long")
+        ).cast("long").alias("n_simhash_only"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    )
+
+
 def q_contamination_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1197,6 +1234,48 @@ def q_quality_percentile_bucketed(
     )
 
 
+CQ_COARSE = 8  # two-level-carry quantization cells per score unit
+
+
+def q_quality_percentile_continuous(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-source percentile gate in the FineWeb-edu FLAGSHIP
+    regime: a CONTINUOUS classifier score (here chars-per-token —
+    near-unique doubles, the tie-density profile where the discrete
+    twin's single-level carry would degenerate to one task per
+    source). Runs `percent_rank_bucketed` with the two-level carry
+    (score_coarse = floor(score × {CQ_COARSE}) — the coarse rollup is
+    |cells|-per-source sized and the fine window is bounded by score
+    density within one cell; ADVICE r9 medium). Bit-identical to the
+    plain window (pinned in tests/test_fourth_wave.py); the oracle IS
+    the plain window. Returns (doc_id, source, cscore, pct_rank,
+    keep_top)."""
+    from aggregator_spark.operators.rankdist import percent_rank_bucketed
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        X.avg_token_len(F.col("text")).alias("cscore"),
+    )
+    pr = percent_rank_bucketed(
+        scored,
+        "source",
+        "cscore",
+        "doc_id",
+        id_bucket=QP_ID_BUCKET,
+        score_coarse=lambda c: F.floor(c * CQ_COARSE),
+    )
+    return pr.select(
+        "doc_id",
+        "source",
+        F.round("cscore", 6).alias("cscore"),
+        F.round("pct_rank", 6).alias("pct_rank"),
+        (F.col("pct_rank") <= F.lit(QUALITY_TOP_FRAC)).alias("keep_top"),
+    )
+
+
 def q_corpus_prepare_line_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``corpus_prepare_e2e`` with CCNet line-level boilerplate removal
     composed in between the keep decision and span removal — the stage
@@ -1678,6 +1757,7 @@ LLM_QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "dedup_fuzzy_keep_union": q_dedup_fuzzy_keep_union,
     "contamination_by_source": q_contamination_by_source,
+    "dedup_family_overlap": q_dedup_family_overlap,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -1703,6 +1783,7 @@ LLM_QUERIES = {
     "corpus_prepare_topp_e2e": q_corpus_prepare_topp_e2e,
     "quality_percentile": q_quality_percentile,
     "quality_percentile_bucketed": q_quality_percentile_bucketed,
+    "quality_percentile_continuous": q_quality_percentile_continuous,
     "corpus_train_split_e2e": q_corpus_train_split_e2e,
     "corpus_prepare_incremental": q_corpus_prepare_incremental,
     "span_rewrite_incremental": q_span_rewrite_incremental,

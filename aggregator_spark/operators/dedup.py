@@ -391,6 +391,19 @@ def simhash64(
 
 
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_BLOCKS = 6  # Manku block count: C(6, 6-3) = 20 tables, ~32-bit keys
+
+
+def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
+    """(1-based start, width) of each of ``n_blocks`` near-equal bit
+    blocks over the 64-char simhash string."""
+    base, rem = divmod(64, n_blocks)
+    bounds, pos = [], 1
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((pos, w))
+        pos += w
+    return bounds
 
 
 def simhash_near_dup(
@@ -398,38 +411,53 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_blocks: int = SIMHASH_BLOCKS,
 ) -> DataFrame:
     """SimHash near-duplicate pairs, the Manku/Jain/Sarma WWW'07
     web-crawl dedup: 64-bit signatures, candidate generation by
-    equality on ONE of (max_hamming+1) equal-width bit bands, exact
-    Hamming verification. The pigeonhole argument makes candidate
-    recall EXACT (no false negatives): ≤ max_hamming differing bits
-    cannot touch all max_hamming+1 bands, so every qualifying pair
-    shares at least one full band; verification then restores
-    precision. Returns (doc_a, doc_b, hamming) for pairs with
-    hamming ≤ max_hamming.
+    equality on a COMBINATION of untouched bit blocks, exact Hamming
+    verification. The signature splits into ``n_blocks`` near-equal
+    blocks and every combination of (n_blocks - max_hamming) blocks is
+    one candidate table: ≤ max_hamming differing bits touch at most
+    max_hamming blocks, so SOME combination is entirely clean and that
+    table's keys match — candidate recall is EXACT (pigeonhole, no
+    false negatives); verification then restores precision. Returns
+    (doc_a, doc_b, hamming) for pairs with hamming ≤ max_hamming.
 
-    Scale: the band join is an equi-shuffle on (band, 16-bit bucket)
-    — never all-pairs; signature construction spreads docs across the
-    2^16 buckets per band, and the verification join touches candidate
-    rows only. Hamming itself stays JVM-side (whole-stage codegen):
-    each 32-bit half of the bit string → conv(_, 2, 10) → long, XOR,
-    bit_count — no Python in the hot path (the signature worker is the
-    one Arrow pass, shared with ``simhash64``)."""
-    nb = max_hamming + 1
-    assert 64 % nb == 0, "band count must divide 64"
-    width = 64 // nb
+    Scale: the r9 form used max_hamming+1 single blocks as the tables
+    (16-bit keys) — at 5M docs the 2^16 buckets saturate and RANDOM
+    collisions grow ~n²/2^16 per table (measured: the one super-linear
+    third decade of the r10 sweep, 24.5× per 10× at sf100). The
+    default 6-choose-3 tables carry ~32-bit keys (Manku §3's
+    block-combination design): 5× the band rows (20 vs 4 — still
+    linear) but random collisions drop by ~2^16, keeping the verify
+    stage candidate-bounded to decades beyond 5M docs. The key
+    re-packs JVM-side to a LONG (conv base-2), so the shuffle carries
+    (block-set id, int64), not 32-char strings. Hamming itself stays
+    JVM-side (whole-stage codegen): each 32-bit half of the bit string
+    → conv(_, 2, 10) → long, XOR, bit_count — no Python in the hot
+    path (the signature worker is the one Arrow pass, shared with
+    ``simhash64``)."""
+    from itertools import combinations
+
+    assert n_blocks > max_hamming, "need at least one clean block"
+    k = n_blocks - max_hamming
+    bounds = _block_bounds(n_blocks)
     sig = simhash64(docs, id_col, text_col).localCheckpoint(eager=True)
+    combo_keys = [
+        F.conv(
+            F.concat(
+                *[F.substring("simhash", s, w) for (s, w) in
+                  (bounds[i] for i in combo)]
+            ),
+            2,
+            10,
+        ).cast("long")
+        for combo in combinations(range(n_blocks), k)
+    ]
     bands = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring("simhash", 1 + width * b, width)
-                    for b in range(nb)
-                ]
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(F.array(*combo_keys)).alias("band", "bucket"),
     )
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     r = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")

@@ -768,6 +768,52 @@ LLM_ORACLES["dedup_fuzzy_keep_union"] = f"""
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
 """
 
+# candidate-family overlap: the verified-Jaccard edge CTEs + the
+# simhash pair subquery, full-outer joined, one global rollup
+LLM_ORACLES["dedup_family_overlap"] = f"""
+    WITH {_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+         {_MH_COLS}
+      FROM sh),
+    buckets AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    ver AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS ic,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b)
+      WHERE ic > 0
+        AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+            >= {JACCARD_THRESHOLD}),
+    sim AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({LLM_ORACLES["simhash_near_dup"]})),
+    j AS (SELECT doc_a, doc_b, 1 AS in_jac FROM ver),
+    s AS (SELECT doc_a, doc_b, 1 AS in_sim FROM sim),
+    fo AS (
+      SELECT COALESCE(j.in_jac, NULL) AS in_jac, s.in_sim
+      FROM j FULL OUTER JOIN s USING (doc_a, doc_b))
+    SELECT CAST(COUNT(in_jac) AS BIGINT) AS n_jaccard,
+           CAST(COUNT(in_sim) AS BIGINT) AS n_simhash,
+           CAST(SUM(CASE WHEN in_jac IS NOT NULL AND in_sim IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN in_jac IS NOT NULL AND in_sim IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_only,
+           CAST(SUM(CASE WHEN in_jac IS NULL AND in_sim IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_only,
+           CAST(COUNT(*) AS BIGINT) AS n_union
+    FROM fo
+"""
+
 # per-source contamination report: the decontaminate_docs oracle reused
 # verbatim as a subquery, rolled up by source
 LLM_ORACLES["contamination_by_source"] = f"""
@@ -1155,6 +1201,20 @@ LLM_ORACLES["quality_percentile"] = f"""
 LLM_ORACLES["quality_percentile_bucketed"] = LLM_ORACLES[
     "quality_percentile"
 ]
+
+# the continuous-score percentile gate (r10): the two-level-carry
+# bucketed form computes the SAME doubles as the plain window, so the
+# oracle IS the plain window over the continuous score
+LLM_ORACLES["quality_percentile_continuous"] = f"""
+    SELECT q.doc_id, d.source, round(q.cs, 6) AS cscore,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           (percent_rank() OVER w <= {QUALITY_TOP_FRAC}) AS keep_top
+    FROM (SELECT doc_id, {NOSPACE_LEN} / len({TOKS}) AS cs
+          FROM documents) q
+    JOIN documents d USING (doc_id)
+    WINDOW w AS (PARTITION BY d.source
+                 ORDER BY q.cs DESC NULLS LAST, q.doc_id)
+"""
 
 # per-doc 3-gram novelty: corpus gram df computed once; df==1 grams
 # attributed via MIN(doc_id) (the only owner), never joined back to the

@@ -81,6 +81,8 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "daily_counts": 2.0,
     "daily_type_jaccard": 3.1,
     "contamination_by_source": 2.0,  # r10: floor (0.01 MB measured)
+    # r10: floor (0.29 MB measured — two-level-carry summary relations)
+    "quality_percentile_continuous": 2.0,
     "decontaminate_docs": 2.0,
     "dedup_batch_sign": 2.0,
     "dedup_bucket_index": 2.0,
@@ -231,12 +233,19 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
 # (measured sums 6.9–10.8 MB vs caps ~16 MB; a regression lands >21).
 BUDGET_GROUPS: list[tuple[tuple[str, ...], float]] = [
     (("dedup_incremental", "dedup_incremental_serve"), 16.7),
-    # r10: the union keep shares the eagerly-materialized LSH candidate
-    # + component sub-plans with the pair, so it joins the group; cap =
-    # 1.5 x (10.8 pair full-cost sum + 10.3 union standalone measure)
+    # r10: the union keep and the family-overlap report share the
+    # eagerly-materialized LSH candidate + component sub-plans with the
+    # pair (measured flap: union standalone 10.3 MB vs 2.6 in a family
+    # run), so both join the group; cap = 1.5 x (10.8 pair full-cost
+    # sum + 10.3 union standalone + 2.3 overlap standalone)
     (
-        ("dedup_fuzzy_keep", "dedup_keep_best", "dedup_fuzzy_keep_union"),
-        31.7,
+        (
+            "dedup_fuzzy_keep",
+            "dedup_keep_best",
+            "dedup_fuzzy_keep_union",
+            "dedup_family_overlap",
+        ),
+        35.1,
     ),
 ]
 

@@ -198,11 +198,12 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked, so they MUST sit in the window — pytest-enforced),
 # then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
 # rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 30 of the 39-entry r6-age pool. The 9
+# then the alphabetically-FIRST 28 of the 39-entry r6-age pool. The 11
 # r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (sessionize, temperature_mix,
-# tpch_q18_big_orders, tpch_q3, tumbling_hourly, user_type_arrays,
-# video_frames, zscore_outliers, zscore_outliers_bucketed) — the pool
+# per the same tie-break (semantic_dedup, session_window_native,
+# sessionize, temperature_mix, tpch_q18_big_orders, tpch_q3,
+# tumbling_hourly, user_type_arrays, video_frames, zscore_outliers,
+# zscore_outliers_bucketed) — the pool
 # is one round deep, nothing ages past r6+anything older than 4 rounds
 # (the derived age-ledger pin in tests/test_driver_window.py). Every
 # displaced entry stays covered by the local full sweep
@@ -223,10 +224,17 @@ DRIVER_WINDOW = [
     "cube_quarter",
     "cube_year",
     # round-10 NEW entries: union-candidate fuzzy dedup (verified LSH
-    # edges UNION SimHash edges — VERDICT r9 item 4) and the per-source
-    # contamination report (item 6)
+    # edges UNION SimHash edges — VERDICT r9 item 4), the per-source
+    # contamination report (item 6), the candidate-family overlap
+    # evidence table, and the continuous-score percentile gate (the
+    # two-level-carry regime, ADVICE r9 medium). The last two take the
+    # slots of semantic_dedup / session_window_native — the
+    # alphabetically-last r6-pool entries per the stated tie-break;
+    # both rotate first in r11 and stay covered by the local sweep
     "dedup_fuzzy_keep_union",
     "contamination_by_source",
+    "dedup_family_overlap",
+    "quality_percentile_continuous",
     # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
     "textrank_keywords",
     "top_tokens",
@@ -265,8 +273,6 @@ DRIVER_WINDOW = [
     "profile_events",
     "regr_value_by_type",
     "semantic_decontaminate",
-    "semantic_dedup",
-    "session_window_native",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -384,3 +384,45 @@ def test_rankdist_reserved_name_guard(spark):
         topk_per_group(
             base.withColumn("rk", F.lit(1)), "g", [F.col("s")], 1, F.col("id")
         )
+
+
+def test_quality_percentile_continuous_matches_plain_window(spark, sf_dir):
+    """The driver entry runs the TWO-LEVEL carry (continuous scores);
+    it must equal the plain per-source window built here from scratch
+    — the independent expected value on real data."""
+    from pyspark.sql import Window
+
+    from aggregator_spark.llm_queries import (
+        QUALITY_TOP_FRAC,
+        q_quality_percentile_continuous,
+    )
+    from aggregator_spark.operators.text import avg_token_len
+    from aggregator_spark.schemas import load_testdata
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", avg_token_len(F.col("text")).alias("cscore")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cscore").desc_nulls_last(), "doc_id"
+    )
+    pr = F.percent_rank().over(w)
+    plain = {
+        r["doc_id"]: tuple(r)
+        for r in scored.select(
+            "doc_id",
+            "source",
+            F.round("cscore", 6).alias("cscore"),
+            F.round(pr, 6).alias("pct_rank"),
+            (pr <= F.lit(QUALITY_TOP_FRAC)).alias("keep_top"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r)
+        for r in q_quality_percentile_continuous(spark, sf_dir).collect()
+    }
+    assert got == plain
+    # the regime is really continuous: most scores are unique
+    n = len(plain)
+    uniq = len({v[2] for v in plain.values()})
+    assert uniq > 0.5 * n, (uniq, n)

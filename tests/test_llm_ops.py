@@ -910,3 +910,33 @@ def test_fuzzy_keep_union_subset_of_single_family_keeps(spark, sf_dir):
     # non-vacuous: both families contribute real merges at this SF
     assert len(lsh_keep) < n_docs
     assert len(sim_keep) < n_docs
+
+
+def test_dedup_family_overlap_identities(spark, sf_dir):
+    """The overlap report's counts must satisfy the set identities and
+    agree with the underlying relations it claims to summarize — and
+    be non-vacuous (both families find pairs at this SF)."""
+    from aggregator_spark.llm_queries import (
+        JACCARD_THRESHOLD,
+        _mh_buckets,
+        q_dedup_family_overlap,
+    )
+    from aggregator_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        simhash_near_dup,
+        verified_jaccard_pairs,
+    )
+    from aggregator_spark.schemas import load_testdata
+
+    r = q_dedup_family_overlap(spark, sf_dir).collect()[0]
+    assert r["n_union"] == r["n_jaccard"] + r["n_simhash"] - r["n_both"]
+    assert r["n_jaccard"] == r["n_both"] + r["n_jaccard_only"]
+    assert r["n_simhash"] == r["n_both"] + r["n_simhash_only"]
+    assert r["n_jaccard"] > 0 and r["n_simhash"] > 0
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(docs, buckets=_mh_buckets(spark, sf_dir))
+    assert r["n_jaccard"] == verified_jaccard_pairs(
+        docs, cand, threshold=JACCARD_THRESHOLD
+    ).count()
+    assert r["n_simhash"] == simhash_near_dup(docs).count()

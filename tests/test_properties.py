@@ -324,20 +324,40 @@ def test_waterfill_invariants(masses, num, den):
 )
 @settings(max_examples=60, deadline=None)
 def test_simhash_banding_pigeonhole_exact(sigs, flips):
-    """The 4x16-bit banding used by ``simhash_near_dup`` is
-    candidate-EXACT for Hamming <= 3 on ARBITRARY signatures: a pair
-    within the radius always shares at least one full band
-    (pigeonhole: 3 differing bits cannot touch 4 bands). Pure-Python
-    model of the banding — no Spark; the Spark-level twin is
+    """The 6-choose-3 block-combination banding used by
+    ``simhash_near_dup`` (r10 — Manku §3; replaced the r9 4x16 single
+    blocks whose 2^16 buckets saturate at crawl scale) is
+    candidate-EXACT for Hamming <= 3 on ARBITRARY signatures: <= 3
+    differing bits touch at most 3 of the 6 blocks, so some
+    combination of 3 blocks is entirely clean and its table key
+    matches. Pure-Python model over the SAME block bounds the operator
+    computes — no Spark; the Spark-level twin is
     test_llm_ops.test_simhash_near_dup_equals_bruteforce."""
+    from itertools import combinations
+
+    from aggregator_spark.operators.dedup import (
+        SIMHASH_BLOCKS,
+        SIMHASH_MAX_HAMMING,
+        _block_bounds,
+    )
+
     # plant a guaranteed near pair: sigs[1] = sigs[0] with <=3 flips
     planted = sigs[0]
     for b in set(flips):
         planted ^= 1 << b
     sigs = [planted] + sigs
 
-    def bands(v):
-        return [(i, (v >> (16 * i)) & 0xFFFF) for i in range(4)]
+    bounds = _block_bounds(SIMHASH_BLOCKS)
+    k = SIMHASH_BLOCKS - SIMHASH_MAX_HAMMING
+    combos = list(combinations(range(SIMHASH_BLOCKS), k))
+
+    def keys(v):
+        s = format(v, "064b")  # stand-in for the 64-char simhash string
+        blocks = [s[start - 1: start - 1 + w] for (start, w) in bounds]
+        return {
+            (ci, "".join(blocks[i] for i in combo))
+            for ci, combo in enumerate(combos)
+        }
 
     def hamming(a, b):
         return bin(a ^ b).count("1")
@@ -347,12 +367,12 @@ def test_simhash_banding_pigeonhole_exact(sigs, flips):
         (i, j)
         for i in range(n)
         for j in range(i + 1, n)
-        if hamming(sigs[i], sigs[j]) <= 3
+        if hamming(sigs[i], sigs[j]) <= SIMHASH_MAX_HAMMING
     }
     candidates = {
         (i, j)
         for i in range(n)
         for j in range(i + 1, n)
-        if set(bands(sigs[i])) & set(bands(sigs[j]))
+        if keys(sigs[i]) & keys(sigs[j])
     }
     assert true_pairs <= candidates

@@ -165,6 +165,14 @@ EXCHANGE_PINS = {
     # (probe broadcast out / flags back) + doc join + |sources|-row agg.
     "dedup_fuzzy_keep_union": (3, 0),
     "contamination_by_source": (5, 3),
+    # family overlap: both families' full verify pipelines live in ONE
+    # plan (nothing checkpointed out except the LSH candidates) — the
+    # SMJ verify chain + simhash band join + the full-outer merge
+    "dedup_family_overlap": (16, 6),
+    # continuous percentile: two-level carry = local-rank + fine/coarse
+    # summary shuffles + carry joins (broadcast at sf0.001 —
+    # threshold-governed, summary-sized)
+    "quality_percentile_continuous": (6, 2),
 }
 
 
