@@ -1107,17 +1107,29 @@ def q_curriculum_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")
     bins = q_curriculum_bins(spark, sf_dir).select("doc_id", "stratum", "bin")
     keep = corpus_keep_flags(docs).select("doc_id", "keep")
-    membership = bins.join(keep, "doc_id")
+    # three consumers read membership (stage counts, the kept-doc
+    # filter, the chunk labeling) — checkpoint so the bins+gate
+    # sub-plan executes once, not once per consumer
+    membership = bins.join(keep, "doc_id").localCheckpoint(eager=True)
     counts = membership.groupBy("stratum", "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0))
         .cast("long")
         .alias("n_kept"),
     )
-    kept_chunks = C.doc_chunks(docs).join(
-        membership.filter("keep").select("doc_id", "stratum", "bin"),
-        "doc_id",
+    # chunk AFTER the keep filter: chunking the whole corpus and
+    # joining the (small) survivor set against corpus-sized chunk TEXT
+    # was a corpus-scale sort/spill for a survivor-scale result — the
+    # one super-linear stage of the r10 sf100 sweep (377.9 s of the
+    # 680 s isolated run at 5M docs vs 48.9 s at 500k; SCALE.md
+    # §Round-10). Identical output: chunks of kept docs either way.
+    kept_membership = membership.filter("keep").select(
+        "doc_id", "stratum", "bin"
     )
+    kept_docs = docs.select("doc_id", "text").join(
+        kept_membership.select("doc_id"), "doc_id"
+    )
+    kept_chunks = C.doc_chunks(kept_docs).join(kept_membership, "doc_id")
     w = (
         Window.partitionBy("stratum", "bin", "pack_group")
         .orderBy("doc_id", "chunk_id")
