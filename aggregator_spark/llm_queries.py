@@ -257,6 +257,31 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_bruteforce(emb, query_ids=ANN_QUERY_IDS, k=ANN_K)
 
 
+PQ_BLOCKS = 4  # 64-dim embeddings → 4 sub-quantizers of 16 dims
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py:
+    pq_encode — Jégou et al. 2011): label-initialized per-block
+    codebooks, nearest codeword per (vector, block) under rounded L2.
+    The 100-TB ANN memory story: D doubles → n_blocks small ints.
+    Fully deterministic, so unlike the LSH/IVF routing entries this
+    compression path is DuckDB-oracled, not rows-only."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.pq_encode(emb, n_blocks=PQ_BLOCKS).orderBy("vec_id", "block")
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over the PQ codes (operators/similarity.py:
+    pq_adc_topk): per-query (block, code) lookup table, corpus touched
+    only through its codes, per-pair distance = decimal-summed LUT
+    entries. The search half of the PQ pair; deterministic → oracled."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(
+        emb, query_ids=ANN_QUERY_IDS, k=ANN_K, n_blocks=PQ_BLOCKS
+    ).orderBy("query_id", "rank")
+
+
 # LSH geometry shared by the cached index build AND the query routing —
 # one source of truth so the cache key always matches the probe logic
 LSH_GEOM = {"n_tables": 12, "planes_per_table": 5, "n_dims": 64}
@@ -1771,6 +1796,8 @@ LLM_QUERIES = {
     "contamination_by_source": q_contamination_by_source,
     "dedup_family_overlap": q_dedup_family_overlap,
     "ann_topk": q_ann_topk,
+    "pq_encode": q_pq_encode,
+    "pq_adc_topk": q_pq_adc_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,

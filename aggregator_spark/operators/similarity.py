@@ -1068,3 +1068,174 @@ def semantic_contamination_flags(
             ).alias("contaminated"),
         )
     )
+
+
+def _sqdist(a, b):
+    """Sequential-fold squared L2 — deterministic accumulation order
+    (the ``dot`` discipline; matches DuckDB's left-to-right list
+    fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    vector splits into ``n_blocks`` contiguous sub-vectors and each
+    block gets its own codebook — here label-initialized (codeword =
+    per-label mean of the block's sub-vectors), the same deterministic
+    no-RNG seeding as ``kmeans_assign``. Returns (block, code, cvec) —
+    an O(blocks × labels × subdim) relation, ALWAYS broadcast-sized
+    regardless of corpus scale."""
+    dims = embeddings.select(
+        F.size(_as_double(F.col(vec_col))).alias("d")
+    ).head(1)
+    sub = dims[0]["d"] // n_blocks
+    exploded = embeddings.select(
+        F.col(label_col).alias("code"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+    ).withColumn("block", (F.col("dim") / F.lit(sub)).cast("int"))
+    return (
+        exploded.groupBy("block", "code", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("block", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ encoding: each vector → ``n_blocks`` codes (nearest codeword
+    per block under rounded L2, ties → lowest code). Returns (vec_id,
+    block, code, dist). This is the 100-TB ANN memory story: a
+    D-double vector compresses to n_blocks small ints, the corpus
+    scan for ADC search reads codes instead of floats.
+
+    Scale shape: the codebook is broadcast (blocks × labels × subdim
+    — bounded by construction); the corpus explodes to n_blocks rows
+    per vector (constant factor) and never self-joins. Distances are
+    rounded to 6 decimals BEFORE the argmin (the ``kmeans_assign``
+    float-order discipline) so the winning code — and the DuckDB
+    oracle comparison — is engine-independent."""
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            embeddings, n_blocks, id_col, vec_col, label_col
+        )
+    dims = embeddings.select(
+        F.size(_as_double(F.col(vec_col))).alias("d")
+    ).head(1)
+    sub = dims[0]["d"] // n_blocks
+    blocks = scatter(
+        embeddings.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
+        )
+    ).select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("vec", 1 + b * sub, sub)
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "subvec"),
+    )
+    scored = blocks.join(F.broadcast(codebooks), "block").withColumn(
+        "dist", F.round(F.sqrt(_sqdist(F.col("subvec"), F.col("cvec"))), 6)
+    )
+    w = Window.partitionBy(id_col, "block").orderBy("dist", "code")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "block", "code", "dist")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ codes: per query,
+    a lookup table of (block, code) → squared sub-distance to the
+    RAW query sub-vector, then every corpus vector's approximate
+    distance is the sum of n_blocks LUT entries — the corpus is
+    touched only through its CODES. Returns (query_id, neighbor_id,
+    adc_dist, rank), ties → lowest neighbor_id.
+
+    Scale shape: the LUT is queries × blocks × codewords (broadcast);
+    the code table joins it on (block, code) — an equi join, never a
+    raw-vector product — and the per-(query, vec) sum runs as a
+    map-side-combining aggregate. Per-block squared distances round
+    to 6 decimals and SUM as decimal(30,6) (the repo's float-sum
+    discipline) so the block-order of the aggregation — and the
+    DuckDB oracle — cannot perturb the ranking."""
+    cb = pq_codebooks(embeddings, n_blocks, id_col, vec_col, label_col)
+    codes = pq_encode(
+        embeddings, n_blocks, id_col, vec_col, label_col, codebooks=cb
+    )
+    dims = embeddings.select(
+        F.size(_as_double(F.col(vec_col))).alias("d")
+    ).head(1)
+    sub = dims[0]["d"] // n_blocks
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    qblocks = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qvec", 1 + b * sub, sub)
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "qsub"),
+    )
+    lut = qblocks.join(cb, "block").select(
+        "query_id",
+        "block",
+        "code",
+        F.round(_sqdist(F.col("qsub"), F.col("cvec")), 6)
+        .cast("decimal(30,6)")
+        .alias("d2"),
+    )
+    scored = (
+        scatter(codes.select(F.col(id_col).alias("neighbor_id"), "block", "code"))
+        .join(F.broadcast(lut), ["block", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -468,6 +468,81 @@ LLM_ORACLES["kmeans_assign"] = """
     WHERE rn = 1
 """
 
+# product quantization (r10): label-initialized per-block codebooks
+# (the kmeans_assign centroid CTE restricted to a dim block), nearest
+# codeword per (vector, block) under round-6 L2 — fully deterministic,
+# so the PQ pair is oracled (unlike the rows-only LSH/IVF routing).
+# Spark's 0-based posexplode dim maps to (dim-1)/sub on DuckDB's
+# 1-based generate_subscripts; sub-distance accumulation is the
+# sequential list fold both engines share at round-6.
+_PQ_SUB = 16  # 64 dims / PQ_BLOCKS=4
+_PQ_CTES = f"""
+    base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    cb AS (
+      SELECT block, code, list(m ORDER BY dim) AS cvec FROM (
+        SELECT CAST((dim - 1) // {_PQ_SUB} AS INT) AS block,
+               label AS code, dim, AVG(x) AS m
+        FROM (SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY 1, 2, 3)
+      GROUP BY block, code),
+    blk AS (
+      SELECT vec_id, b.block,
+             vec[1 + b.block * {_PQ_SUB} : (b.block + 1) * {_PQ_SUB}]
+               AS subvec
+      FROM base, (SELECT unnest(generate_series(0, 3)) AS block) b),
+    enc AS (
+      SELECT vec_id, block, code, dist FROM (
+        SELECT blk.vec_id, blk.block, cb.code,
+               round(list_distance(blk.subvec, cb.cvec), 6) AS dist,
+               ROW_NUMBER() OVER (
+                 PARTITION BY blk.vec_id, blk.block
+                 ORDER BY round(list_distance(blk.subvec, cb.cvec), 6),
+                          cb.code) AS rn
+        FROM blk JOIN cb ON cb.block = blk.block)
+      WHERE rn = 1)
+"""
+
+LLM_ORACLES["pq_encode"] = f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id, CAST(block AS INT) AS block, code, dist FROM enc
+"""
+
+LLM_ORACLES["pq_adc_topk"] = f"""
+    WITH {_PQ_CTES},
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+    qb AS (
+      SELECT query_id, b.block,
+             qvec[1 + b.block * {_PQ_SUB} : (b.block + 1) * {_PQ_SUB}]
+               AS qsub
+      FROM q, (SELECT unnest(generate_series(0, 3)) AS block) b),
+    lut AS (
+      SELECT query_id, cb.block, cb.code,
+             CAST(round(list_sum(list_transform(
+                    list_zip(qb.qsub, cb.cvec),
+                    s -> (s[1] - s[2]) * (s[1] - s[2]))),
+                  6) AS DECIMAL(30, 6)) AS d2
+      FROM qb JOIN cb ON cb.block = qb.block),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             round(sqrt(CAST(SUM(l.d2) AS DOUBLE)), 6) AS adc_dist
+      FROM enc e JOIN lut l
+        ON l.block = e.block AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {ANN_K}
+"""
+
+
 def _kmeans_unrolled_sql(iters: int) -> str:
     """Unroll `iters` Lloyd rounds as a CTE chain — the declarative
     twin of the iterative kmeans_fit loop."""

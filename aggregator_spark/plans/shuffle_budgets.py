@@ -144,6 +144,8 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "pii_redact": 2.0,
     "pivot_daily": 2.0,
     "pmi_collocations": 2.0,
+    "pq_adc_topk": 5.3,  # r10: 1.5x the 3.5 MB measure
+    "pq_encode": 2.0,  # r10: floor (1.2 MB measured)
     "prepared_probes": 2.0,
     "profile_events": 2.0,
     "quality_percentile": 2.0,  # r9 fourth wave: floor (0.04 MB measured)

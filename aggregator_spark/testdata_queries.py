@@ -198,9 +198,10 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked, so they MUST sit in the window — pytest-enforced),
 # then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
 # rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 28 of the 39-entry r6-age pool. The 11
+# then the alphabetically-FIRST 26 of the 39-entry r6-age pool. The 13
 # r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (semantic_dedup, session_window_native,
+# per the same tie-break (regr_value_by_type, semantic_decontaminate,
+# semantic_dedup, session_window_native,
 # sessionize, temperature_mix, tpch_q18_big_orders, tpch_q3,
 # tumbling_hourly, user_type_arrays, video_frames, zscore_outliers,
 # zscore_outliers_bucketed) — the pool
@@ -235,6 +236,11 @@ DRIVER_WINDOW = [
     "contamination_by_source",
     "dedup_family_overlap",
     "quality_percentile_continuous",
+    # the PQ pair (deterministic ANN compression + ADC search — the
+    # oracled counterpart to the rows-only LSH/IVF routing); slots
+    # from regr_value_by_type / semantic_decontaminate (same rule)
+    "pq_encode",
+    "pq_adc_topk",
     # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
     "textrank_keywords",
     "top_tokens",
@@ -271,8 +277,6 @@ DRIVER_WINDOW = [
     "ngram_containment_pairs",
     "pmi_collocations",
     "profile_events",
-    "regr_value_by_type",
-    "semantic_decontaminate",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

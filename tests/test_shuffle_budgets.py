@@ -173,6 +173,12 @@ EXCHANGE_PINS = {
     # summary shuffles + carry joins (broadcast at sf0.001 —
     # threshold-governed, summary-sized)
     "quality_percentile_continuous": (6, 2),
+    # r10 PQ pair. encode: codebook aggregate (2-phase) + the argmin
+    # window over blocks×codes; the codebook join broadcasts BY HINT
+    # (bounded by construction). adc: encode's exchanges + the LUT
+    # broadcast join + the per-(query,vec) decimal sum + top-k window.
+    "pq_encode": (5, 1),
+    "pq_adc_topk": (10, 3),
 }
 
 
