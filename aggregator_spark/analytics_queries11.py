@@ -1,0 +1,241 @@
+"""Round-10 fifth wave: production curation paths the catalog lacked.
+
+- ``perplexity_gate`` — the CCNet head/middle/tail LM-perplexity split
+  (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+  from Web Crawl Data"): per-language thirds of the corpus by bigram-LM
+  negative log-likelihood, gated on the bounded-rank NTILE so no
+  language ever lands its whole membership on one task.
+- ``priority_sample`` — Duffield/Lund/Thorup priority sampling: the
+  estimation-optimal weighted sample without replacement, with EXACT
+  integer priorities (no transcendentals cross-engine) and the
+  (k+1)-th-priority threshold estimator.
+- ``dedup_bloom_ingest`` — exact lede-fingerprint ingest dedup where
+  the new batch probes a bloom filter of the existing corpus
+  fingerprints first: bloom-misses are definitively new (no join at
+  all), only the maybe-dup sliver pays the exact verify join. The
+  composed verdict is EXACT (bloom false positives removed by the
+  join), so the oracle is the plain anti-join.
+
+Reference parity note: the reference (cybergreen-net/aggregator
+main.py) has no corpus-curation surface; these are beyond-reference
+operators on the driver's ``documents`` table, following SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aggregator_spark.testdata_queries import load_testdata
+
+# CCNet splits each language's corpus into thirds by LM perplexity:
+# head (best), middle, tail (usually discarded). Thirds = NTILE(3) over
+# nll ASC with doc_id tiebreak (a total order, so cross-engine stable).
+PPL_TILES = 3
+PPL_BUCKET_NAMES = {1: "head", 2: "middle", 3: "tail"}
+# two-level-carry quantizer for the bounded rank: nll is a continuous
+# score (round-6 doubles, near-unique), exactly the tie-density regime
+# where the single-level carry degenerates (rankdist module docstring)
+PPL_COARSE = 64
+
+# priority sampling: k kept items + the (k+1)-th priority as threshold
+PRIORITY_SAMPLE_K = 200
+_U32 = 4294967296  # 2^32 — the hash-to-uniform denominator
+
+# ingest-dedup bloom: sized for the driver SFs (documents ≤ 5k rows →
+# ≤4k corpus fingerprints; fill ≈ 17%, FP ≈ 0.5% at m=2^16, k=3). In
+# production m scales with the survivor-index cardinality — the bitset
+# is m/8 bytes however large the corpus text is.
+INGEST_BLOOM_M = 1 << 16
+INGEST_BLOOM_K = 3
+# lede-fingerprint width: first N normalized tokens
+PREFIX_TOKENS = 8
+
+
+def q_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity gate: score every document
+    with the interpolated bigram LM (operators/corpus.py:
+    bigram_logprob — already driver-oracled), split each language into
+    head/middle/tail thirds by nll ascending (lower = more fluent),
+    keep head+middle. Docs with <2 tokens have no bigrams and are
+    absent, matching ``bigram_logprob``'s totality contract.
+
+    Scale shape: the LM scoring is the oracled bigram plan (shuffle
+    joins on natural keys, one scalar broadcast); the per-language
+    thirds run on ``ntile_bucketed`` with the TWO-LEVEL carry
+    (score_coarse = floor(-nll × PPL_COARSE)) — a "language" at crawl
+    scale is billions of documents, so the plain
+    ``ntile() OVER (PARTITION BY lang)`` window would be the
+    one-task-per-group shape; here every task is bounded by id-bucket
+    and score-cell density. Bit-identical to the plain window (pinned
+    in tests/test_fifth_wave.py); the oracle IS the plain window.
+    """
+    from aggregator_spark.operators.corpus import bigram_logprob
+    from aggregator_spark.operators.rankdist import ntile_bucketed
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    nll = bigram_logprob(docs)
+    # materialize the LM scores once: the bounded-rank plan reads its
+    # input from THREE branches (local rank, fine carry, coarse carry)
+    # and would otherwise re-run the whole bigram-LM join tree per
+    # branch — a real pipeline scores the corpus once and ranks the
+    # (doc_id, lang, nll) relation
+    scored = (
+        nll.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("negnll", -F.col("nll"))
+        .localCheckpoint(eager=True)
+    )
+    binned = ntile_bucketed(
+        scored,
+        "lang",
+        "negnll",
+        "doc_id",
+        n_tiles=PPL_TILES,
+        score_coarse=lambda s: F.floor(s * PPL_COARSE),
+    )
+    bucket = (
+        F.when(F.col("bin") == 1, F.lit("head"))
+        .when(F.col("bin") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return binned.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "nll",
+        bucket.alias("bucket"),
+        (F.col("bin") <= 2).alias("keep"),
+    )
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund, Thorup, JACM 2007): weighted
+    sample without replacement that is estimation-optimal for subset
+    sums. priority q_i = w_i / u_i with u_i uniform in (0, 1]; keep the
+    k largest priorities; the (k+1)-th priority tau gives the unbiased
+    per-item weight estimate max(w_i, tau).
+
+    Everything is EXACT integer math so both engines agree bit-for-bit
+    with no transcendental in sight: u_i = (h_i + 1) / 2^32 with h_i
+    the first-8-hex value of md5(doc_id) (the repo's deterministic-
+    uniform idiom), so q_i = floor(w_i * 2^32 / (h_i + 1)) in BIGINT
+    DIV. Weight = n_chars. Ties break by doc_id.
+
+    Scale shape: the top-(k+1) is ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject (per-partition top-k, merge of k×partitions
+    rows), never a global sort; the only window runs AFTER the limit
+    over ≤ k+1 rows, and tau joins back as a broadcast scalar.
+    """
+    docs = load_testdata(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    pr = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        h.alias("__h"),
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        F.expr(f"(weight * {_U32}) DIV (__h + 1)").alias("priority"),
+    )
+    k = PRIORITY_SAMPLE_K
+    top = pr.orderBy(F.col("priority").desc(), "doc_id").limit(k + 1)
+    # single-task window is safe: the frame is ≤ k+1 rows by the limit
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    tau = ranked.agg(
+        F.max(F.when(F.col("rk") == k + 1, F.col("priority"))).alias("__tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            "priority",
+            F.col("rk").cast("int").alias("rk"),
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("__tau"), F.lit(0))
+            ).alias("est_weight"),
+        )
+    )
+
+
+def _prefix_fp(text) -> F.Column:
+    """Lede fingerprint: md5 of the first PREFIX_TOKENS normalized
+    tokens — the cheap first-pass ingest-dedup key (near-dup rewrites
+    overwhelmingly share their lede, so this catches them at exact-
+    match cost; the full-content fingerprint key would see zero
+    collisions in the driver corpus, which has fuzzy near-dups only)."""
+    from aggregator_spark.operators.text import normalized_text
+
+    toks = F.split(normalized_text(text), " ")
+    return F.md5(F.array_join(F.slice(toks, 1, PREFIX_TOKENS), " ").cast("binary"))
+
+
+def q_dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ingest-time dedup with a bloom fast path: the new crawl
+    batch (doc_id % NEW_BATCH_MOD == 0, the ``dedup_incremental``
+    convention) checks its lede fingerprints (md5 of the first
+    PREFIX_TOKENS normalized tokens) against a bloom filter of the
+    existing corpus's fingerprints. Bloom-miss ⇒ definitively new
+    (false negatives are impossible) — those rows never join;
+    bloom-hit ⇒ maybe-dup — only that sliver pays the exact left join
+    that removes false positives. Result ≡ the plain anti-join, which
+    is the oracle.
+
+    Scale shape: the bitset is m/8 bytes regardless of corpus size
+    (built distributed, only the words reach the driver —
+    operators/runtime_filter.py); the batch scans itself once with the
+    membership test inlined in codegen; the verify join's build side
+    is the fingerprint index (in production the persisted survivor
+    index of ``sources/prepared_index.py``), probed only by true dups
+    + the FP-rate sliver of the batch — at 100 TB/day that is the
+    difference between shuffling a day and shuffling nothing.
+    """
+    from aggregator_spark.llm_queries import NEW_BATCH_MOD
+    from aggregator_spark.operators.runtime_filter import (
+        build_bloom_words,
+        membership_col,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    corpus = (
+        docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
+        .select(_prefix_fp(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).select(
+        "doc_id", _prefix_fp(F.col("text")).alias("fp")
+    )
+    words = build_bloom_words(
+        corpus, "fp", m_bits=INGEST_BLOOM_M, k_hashes=INGEST_BLOOM_K
+    )
+    marked = batch.withColumn(
+        "maybe",
+        membership_col(
+            F.col("fp"), words, m_bits=INGEST_BLOOM_M, k_hashes=INGEST_BLOOM_K
+        ),
+    )
+    hits = corpus.withColumn("hit", F.lit(True))
+    verified = (
+        marked.filter(F.col("maybe"))
+        .join(hits, "fp", "left")
+        .select("doc_id", F.col("hit").isNull().alias("is_new"))
+    )
+    misses = marked.filter(~F.col("maybe")).select(
+        "doc_id", F.lit(True).alias("is_new")
+    )
+    return verified.unionByName(misses)
+
+
+ANALYTICS11_QUERIES = {
+    "perplexity_gate": q_perplexity_gate,
+    "priority_sample": q_priority_sample,
+    "dedup_bloom_ingest": q_dedup_bloom_ingest,
+}

@@ -83,6 +83,36 @@ def bloom_probe(
     return out.filter(cond).drop(*drop)
 
 
+def membership_col(
+    key: Column, bloom_words: list[int],
+    m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,
+) -> Column:
+    """Pure-Column bloom membership test (no filter applied): TRUE iff
+    all k bits for ``key`` are set in ``bloom_words``. Lets a caller
+    SPLIT on the verdict — definite-miss rows skip the exact verify
+    join entirely (the ingest-dedup fast path) — instead of only
+    filtering like ``bloom_probe``. Same bit math as the probe: false
+    positives possible, false negatives impossible."""
+    arr = F.array(*[F.lit(w).cast("long") for w in bloom_words])
+    # shiftleft(1L, b) needs a literal shift in the Python API; a
+    # 64-entry power table keeps this a pure Column expression
+    # (1<<63 wraps to long min — the sign bit mask, AND still works)
+    pow2 = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(64)
+        ]
+    )
+    cond = None
+    for i in range(k_hashes):
+        h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(arr, (h / 64).cast("int") + F.lit(1))
+        bit = F.element_at(pow2, (h % 64).cast("int") + F.lit(1))
+        test = word.bitwiseAND(bit) != 0
+        cond = test if cond is None else cond & test
+    return cond
+
+
 def bloom_prefiltered_join(
     fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
     m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,

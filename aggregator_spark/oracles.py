@@ -106,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
     from aggregator_spark.oracles_analytics8 import ANALYTICS8_ORACLES
     from aggregator_spark.oracles_analytics9 import ANALYTICS9_ORACLES
     from aggregator_spark.oracles_analytics10 import ANALYTICS10_ORACLES
+    from aggregator_spark.oracles_analytics11 import ANALYTICS11_ORACLES
     from aggregator_spark.oracles_graph import GRAPH_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
     from aggregator_spark.oracles_index import INDEX_ORACLES
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(ANALYTICS8_ORACLES)
     oracles.update(ANALYTICS9_ORACLES)
     oracles.update(ANALYTICS10_ORACLES)
+    oracles.update(ANALYTICS11_ORACLES)
     oracles.update(GRAPH_ORACLES)
     oracles.update(LLM_ORACLES)
     oracles.update(PIPELINE_ORACLES)

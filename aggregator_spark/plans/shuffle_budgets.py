@@ -85,6 +85,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "quality_percentile_continuous": 2.0,
     "decontaminate_docs": 2.0,
     "dedup_batch_sign": 2.0,
+    "dedup_bloom_ingest": 2.0,  # r10 fifth wave: floor
     "dedup_bucket_index": 2.0,
     "dedup_bucket_index_build": 3.4,
     "dedup_cluster_sizes": 8.0,
@@ -141,12 +142,14 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "ngram_novelty": 8.7,
     "pack_efficiency": 2.0,
     "pack_sequences": 2.0,
+    "perplexity_gate": 2.0,  # r10 fifth wave: floor
     "pii_redact": 2.0,
     "pivot_daily": 2.0,
     "pmi_collocations": 2.0,
     "pq_adc_topk": 5.3,  # r10: 1.5x the 3.5 MB measure
     "pq_encode": 2.0,  # r10: floor (1.2 MB measured)
     "prepared_probes": 2.0,
+    "priority_sample": 2.0,  # r10 fifth wave: floor
     "profile_events": 2.0,
     "quality_percentile": 2.0,  # r9 fourth wave: floor (0.04 MB measured)
     "quality_percentile_bucketed": 2.0,  # floor (0.17 MB measured)

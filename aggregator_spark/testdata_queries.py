@@ -198,9 +198,10 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked, so they MUST sit in the window — pytest-enforced),
 # then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
 # rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 26 of the 39-entry r6-age pool. The 13
+# then the alphabetically-FIRST 23 of the 39-entry r6-age pool. The 16
 # r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (regr_value_by_type, semantic_decontaminate,
+# per the same tie-break (ngram_containment_pairs, pmi_collocations,
+# profile_events, regr_value_by_type, semantic_decontaminate,
 # semantic_dedup, session_window_native,
 # sessionize, temperature_mix, tpch_q18_big_orders, tpch_q3,
 # tumbling_hourly, user_type_arrays, video_frames, zscore_outliers,
@@ -241,6 +242,14 @@ DRIVER_WINDOW = [
     # from regr_value_by_type / semantic_decontaminate (same rule)
     "pq_encode",
     "pq_adc_topk",
+    # fifth wave (CCNet perplexity gate, priority sampling, bloom
+    # ingest dedup); slots from ngram_containment_pairs /
+    # pmi_collocations / profile_events — the alphabetically-last
+    # r6-age entries remaining in the window (same tie-break; they
+    # keep their r6 rows, age cur-4, and rotate FIRST in r11)
+    "perplexity_gate",
+    "priority_sample",
+    "dedup_bloom_ingest",
     # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
     "textrank_keywords",
     "top_tokens",
@@ -274,9 +283,6 @@ DRIVER_WINDOW = [
     "embedding_quantize",
     "heavy_bigrams",
     "latest_event_per_user",
-    "ngram_containment_pairs",
-    "pmi_collocations",
-    "profile_events",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
@@ -305,6 +311,7 @@ def queries():
     from aggregator_spark.analytics_queries8 import ANALYTICS8_QUERIES
     from aggregator_spark.analytics_queries9 import ANALYTICS9_QUERIES
     from aggregator_spark.analytics_queries10 import ANALYTICS10_QUERIES
+    from aggregator_spark.analytics_queries11 import ANALYTICS11_QUERIES
     from aggregator_spark.graph_queries import GRAPH_QUERIES
     from aggregator_spark.index_queries import INDEX_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
@@ -330,6 +337,7 @@ def queries():
     qs.update(ANALYTICS8_QUERIES)
     qs.update(ANALYTICS9_QUERIES)
     qs.update(ANALYTICS10_QUERIES)
+    qs.update(ANALYTICS11_QUERIES)
     qs.update(GRAPH_QUERIES)
     qs.update(LLM_QUERIES)
     qs.update(INDEX_QUERIES)

@@ -179,6 +179,17 @@ EXCHANGE_PINS = {
     # broadcast join + the per-(query,vec) decimal sum + top-k window.
     "pq_encode": (5, 1),
     "pq_adc_topk": (10, 3),
+    # r10 fifth wave. perplexity_gate: the LM scores are checkpointed
+    # (scored once — the bounded-rank plan reads them from 3 branches);
+    # what remains is the continuous-percentile two-level-carry shape.
+    # priority_sample: TakeOrderedAndProject (NO sort exchange — the
+    # whole point) + the tau scalar broadcast. dedup_bloom_ingest: one
+    # agg exchange for the distinct corpus fingerprints; the verify
+    # join broadcasts at sf0.001 (threshold-governed — in production
+    # the build side is the persisted survivor index, shuffle-joined).
+    "perplexity_gate": (6, 2),
+    "priority_sample": (0, 1),
+    "dedup_bloom_ingest": (1, 1),
 }
 
 
