@@ -93,16 +93,17 @@ def membership_col(
     join entirely (the ingest-dedup fast path) — instead of only
     filtering like ``bloom_probe``. Same bit math as the probe: false
     positives possible, false negatives impossible."""
-    arr = F.array(*[F.lit(w).cast("long") for w in bloom_words])
+    # F.lit(list) builds ONE ArrayType Literal node — an F.array of
+    # m/64 scalar literals would re-inline thousands of expression
+    # nodes into every one of the k conditions and stall analysis/
+    # codegen, not execution
+    arr = F.lit(list(bloom_words)).cast("array<bigint>")
     # shiftleft(1L, b) needs a literal shift in the Python API; a
     # 64-entry power table keeps this a pure Column expression
     # (1<<63 wraps to long min — the sign bit mask, AND still works)
-    pow2 = F.array(
-        *[
-            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
-            for b in range(64)
-        ]
-    )
+    pow2 = F.lit(
+        [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    ).cast("array<bigint>")
     cond = None
     for i in range(k_hashes):
         h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
