@@ -41,12 +41,25 @@ PPL_COARSE = 64
 PRIORITY_SAMPLE_K = 200
 _U32 = 4294967296  # 2^32 — the hash-to-uniform denominator
 
-# ingest-dedup bloom: sized for the driver SFs (documents ≤ 5k rows →
-# ≤4k corpus fingerprints; fill ≈ 17%, FP ≈ 0.5% at m=2^16, k=3). In
-# production m scales with the survivor-index cardinality — the bitset
-# is m/8 bytes however large the corpus text is.
-INGEST_BLOOM_M = 1 << 16
+# ingest-dedup bloom: m is sized from the corpus-fingerprint
+# cardinality at ≥16 bits/key (fill ≈ 17%, FP ≈ 0.5% at k=3), floored
+# at 2^16 — at the driver SFs (≤4k corpus fingerprints) the floor
+# rules, so both driver runs see the same m. In production the
+# survivor index knows its own cardinality as metadata; here the
+# sizing count is one cheap aggregate over the fingerprint relation.
+# The bitset stays m/8 bytes however large the corpus TEXT is.
+INGEST_BLOOM_MIN_M = 1 << 16
+INGEST_BLOOM_BITS_PER_KEY = 16
 INGEST_BLOOM_K = 3
+# kept as the fixed driver-SF value for tests
+INGEST_BLOOM_M = INGEST_BLOOM_MIN_M
+
+
+def _ingest_bloom_m(n_keys: int) -> int:
+    m = INGEST_BLOOM_MIN_M
+    while m < n_keys * INGEST_BLOOM_BITS_PER_KEY:
+        m <<= 1
+    return m
 # lede-fingerprint width: first N normalized tokens
 PREFIX_TOKENS = 8
 
@@ -213,13 +226,15 @@ def q_dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).select(
         "doc_id", _prefix_fp(F.col("text")).alias("fp")
     )
+    corpus = corpus.localCheckpoint(eager=True)  # fp relation scans 3×
+    m_bits = _ingest_bloom_m(corpus.count())
     words = build_bloom_words(
-        corpus, "fp", m_bits=INGEST_BLOOM_M, k_hashes=INGEST_BLOOM_K
+        corpus, "fp", m_bits=m_bits, k_hashes=INGEST_BLOOM_K
     )
     marked = batch.withColumn(
         "maybe",
         membership_col(
-            F.col("fp"), words, m_bits=INGEST_BLOOM_M, k_hashes=INGEST_BLOOM_K
+            F.col("fp"), words, m_bits=m_bits, k_hashes=INGEST_BLOOM_K
         ),
     )
     hits = corpus.withColumn("hit", F.lit(True))

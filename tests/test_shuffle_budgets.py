@@ -184,12 +184,14 @@ EXCHANGE_PINS = {
     # what remains is the continuous-percentile two-level-carry shape.
     # priority_sample: TakeOrderedAndProject (NO sort exchange — the
     # whole point) + the tau scalar broadcast. dedup_bloom_ingest: one
-    # agg exchange for the distinct corpus fingerprints; the verify
-    # join broadcasts at sf0.001 (threshold-governed — in production
-    # the build side is the persisted survivor index, shuffle-joined).
+    # agg exchange for the distinct corpus fingerprints is
+    # checkpointed out (the fp relation feeds count + bloom build +
+    # verify join); the verify join broadcasts at sf0.001
+    # (threshold-governed — in production the build side is the
+    # persisted survivor index, shuffle-joined).
     "perplexity_gate": (6, 2),
     "priority_sample": (0, 1),
-    "dedup_bloom_ingest": (1, 1),
+    "dedup_bloom_ingest": (0, 1),
 }
 
 
