@@ -1360,6 +1360,30 @@ def q_corpus_prepare_topp_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prepare_ppl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_prepare_e2e`` with the quality gate swapped for the
+    CCNet PERPLEXITY gate (analytics_queries11.q_perplexity_gate: keep
+    each language's head+middle thirds by bigram-LM nll) — the third
+    production gating regime beside the absolute-heuristic and
+    percentile gates, selection pressure relative per LANGUAGE and
+    driven by a corpus-fit LM instead of surface heuristics. Docs with
+    <2 tokens have no LM score and are dropped (CCNet behavior: an
+    unscoreable doc never reaches the corpus). Every downstream stage
+    (fuzzy dedup → span removal → chunk → pack) is byte-identical to
+    the base pipeline via the ``keep_ids`` seam. Returns (doc_id,
+    chunk_id, pack_group, seq_bin, n_tokens)."""
+    from aggregator_spark.analytics_queries11 import q_perplexity_gate
+
+    gate_ids = (
+        q_perplexity_gate(spark, sf_dir).filter("keep").select("doc_id")
+    )
+    return corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+        keep_ids=gate_ids,
+    )
+
+
 def q_span_rewrite_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1820,6 +1844,7 @@ LLM_QUERIES = {
     "corpus_prepare_semantic_e2e": q_corpus_prepare_semantic_e2e,
     "corpus_prepare_line_e2e": q_corpus_prepare_line_e2e,
     "corpus_prepare_topp_e2e": q_corpus_prepare_topp_e2e,
+    "corpus_prepare_ppl_e2e": q_corpus_prepare_ppl_e2e,
     "quality_percentile": q_quality_percentile,
     "quality_percentile_bucketed": q_quality_percentile_bucketed,
     "quality_percentile_continuous": q_quality_percentile_continuous,

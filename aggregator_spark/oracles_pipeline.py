@@ -558,6 +558,82 @@ PIPELINE_ORACLES["corpus_prepare_topp_e2e"] = f"""
 """
 
 # ---------------------------------------------------------------------
+# corpus_prepare_ppl_e2e (llm_queries.q_corpus_prepare_ppl_e2e): the
+# e2e pipeline with the CCNet perplexity gate — keepq becomes the
+# perplexity_gate fragment (keep = head+middle thirds per language;
+# docs without an LM score are absent from the fragment and therefore
+# dropped by the join, the CCNet behavior). Every downstream CTE is
+# the base oracle verbatim.
+from aggregator_spark.oracles_analytics11 import (  # noqa: E402
+    ANALYTICS11_ORACLES,
+)
+
+PIPELINE_ORACLES["corpus_prepare_ppl_e2e"] = f"""
+    WITH keepq AS (
+      SELECT doc_id, keep
+      FROM ({ANALYTICS11_ORACLES["perplexity_gate"]})),
+    qsurv AS (
+      SELECT d.* FROM documents d JOIN keepq k USING (doc_id)
+      WHERE k.keep),
+    fz AS (
+      WITH RECURSIVE {_SH_Q},
+      sigs AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh),
+      buckets AS (
+{_BAND_SELECTS}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id),
+      ver AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS ic,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        WHERE ic > 0
+          AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+              >= {JACCARD_THRESHOLD}),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver
+        UNION
+        SELECT doc_b, doc_a FROM ver),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT q.doc_id FROM qsurv q LEFT JOIN comp c ON q.doc_id = c.node
+      WHERE q.doc_id = COALESCE(c.component, q.doc_id)),
+    fkept AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN fz USING (doc_id)),
+    rewritten AS (
+      SELECT doc_id, clean_text FROM ({_SPAN_KEPT})),
+    src2 AS (
+      SELECT doc_id, clean_text AS text FROM rewritten
+      WHERE clean_text <> ''),
+    packed AS (
+      WITH {_CHUNKS_RW}
+      SELECT doc_id, chunk_id,
+             CAST(doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group,
+             n_tokens
+      FROM chunks)
+    SELECT doc_id, chunk_id, pack_group,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin,
+           n_tokens
+    FROM packed
+"""
+
+# ---------------------------------------------------------------------
 # corpus_prepare_semantic_e2e (llm_queries.q_corpus_prepare_semantic_e2e):
 # the e2e pipeline with the CAPACITY-BOUNDED SemDeDup stage composed in
 # after fuzzy dedup. The semantic fragment is the SAME parametrized SQL

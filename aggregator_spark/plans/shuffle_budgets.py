@@ -68,6 +68,11 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     # shrinks the kept corpus, so every downstream stage shuffles less
     # than the base e2e
     "corpus_prepare_topp_e2e": 6.2,
+    # r10 sixth wave: topp plan shape, but the gate keeps 2/3 of docs
+    # (thirds per language) vs topp's top fraction, so every
+    # downstream stage shuffles ~2.7x topp's survivor volume, plus
+    # the LM scoring joins (25.7 MB measured; 1.5x cap)
+    "corpus_prepare_ppl_e2e": 38.5,
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,
     "corpus_train_split_e2e": 45.6,

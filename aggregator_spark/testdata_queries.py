@@ -198,9 +198,10 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked, so they MUST sit in the window — pytest-enforced),
 # then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
 # rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 23 of the 39-entry r6-age pool. The 16
+# then the alphabetically-FIRST 22 of the 39-entry r6-age pool. The 17
 # r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (ngram_containment_pairs, pmi_collocations,
+# per the same tie-break (latest_event_per_user,
+# ngram_containment_pairs, pmi_collocations,
 # profile_events, regr_value_by_type, semantic_decontaminate,
 # semantic_dedup, session_window_native,
 # sessionize, temperature_mix, tpch_q18_big_orders, tpch_q3,
@@ -250,6 +251,9 @@ DRIVER_WINDOW = [
     "perplexity_gate",
     "priority_sample",
     "dedup_bloom_ingest",
+    # sixth wave: the perplexity gate composed into the e2e pipeline
+    # (keep_ids seam); slot from latest_event_per_user (same rule)
+    "corpus_prepare_ppl_e2e",
     # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
     "textrank_keywords",
     "top_tokens",
@@ -282,7 +286,6 @@ DRIVER_WINDOW = [
     "embedding_normalize",
     "embedding_quantize",
     "heavy_bigrams",
-    "latest_event_per_user",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

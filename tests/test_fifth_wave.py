@@ -205,3 +205,37 @@ def test_membership_col_agrees_with_bloom_probe(spark):
     }
     assert via_probe == via_col
     assert {f"k{i}" for i in range(0, 100, 3)} <= via_col
+
+
+def test_corpus_prepare_ppl_e2e_respects_the_gate(spark, sf_dir):
+    """Sixth wave: every doc in the perplexity-gated pipeline's output
+    passed the gate, and the gate genuinely bites (some base-pipeline
+    docs are absent) — the composition is the gate, not a no-op."""
+    from aggregator_spark.llm_queries import (
+        q_corpus_prepare_e2e,
+        q_corpus_prepare_ppl_e2e,
+    )
+
+    kept = {
+        r["doc_id"]
+        for r in q_perplexity_gate(spark, sf_dir)
+        .filter("keep")
+        .select("doc_id")
+        .collect()
+    }
+    out_docs = {
+        r["doc_id"]
+        for r in q_corpus_prepare_ppl_e2e(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert out_docs <= kept
+    base_docs = {
+        r["doc_id"]
+        for r in q_corpus_prepare_e2e(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert base_docs - kept, "perplexity gate never disagreed with base"
