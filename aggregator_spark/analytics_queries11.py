@@ -249,8 +249,109 @@ def q_dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.unionByName(misses)
 
 
+# per-source priority sample: k kept per stratum (+ the per-stratum
+# (k+1)-th priority as that stratum's threshold estimator)
+PRIORITY_PER_SOURCE_K = 32
+
+
+def q_priority_sample_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Priority sampling PER STRATUM: the ``priority_sample`` scheme
+    (exact integer Duffield/Lund/Thorup priorities) applied within
+    each source, keeping the top PRIORITY_PER_SOURCE_K per source with
+    the per-source (k+1)-th-priority threshold estimator — the
+    stratified form a mixing pipeline actually wants (sample each
+    source proportionally to weight WITHIN the source's own budget).
+
+    Scale shape: the per-group top-(k+1) runs on the two-phase exact
+    ``topk_per_group`` (operators/rankdist.py) — local top-k within
+    (source, salt), then a rank over only buckets×(k+1) survivors per
+    source — so a crawl-scale source never lands its membership on one
+    task; the per-source tau is a |sources|-row aggregate joined back
+    broadcast.
+    """
+    from aggregator_spark.operators.rankdist import topk_per_group
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    pr = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        h.alias("__h"),
+    ).select(
+        "doc_id",
+        "source",
+        "weight",
+        F.expr(f"(weight * {_U32}) DIV (__h + 1)").alias("priority"),
+    )
+    k = PRIORITY_PER_SOURCE_K
+    top = topk_per_group(
+        pr,
+        "source",
+        [F.col("priority").desc(), F.col("doc_id")],
+        k + 1,
+        salt_col=F.col("doc_id"),
+    )
+    tau = top.groupBy("source").agg(
+        F.max(F.when(F.col("rk") == k + 1, F.col("priority"))).alias("__tau")
+    )
+    return (
+        top.filter(F.col("rk") <= k)
+        .join(F.broadcast(tau), "source")
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            "priority",
+            F.col("rk").cast("int").alias("rk"),
+            F.greatest(
+                F.col("weight"), F.coalesce(F.col("__tau"), F.lit(0))
+            ).alias("est_weight"),
+        )
+    )
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID calibration report: the marker-based ``lang_id``
+    prediction cross-tabulated against the corpus's gold ``lang``
+    column — (lang, lang_pred, n_docs, share-of-gold-lang, is_match).
+    The table that decides whether a detector is good enough to GATE
+    on before routing per-language pipelines (the CCNet split above
+    trusts the gold column; a real crawl only has a detector).
+
+    Scale shape: one scan with the detector inlined in codegen, a
+    |langs × predictions|-row aggregate, and a broadcast join of the
+    |langs|-row gold totals — nothing grows with the corpus but the
+    scan."""
+    from aggregator_spark.operators.text import lang_id
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    pred = docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+    cells = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__tot")
+    )
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__tot"), 6).alias("share"),
+        (F.col("lang") == F.col("lang_pred")).alias("is_match"),
+    )
+
+
 ANALYTICS11_QUERIES = {
     "perplexity_gate": q_perplexity_gate,
     "priority_sample": q_priority_sample,
     "dedup_bloom_ingest": q_dedup_bloom_ingest,
+    "priority_sample_per_source": q_priority_sample_per_source,
+    "lang_id_confusion": q_lang_id_confusion,
 }

@@ -11,12 +11,13 @@ from __future__ import annotations
 
 from aggregator_spark.analytics_queries11 import (
     PREFIX_TOKENS,
+    PRIORITY_PER_SOURCE_K,
     PRIORITY_SAMPLE_K,
     _U32,
 )
 from aggregator_spark.llm_queries import NEW_BATCH_MOD
 from aggregator_spark.operators.corpus import BIGRAM_LAMBDA
-from aggregator_spark.oracles_llm import NORM, _hex8_to_bigint
+from aggregator_spark.oracles_llm import LLM_ORACLES, NORM, _hex8_to_bigint
 
 # the bigram-LM per-doc nll, verbatim from the bigram_logprob oracle
 _BIGRAM_NLL_CTES = f"""
@@ -102,4 +103,47 @@ ANALYTICS11_ORACLES = {
         SELECT b.doc_id, (c.fp IS NULL) AS is_new
         FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
     """,
+    # per-source plain window — the bit-parity target of the two-phase
+    # topk_per_group plan; same integer priority formula
+    "priority_sample_per_source": f"""
+        WITH pr AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+                 CAST({_PRIORITY} AS BIGINT) AS priority
+          FROM documents),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY priority DESC, doc_id)
+                    AS rn
+          FROM pr),
+        tau AS (
+          SELECT source,
+                 max(CASE WHEN rn = {PRIORITY_PER_SOURCE_K + 1}
+                          THEN priority END) AS tau
+          FROM rk GROUP BY source)
+        SELECT r.doc_id, r.source, r.weight, r.priority,
+               CAST(r.rn AS INT) AS rk,
+               CAST(greatest(r.weight, COALESCE(t.tau, 0)) AS BIGINT)
+                 AS est_weight
+        FROM rk r JOIN tau t USING (source)
+        WHERE r.rn <= {PRIORITY_PER_SOURCE_K}
+    """,
+    "lang_id_confusion": f"""
+        WITH p AS (
+          SELECT d.lang, l.lang_pred
+          FROM documents d
+          JOIN ({{LANG_ID}}) l USING (doc_id)),
+        cells AS (
+          SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        tot AS (SELECT lang, COUNT(*) AS t FROM p GROUP BY 1)
+        SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n_docs,
+               round(c.n / t.t, 6) AS share,
+               (c.lang = c.lang_pred) AS is_match
+        FROM cells c JOIN tot t USING (lang)
+    """,
 }
+
+# splice the shared lang_id fragment in (a plain replace keeps the
+# big f-string above readable)
+ANALYTICS11_ORACLES["lang_id_confusion"] = ANALYTICS11_ORACLES[
+    "lang_id_confusion"
+].replace("{LANG_ID}", LLM_ORACLES["lang_id"])

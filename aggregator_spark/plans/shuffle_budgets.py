@@ -153,8 +153,10 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "pmi_collocations": 2.0,
     "pq_adc_topk": 5.3,  # r10: 1.5x the 3.5 MB measure
     "pq_encode": 2.0,  # r10: floor (1.2 MB measured)
+    "lang_id_confusion": 2.0,  # r10 seventh wave: floor
     "prepared_probes": 2.0,
     "priority_sample": 2.0,  # r10 fifth wave: floor
+    "priority_sample_per_source": 2.0,  # r10 seventh wave: floor
     "profile_events": 2.0,
     "quality_percentile": 2.0,  # r9 fourth wave: floor (0.04 MB measured)
     "quality_percentile_bucketed": 2.0,  # floor (0.17 MB measured)

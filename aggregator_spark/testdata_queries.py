@@ -198,9 +198,10 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked, so they MUST sit in the window — pytest-enforced),
 # then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
 # rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 22 of the 39-entry r6-age pool. The 17
+# then the alphabetically-FIRST 20 of the 39-entry r6-age pool. The 19
 # r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (latest_event_per_user,
+# per the same tie-break (embedding_quantize, heavy_bigrams,
+# latest_event_per_user,
 # ngram_containment_pairs, pmi_collocations,
 # profile_events, regr_value_by_type, semantic_decontaminate,
 # semantic_dedup, session_window_native,
@@ -254,6 +255,11 @@ DRIVER_WINDOW = [
     # sixth wave: the perplexity gate composed into the e2e pipeline
     # (keep_ids seam); slot from latest_event_per_user (same rule)
     "corpus_prepare_ppl_e2e",
+    # seventh wave: per-source priority sampling (two-phase top-k) and
+    # the lang-ID calibration report; slots from heavy_bigrams /
+    # embedding_quantize (same rule)
+    "priority_sample_per_source",
+    "lang_id_confusion",
     # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
     "textrank_keywords",
     "top_tokens",
@@ -284,8 +290,6 @@ DRIVER_WINDOW = [
     "dsir_weights",
     "dup_span_stats",
     "embedding_normalize",
-    "embedding_quantize",
-    "heavy_bigrams",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

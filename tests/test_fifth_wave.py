@@ -239,3 +239,61 @@ def test_corpus_prepare_ppl_e2e_respects_the_gate(spark, sf_dir):
         .collect()
     }
     assert base_docs - kept, "perplexity gate never disagreed with base"
+
+
+def test_priority_sample_per_source_matches_brute_force(spark, sf_dir):
+    import hashlib
+
+    from aggregator_spark.analytics_queries11 import (
+        PRIORITY_PER_SOURCE_K,
+        q_priority_sample_per_source,
+    )
+
+    rows = (
+        load_testdata(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        q = (int(r["n_chars"]) * _U32) // (h + 1)
+        by_src.setdefault(r["source"], []).append(
+            (q, r["doc_id"], int(r["n_chars"]))
+        )
+    k = PRIORITY_PER_SOURCE_K
+    expected = {}
+    for src, items in by_src.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        tau = items[k][0] if len(items) > k else 0
+        for rk, (q, d, w) in enumerate(items[:k]):
+            expected[d] = (src, w, q, rk + 1, max(w, tau))
+    got = {
+        r["doc_id"]: (
+            r["source"], r["weight"], r["priority"], r["rk"],
+            r["est_weight"],
+        )
+        for r in q_priority_sample_per_source(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # every source is represented (stratified, not global)
+    assert {v[0] for v in got.values()} == set(by_src)
+
+
+def test_lang_id_confusion_is_a_proper_confusion_matrix(spark, sf_dir):
+    from aggregator_spark.analytics_queries11 import q_lang_id_confusion
+
+    rows = q_lang_id_confusion(spark, sf_dir).collect()
+    n_docs = load_testdata(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    by_lang: dict[str, float] = {}
+    for r in rows:
+        assert r["is_match"] == (r["lang"] == r["lang_pred"])
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0.0) + r["share"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+    # the detector is non-trivial on this corpus: some mass on the
+    # diagonal and at least one off-diagonal cell (else the report is
+    # a tautology of the gold column)
+    assert any(r["is_match"] for r in rows)
+    assert any(not r["is_match"] for r in rows)
