@@ -53,6 +53,12 @@ INGEST_BLOOM_BITS_PER_KEY = 16
 INGEST_BLOOM_K = 3
 # kept as the fixed driver-SF value for tests
 INGEST_BLOOM_M = INGEST_BLOOM_MIN_M
+# above this m the bitset probes via broadcast JOIN against the
+# distributed (w, word) relation instead of a Column literal: the
+# literal's py4j transfer costs ~150 µs/word (151 s at the 1M words a
+# 4M-key corpus needs) and re-serializes into every task — SCALE.md
+# §fifth wave. 2^21 bits = 32k words ≈ 5 s of transfer, the knee.
+INGEST_BLOOM_LITERAL_MAX_M = 1 << 21
 
 
 def _ingest_bloom_m(n_keys: int) -> int:
@@ -213,8 +219,10 @@ def q_dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from aggregator_spark.llm_queries import NEW_BATCH_MOD
     from aggregator_spark.operators.runtime_filter import (
+        bloom_words_relation,
         build_bloom_words,
         membership_col,
+        membership_via_join,
     )
 
     docs = load_testdata(spark, sf_dir, "documents")
@@ -228,15 +236,23 @@ def q_dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = corpus.localCheckpoint(eager=True)  # fp relation scans 3×
     m_bits = _ingest_bloom_m(corpus.count())
-    words = build_bloom_words(
-        corpus, "fp", m_bits=m_bits, k_hashes=INGEST_BLOOM_K
-    )
-    marked = batch.withColumn(
-        "maybe",
-        membership_col(
-            F.col("fp"), words, m_bits=m_bits, k_hashes=INGEST_BLOOM_K
-        ),
-    )
+    if m_bits <= INGEST_BLOOM_LITERAL_MAX_M:
+        words = build_bloom_words(
+            corpus, "fp", m_bits=m_bits, k_hashes=INGEST_BLOOM_K
+        )
+        marked = batch.withColumn(
+            "maybe",
+            membership_col(
+                F.col("fp"), words, m_bits=m_bits, k_hashes=INGEST_BLOOM_K
+            ),
+        )
+    else:
+        rel = bloom_words_relation(
+            corpus, "fp", m_bits=m_bits, k_hashes=INGEST_BLOOM_K
+        ).localCheckpoint(eager=True)  # probed by k joins
+        marked = membership_via_join(
+            batch, "fp", rel, m_bits=m_bits, k_hashes=INGEST_BLOOM_K
+        )
     hits = corpus.withColumn("hit", F.lit(True))
     verified = (
         marked.filter(F.col("maybe"))
@@ -348,10 +364,58 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact per-source percentiles: PERCENTILE_DISC positions, k/100 kept
+# in INTEGER math (ceil(k*n/100) = (k*n + 99) DIV 100) so no float
+# q*n boundary can disagree cross-engine
+LENGTH_PCTS = (50, 90, 99)
+
+
+def q_length_percentiles_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-source length percentiles (p50/p90/p99 of n_chars,
+    PERCENTILE_DISC semantics) — the deterministic, driver-oracled
+    counterpart to the rows-only ``approx_quantiles_daily`` entry,
+    the way the PQ pair is to the rows-only ANN routing.
+
+    PERCENTILE_DISC(q) = the value at ascending position ceil(q·n)
+    (1-based). The value at ascending position P equals the value at
+    DESCENDING position n+1−P for ANY tie order (ties share the
+    value), so the report reads directly off the bounded-rank core's
+    0-based descending rank: keep rows where rank0 == n − P. Positions
+    use integer math: ceil(k·n/100) = (k·n + 99) DIV 100.
+
+    Scale shape: ``_rank0_bucketed`` bounds every task by id-bucket
+    and tie-group (document lengths are heavily tied — the discrete-
+    score regime, single-level carry); the report is then a
+    |sources|-row aggregate. A plain
+    ``percentile(...) OVER (PARTITION BY source)`` — or a per-source
+    sort — would land each source's full membership on one task.
+    """
+    from aggregator_spark.operators.rankdist import _rank0_bucketed
+
+    docs = load_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("score")
+    )
+    ranked = _rank0_bucketed(
+        docs, "source", "score", "doc_id", id_bucket=100_000
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for k in LENGTH_PCTS:
+        pos = F.expr(f"({k} * __n + 99) DIV 100")  # ceil(k*n/100)
+        aggs.append(
+            F.max(
+                F.when(F.col("__rank0") == F.col("__n") - pos, F.col("score"))
+            ).alias(f"p{k}")
+        )
+    return ranked.groupBy("source").agg(*aggs)
+
+
 ANALYTICS11_QUERIES = {
     "perplexity_gate": q_perplexity_gate,
     "priority_sample": q_priority_sample,
     "dedup_bloom_ingest": q_dedup_bloom_ingest,
     "priority_sample_per_source": q_priority_sample_per_source,
     "lang_id_confusion": q_lang_id_confusion,
+    "length_percentiles_exact": q_length_percentiles_exact,
 }

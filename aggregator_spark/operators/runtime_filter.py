@@ -29,12 +29,15 @@ DEFAULT_M_BITS = 8192
 DEFAULT_K_HASHES = 3
 
 
-def build_bloom_words(
+def bloom_words_relation(
     keys: DataFrame, key_col: str,
     m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,
-) -> list[int]:
-    """Distributed bitset build: returns the m_bits/64 words. Only
-    this list (m/8 bytes) ever reaches the driver."""
+) -> DataFrame:
+    """The bitset as a DISTRIBUTED (w int, word long) relation —
+    nonzero words only, never collected. The scale form: a 100 TB
+    corpus's bloom lives here and is probed by broadcast join
+    (``membership_via_join``); only the small-m fast path
+    (``build_bloom_words`` → literal) ever pulls it to the driver."""
     pos = None
     for i in range(k_hashes):
         p = keys.select(
@@ -43,16 +46,30 @@ def build_bloom_words(
             )
         )
         pos = p if pos is None else pos.union(p)
+    return (
+        pos.distinct()
+        .select(
+            (F.col("bit") / 64).cast("int").alias("w"),
+            (F.col("bit") % 64).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, b))").alias("word"))
+    )
+
+
+def build_bloom_words(
+    keys: DataFrame, key_col: str,
+    m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,
+) -> list[int]:
+    """Distributed bitset build: returns the m_bits/64 words. Only
+    this list (m/8 bytes) ever reaches the driver. For large m prefer
+    ``bloom_words_relation`` + ``membership_via_join``: the py4j hop
+    back into a Column literal costs ~150 µs/word (measured 151 s for
+    the 1M-word bitset a 4M-key corpus needs — SCALE.md)."""
     words = {
         r["w"]: r["word"]
-        for r in (
-            pos.distinct()
-            .select(
-                (F.col("bit") / 64).cast("int").alias("w"),
-                (F.col("bit") % 64).cast("int").alias("b"),
-            )
-            .groupBy("w")
-            .agg(F.expr("bit_or(shiftleft(1L, b))").alias("word"))
+        for r in bloom_words_relation(
+            keys, key_col, m_bits, k_hashes
         ).collect()
     }
     return [words.get(w, 0) for w in range(m_bits // 64)]
@@ -106,12 +123,7 @@ def membership_col(
     # shiftleft(1L, b) needs a literal shift in the Python API; a
     # 64-entry power table keeps this a pure Column expression
     # (1<<63 wraps to long min — the sign bit mask, AND still works)
-    pow2 = F.lit(
-        np.array(
-            [(1 << b) if b < 63 else -(1 << 63) for b in range(64)],
-            dtype=np.int64,
-        )
-    )
+    pow2 = F.lit(np.array(_POW2, dtype=np.int64))
     cond = None
     for i in range(k_hashes):
         h = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
@@ -120,6 +132,48 @@ def membership_col(
         test = word.bitwiseAND(bit) != 0
         cond = test if cond is None else cond & test
     return cond
+
+
+_POW2 = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
+def membership_via_join(
+    df: DataFrame, key_col: str, words: DataFrame,
+    m_bits: int = DEFAULT_M_BITS, k_hashes: int = DEFAULT_K_HASHES,
+    maybe_col: str = "maybe",
+) -> DataFrame:
+    """Large-m bloom membership: ``df`` + a boolean ``maybe_col``,
+    with the bitset probed as k BROADCAST JOINS against the
+    distributed (w, word) relation instead of a Column literal — the
+    bitset never reaches the driver and never bloats the plan (the
+    literal path pays ~150 µs/word in py4j transfer and re-serializes
+    the whole array into every task). Missing words are absent rows →
+    NULL → bit unset. Row multiplicity is preserved (w is unique in
+    ``words``; left joins)."""
+    import numpy as np
+
+    pow2 = F.lit(np.array(_POW2, dtype=np.int64))
+    out = df
+    tests = []
+    for i in range(k_hashes):
+        h = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        out = out.withColumn(f"__w{i}", (h / 64).cast("int")).withColumn(
+            f"__b{i}", (h % 64).cast("int")
+        )
+        wtab = words.select(
+            F.col("w").alias(f"__w{i}"), F.col("word").alias(f"__word{i}")
+        )
+        out = out.join(F.broadcast(wtab), f"__w{i}", "left")
+        bit = F.element_at(pow2, F.col(f"__b{i}") + F.lit(1))
+        tests.append(
+            F.col(f"__word{i}").isNotNull()
+            & (F.col(f"__word{i}").bitwiseAND(bit) != 0)
+        )
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    drop = [c for i in range(k_hashes) for c in (f"__w{i}", f"__b{i}", f"__word{i}")]
+    return out.withColumn(maybe_col, cond).drop(*drop)
 
 
 def bloom_prefiltered_join(

@@ -10,6 +10,7 @@ repeats the exact integer priority formula (BIGINT // — no floats).
 from __future__ import annotations
 
 from aggregator_spark.analytics_queries11 import (
+    LENGTH_PCTS,
     PREFIX_TOKENS,
     PRIORITY_PER_SOURCE_K,
     PRIORITY_SAMPLE_K,
@@ -141,6 +142,27 @@ ANALYTICS11_ORACLES = {
         FROM cells c JOIN tot t USING (lang)
     """,
 }
+
+_PCT_CASES = ",\n               ".join(
+    f"max(CASE WHEN p = ({k} * n + 99) // 100 THEN n_chars END) AS p{k}"
+    for k in LENGTH_PCTS
+)
+
+# PERCENTILE_DISC via the explicit closed form (ascending position
+# ceil(k*n/100), integer //) — deliberately NOT quantile_disc, whose
+# rounding convention would have to be trusted to match; this is the
+# same position arithmetic the Spark plan runs
+ANALYTICS11_ORACLES["length_percentiles_exact"] = """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS p,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {cases}
+    FROM r GROUP BY source
+""".format(cases=_PCT_CASES)
 
 # splice the shared lang_id fragment in (a plain replace keeps the
 # big f-string above readable)

@@ -154,6 +154,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "pq_adc_topk": 5.3,  # r10: 1.5x the 3.5 MB measure
     "pq_encode": 2.0,  # r10: floor (1.2 MB measured)
     "lang_id_confusion": 2.0,  # r10 seventh wave: floor
+    "length_percentiles_exact": 2.0,  # r10 eighth wave: floor
     "prepared_probes": 2.0,
     "priority_sample": 2.0,  # r10 fifth wave: floor
     "priority_sample_per_source": 2.0,  # r10 seventh wave: floor

@@ -198,9 +198,10 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked, so they MUST sit in the window — pytest-enforced),
 # then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
 # rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 20 of the 39-entry r6-age pool. The 19
+# then the alphabetically-FIRST 19 of the 39-entry r6-age pool. The 20
 # r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (embedding_quantize, heavy_bigrams,
+# per the same tie-break (embedding_normalize,
+# embedding_quantize, heavy_bigrams,
 # latest_event_per_user,
 # ngram_containment_pairs, pmi_collocations,
 # profile_events, regr_value_by_type, semantic_decontaminate,
@@ -260,6 +261,10 @@ DRIVER_WINDOW = [
     # embedding_quantize (same rule)
     "priority_sample_per_source",
     "lang_id_confusion",
+    # eighth wave: exact per-source percentiles (the deterministic
+    # twin of the rows-only approx-quantiles entry); slot from
+    # embedding_normalize (same rule)
+    "length_percentiles_exact",
     # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
     "textrank_keywords",
     "top_tokens",
@@ -289,7 +294,6 @@ DRIVER_WINDOW = [
     "dq_report",
     "dsir_weights",
     "dup_span_stats",
-    "embedding_normalize",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -297,3 +297,71 @@ def test_lang_id_confusion_is_a_proper_confusion_matrix(spark, sf_dir):
     # a tautology of the gold column)
     assert any(r["is_match"] for r in rows)
     assert any(not r["is_match"] for r in rows)
+
+
+def test_length_percentiles_exact_matches_python_replay(spark, sf_dir):
+    """Eighth wave: the bounded-rank PERCENTILE_DISC report equals a
+    pure-Python replay (sort per source, value at ceil(k*n/100))."""
+    from aggregator_spark.analytics_queries11 import (
+        LENGTH_PCTS,
+        q_length_percentiles_exact,
+    )
+
+    rows = (
+        load_testdata(spark, sf_dir, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(int(r["n_chars"]))
+    expected = {}
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        expected[src] = (n,) + tuple(
+            vals[(k * n + 99) // 100 - 1] for k in LENGTH_PCTS
+        )
+    got = {
+        r["source"]: (r["n_docs"],)
+        + tuple(r[f"p{k}"] for k in LENGTH_PCTS)
+        for r in q_length_percentiles_exact(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the report is non-degenerate: percentiles differ somewhere
+    assert any(v[1] != v[3] for v in got.values())
+
+
+def test_membership_via_join_agrees_with_literal(spark):
+    """The large-m join-probe strategy must pick exactly the literal
+    path's verdicts on the same bitset (SCALE.md: the literal's py4j
+    transfer is the sf100 killer; the join path is the scale form)."""
+    from aggregator_spark.operators.runtime_filter import (
+        bloom_words_relation,
+        build_bloom_words,
+        membership_col,
+        membership_via_join,
+    )
+
+    keys = spark.range(0, 2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    dim = spark.range(0, 600, 3).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    rel = bloom_words_relation(dim, "k", 8192, 3)
+    words = build_bloom_words(dim, "k", 8192, 3)
+    via_join = {
+        r["k"]: r["maybe"]
+        for r in membership_via_join(keys, "k", rel, 8192, 3).collect()
+    }
+    via_lit = {
+        r["k"]: bool(r["m"])
+        for r in keys.withColumn(
+            "m", membership_col(F.col("k"), words, 8192, 3)
+        ).collect()
+    }
+    assert via_join == via_lit
+    # row multiplicity preserved and members all present
+    assert len(via_join) == 2000
+    assert all(via_join[f"k{i}"] for i in range(0, 600, 3))
