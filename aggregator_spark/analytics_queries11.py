@@ -411,6 +411,42 @@ def q_length_percentiles_exact(
     return ranked.groupBy("source").agg(*aggs)
 
 
+# force multi-split reads of the single test container (500–5000
+# records) so the driver row exercises the offset-index split path
+WARCLITE_RECORDS_PER_SPLIT = 200
+
+
+def q_warclite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mime rollup of the documents corpus re-packed as a
+    warclite binary container and read back through
+    ``spark.read.format("warclite")`` (sources/warclite.py): the
+    offset-indexed-split custom batch source, with payload CONTENT
+    pinned by the oracle (distinct md5 of the bytes must equal the
+    distinct md5 of the parquet text — a corrupted length field or a
+    mis-seeked split cannot hash-match). records_per_split is set so
+    even the 500-doc container reads as multiple input splits."""
+    from aggregator_spark.sources.warclite import (
+        cached_documents_container,
+        register_warclite_source,
+    )
+
+    register_warclite_source(spark)
+    path = cached_documents_container(spark, sf_dir)
+    recs = (
+        spark.read.format("warclite")
+        .option("path", path)
+        .option("records_per_split", str(WARCLITE_RECORDS_PER_SPLIT))
+        .load()
+    )
+    return recs.groupBy("mime").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+        F.countDistinct(F.md5("payload")).cast("long").alias(
+            "distinct_payloads"
+        ),
+    )
+
+
 ANALYTICS11_QUERIES = {
     "perplexity_gate": q_perplexity_gate,
     "priority_sample": q_priority_sample,
@@ -418,4 +454,5 @@ ANALYTICS11_QUERIES = {
     "priority_sample_per_source": q_priority_sample_per_source,
     "lang_id_confusion": q_lang_id_confusion,
     "length_percentiles_exact": q_length_percentiles_exact,
+    "warclite_scan": q_warclite_scan,
 }

@@ -164,6 +164,17 @@ ANALYTICS11_ORACLES["length_percentiles_exact"] = """
     FROM r GROUP BY source
 """.format(cases=_PCT_CASES)
 
+# the container round-trip: payload bytes are the utf-8 text, so
+# strlen (DuckDB: VARCHAR byte length) and md5 (hashes utf-8 bytes)
+# pin the binary payloads exactly
+ANALYTICS11_ORACLES["warclite_scan"] = """
+    SELECT 'text/' || lang AS mime,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_payloads
+    FROM documents GROUP BY 1
+"""
+
 # splice the shared lang_id fragment in (a plain replace keeps the
 # big f-string above readable)
 ANALYTICS11_ORACLES["lang_id_confusion"] = ANALYTICS11_ORACLES[

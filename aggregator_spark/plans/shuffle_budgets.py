@@ -219,6 +219,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "unpivot_daily": 2.0,
     "user_type_arrays": 2.0,
     "value_bands": 2.0,
+    "warclite_scan": 2.0,  # r10 ninth wave: floor (splits -> one agg)
     "value_histogram": 2.0,
     "variant_ingest": 2.0,
     "variant_json_stats": 2.0,
