@@ -154,6 +154,38 @@ def register_warclite_source(spark) -> None:
     spark.dataSource.register(WarcliteDataSource)
 
 
+def write_containers(
+    df, out_dir: str, order_col: str = "doc_id"
+) -> None:
+    """DISTRIBUTED container writer: each partition of ``df``
+    (columns doc_id, mime, payload) writes one ``part-<id>.wlc`` via
+    ``foreachPartition`` — the production ingest path the module
+    docstring promises (the driver never sees a payload). Files land
+    under a temp name and rename into place so a re-run/retried task
+    never leaves a readable half-container (the footer+trailer are
+    only present in complete files — ``_read_footer`` rejects
+    anything else). Sort/partition the input beforehand if container
+    locality matters; records within a partition write in
+    ``order_col`` order for determinism under a fixed partitioning."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(it):
+        import uuid
+
+        rows = sorted(it, key=lambda r: r[order_col])
+        if not rows:
+            return
+        pid = uuid.uuid4().hex[:12]
+        tmp = os.path.join(out_dir, f".tmp-{pid}")
+        write_warclite(
+            tmp,
+            ((r["doc_id"], r["mime"], bytes(r["payload"])) for r in rows),
+        )
+        os.rename(tmp, os.path.join(out_dir, f"part-{pid}.wlc"))
+
+    df.select("doc_id", "mime", "payload").foreachPartition(write_part)
+
+
 # ------------------------------------------------- cached test corpus
 
 

@@ -192,6 +192,19 @@ EXCHANGE_PINS = {
     "perplexity_gate": (6, 2),
     "priority_sample": (0, 1),
     "dedup_bloom_ingest": (0, 1),
+    # waves 6-9. ppl e2e: the gate's rank plan + the shared
+    # fuzzy-dedup/span/pack pipeline (LM scores and fuzzy components
+    # checkpointed out). per-source priority: salted local top-k +
+    # winner rank + the |sources|-row tau broadcast. confusion: two
+    # aggregates + the totals broadcast. percentiles: local-rank +
+    # summary carry (single-level — lengths are discrete) + the carry
+    # join broadcast at sf0.001 (threshold-governed). warclite: the
+    # custom-source scan -> two-phase agg (countDistinct).
+    "corpus_prepare_ppl_e2e": (19, 8),
+    "priority_sample_per_source": (4, 1),
+    "lang_id_confusion": (2, 1),
+    "length_percentiles_exact": (4, 1),
+    "warclite_scan": (2, 0),
 }
 
 
