@@ -447,6 +447,39 @@ def q_warclite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_archive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline fed FROM THE ARCHIVE: the media-fixture
+    payloads (real PNG/WAV bytes) live in a warclite container on
+    disk, read back through the offset-indexed-split source, then run
+    the IDENTICAL decode→feature plan as ``media_features``
+    (analytics_queries4.features_from_media — real codecs, Arrow
+    batches). Same oracle as media_features: the encode→container→
+    split-read→decode round-trip is value-checked end to end, so a
+    mis-seeked split or a corrupted payload byte cannot hash-match.
+    This is the production shape — payloads come off storage as
+    splittable containers, never from an inline encoder."""
+    from aggregator_spark.analytics_queries4 import features_from_media
+    from aggregator_spark.sources.warclite import (
+        cached_media_container,
+        register_warclite_source,
+    )
+
+    register_warclite_source(spark)
+    path = cached_media_container(spark, sf_dir)
+    recs = (
+        spark.read.format("warclite")
+        .option("path", path)
+        .option("records_per_split", str(WARCLITE_RECORDS_PER_SPLIT))
+        .load()
+    )
+    media = recs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("mime").alias("kind"),
+        "payload",
+    )
+    return features_from_media(media)
+
+
 ANALYTICS11_QUERIES = {
     "perplexity_gate": q_perplexity_gate,
     "priority_sample": q_priority_sample,
@@ -455,4 +488,5 @@ ANALYTICS11_QUERIES = {
     "lang_id_confusion": q_lang_id_confusion,
     "length_percentiles_exact": q_length_percentiles_exact,
     "warclite_scan": q_warclite_scan,
+    "media_archive_features": q_media_archive_features,
 }

@@ -225,11 +225,6 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_payload,
         media_kind,
     )
-    from aggregator_spark.operators.multimodal import (
-        decode_image_features,
-        extract_audio_features,
-    )
-
     # Fan the doc_id column out to a HANDFUL of partitions, not full
     # scatter(): the sf0.1 documents file arrives as ONE split, which
     # serializes the codec work on one core — but each extra partition
@@ -270,6 +265,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(encode, media_schema)
+    return features_from_media(media)
+
+
+def features_from_media(media: DataFrame) -> DataFrame:
+    """The decode→feature tail of ``q_media_features`` — real codecs,
+    HALF_UP micro-unit serialization — factored so the container-fed
+    twin (``media_archive_features``, analytics_queries11) runs the
+    IDENTICAL plan over payloads that came off disk instead of from
+    the inline encoder. ``media``: (media_id long, kind string,
+    payload binary)."""
+    from aggregator_spark.operators.multimodal import (
+        decode_image_features,
+        extract_audio_features,
+    )
 
     def ser(col):  # float32 array → HALF_UP micro-unit csv
         return F.concat_ws(

@@ -175,6 +175,15 @@ ANALYTICS11_ORACLES["warclite_scan"] = """
     FROM documents GROUP BY 1
 """
 
+# the container-fed multimodal twin runs the IDENTICAL decode plan
+# over the archived payloads, so its oracle IS media_features' (the
+# quality_percentile_bucketed same-oracle-object precedent)
+from aggregator_spark.oracles_analytics4 import ANALYTICS4_ORACLES  # noqa: E402
+
+ANALYTICS11_ORACLES["media_archive_features"] = ANALYTICS4_ORACLES[
+    "media_features"
+]
+
 # splice the shared lang_id fragment in (a plain replace keeps the
 # big f-string above readable)
 ANALYTICS11_ORACLES["lang_id_confusion"] = ANALYTICS11_ORACLES[

@@ -133,6 +133,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "lateral_topk_orders": 2.0,
     "latest_event_per_user": 2.0,
     "map_user_type_counts": 2.0,
+    "media_archive_features": 2.0,  # r10 tenth wave: floor (scan -> decode)
     "media_features": 2.0,
     "median_value": 2.0,
     "minhash_est_accuracy": 8.8,

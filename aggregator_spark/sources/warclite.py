@@ -200,6 +200,47 @@ def warclite_cache_path(sf_dir: str) -> str:
     )
 
 
+def cached_media_container(spark, sf_dir: str) -> str:
+    """The media-fixture payloads (real PNG/WAV bytes keyed on doc_id,
+    operators/media_fixture.py) packed as a warclite container — the
+    on-disk archive the container-fed multimodal entry reads. Built
+    once per source content stamp."""
+    from aggregator_spark.operators.media_fixture import (
+        N_KEYS,
+        build_payload,
+        media_kind,
+    )
+    from aggregator_spark.sources.stamped_cache import _ensure_built, cache_dir
+
+    import pyarrow.parquet as pq
+
+    out = cache_dir(
+        sf_dir,
+        "documents.parquet",
+        "warcmedia",
+        code_modules=(
+            "aggregator_spark.sources.warclite",
+            "aggregator_spark.operators.media_fixture",
+        ),
+    )
+
+    def build(scratch: str) -> None:
+        os.makedirs(scratch, exist_ok=True)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).sort_by("doc_id")
+        recs = (
+            (d, media_kind(d), build_payload(d % N_KEYS))
+            for d in tbl.column("doc_id").to_pylist()
+        )
+        write_warclite(os.path.join(scratch, "media.wlc"), recs)
+
+    _ensure_built(
+        out, build, lambda d: bool(glob.glob(os.path.join(d, "*.wlc")))
+    )
+    return out
+
+
 def cached_documents_container(spark, sf_dir: str) -> str:
     """The documents table re-packed as a warclite container (payload
     = utf-8 text bytes, mime = 'text/<lang>'), built once per source

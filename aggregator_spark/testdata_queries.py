@@ -198,9 +198,10 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked, so they MUST sit in the window — pytest-enforced),
 # then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
 # rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 18 of the 39-entry r6-age pool. The 21
+# then the alphabetically-FIRST 17 of the 39-entry r6-age pool. The 22
 # r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (dup_span_stats, embedding_normalize,
+# per the same tie-break (dsir_weights, dup_span_stats,
+# embedding_normalize,
 # embedding_quantize, heavy_bigrams,
 # latest_event_per_user,
 # ngram_containment_pairs, pmi_collocations,
@@ -268,6 +269,10 @@ DRIVER_WINDOW = [
     # ninth wave: the warclite offset-indexed binary container source
     # (payload content pinned by the oracle); slot from dup_span_stats
     "warclite_scan",
+    # tenth wave: the container-fed multimodal pipeline (archive →
+    # splits → real codecs, media_features' oracle); slot from
+    # dsir_weights (same rule)
+    "media_archive_features",
     # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
     "textrank_keywords",
     "top_tokens",
@@ -295,7 +300,6 @@ DRIVER_WINDOW = [
     "dedup_incremental",
     "dedup_span_rewrite",
     "dq_report",
-    "dsir_weights",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
