@@ -103,11 +103,14 @@ class WarcliteReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("warclite source requires .option('path', ...)")
-        self._files = (
-            sorted(glob.glob(os.path.join(path, "*.wlc")))
-            if os.path.isdir(path)
-            else [path]
-        )
+        if os.path.isdir(path):
+            self._files = sorted(glob.glob(os.path.join(path, "*.wlc")))
+        elif os.path.isfile(path):
+            self._files = [path]
+        else:
+            # fail at option-validation time, not as a late
+            # FileNotFoundError inside partitions()
+            self._files = []
         if not self._files:
             raise ValueError(f"no .wlc containers under {path}")
         self._per_split = int(
@@ -166,22 +169,28 @@ def write_containers(
     only present in complete files — ``_read_footer`` rejects
     anything else). Sort/partition the input beforehand if container
     locality matters; records within a partition write in
-    ``order_col`` order for determinism under a fixed partitioning."""
+    ``order_col`` order for determinism under a fixed partitioning.
+    Output names are the DETERMINISTIC partition id (not a uuid), so
+    a task retry or speculative attempt re-renames the same bytes
+    over the same ``part-<pid>.wlc`` instead of adding a duplicate
+    container; the temp name carries the attempt number so two live
+    attempts never interleave writes into one temp file."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(it):
-        import uuid
+        from pyspark import TaskContext
 
         rows = sorted(it, key=lambda r: r[order_col])
         if not rows:
             return
-        pid = uuid.uuid4().hex[:12]
-        tmp = os.path.join(out_dir, f".tmp-{pid}")
+        ctx = TaskContext.get()
+        pid, att = ctx.partitionId(), ctx.taskAttemptId()
+        tmp = os.path.join(out_dir, f".tmp-{pid:05d}-{att}")
         write_warclite(
             tmp,
             ((r["doc_id"], r["mime"], bytes(r["payload"])) for r in rows),
         )
-        os.rename(tmp, os.path.join(out_dir, f"part-{pid}.wlc"))
+        os.rename(tmp, os.path.join(out_dir, f"part-{pid:05d}.wlc"))
 
     df.select("doc_id", "mime", "payload").foreachPartition(write_part)
 

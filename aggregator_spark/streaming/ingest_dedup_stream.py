@@ -74,14 +74,30 @@ def _prior_batches(root: str, sub: str, batch_id: int) -> list[str]:
     return sorted(out)
 
 
+def _base_dir(root: str, sub: str) -> str | None:
+    """The compacted base for ``sub``, crash-tolerantly: prefer the
+    final dir; if a compaction crashed between parking the old base
+    aside and renaming the new one into place, the ``.old`` dir (plus
+    the still-undeleted delta dirs) IS the complete old state — serve
+    it rather than silently dropping every fingerprint whose deltas
+    the PRIOR compaction already folded away."""
+    final = _p(root, "base", sub)
+    if os.path.isdir(final):
+        return final
+    old = final + ".old"
+    if os.path.isdir(old):
+        return old
+    return None
+
+
 def _served_bloom_words(
     spark: SparkSession, root: str, batch_id: int
 ) -> list[int] | None:
     """OR of every prior wave's word deltas (+ the compacted base) —
     exact for any wave grouping because bits only turn on."""
     paths = _prior_batches(root, "bloom", batch_id)
-    base = _p(root, "base", "bloom")
-    if os.path.isdir(base):
+    base = _base_dir(root, "bloom")
+    if base is not None:
         paths.append(base)
     if not paths:
         return None
@@ -102,8 +118,8 @@ def _served_fps(
 ) -> DataFrame | None:
     """Distinct fingerprints of every prior wave (+ compacted base)."""
     paths = _prior_batches(root, "fps", batch_id)
-    base = _p(root, "base", "fps")
-    if os.path.isdir(base):
+    base = _base_dir(root, "fps")
+    if base is not None:
         paths.append(base)
     if not paths:
         return None
@@ -213,13 +229,21 @@ def served_verdicts(spark: SparkSession, root: str) -> DataFrame:
 def compact(spark: SparkSession, root: str) -> None:
     """Log-structured compaction: fold the fp deltas (+ any base) into
     one distinct base and the bloom deltas into one OR'd base, then
-    drop the delta dirs. Temp-dir + rename per relation, so a crash
-    leaves old-or-new state, never half-merged. The serving plans are
-    identical before and after (pinned in the tests)."""
+    drop the delta dirs. Per relation: new base to a temp dir, old
+    base PARKED ASIDE (``<sub>.old``), temp renamed into place, delta
+    dirs dropped, ``.old`` dropped LAST — so a crash at any point
+    leaves a complete serving state (``_base_dir`` falls back to
+    ``.old`` while the final dir is missing, and the delta dirs
+    outlive both renames). The serving plans are identical before and
+    after (pinned in the tests)."""
     import shutil
 
     # build both new generations BEFORE touching the old state
     fps = _served_fps(spark, root, batch_id=1 << 60)
+    if fps is None:
+        raise ValueError(
+            f"nothing to compact under {root}: no fp deltas or base"
+        )
     words = _served_bloom_words(spark, root, batch_id=1 << 60)
     fps.write.mode("overwrite").parquet(_p(root, "base", "_fps_tmp"))
     spark.createDataFrame(
@@ -230,6 +254,10 @@ def compact(spark: SparkSession, root: str) -> None:
     )
     for sub, tmp in (("fps", "_fps_tmp"), ("bloom", "_bloom_tmp")):
         final = _p(root, "base", sub)
-        shutil.rmtree(final, ignore_errors=True)
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, old)
         os.rename(_p(root, "base", tmp), final)
         shutil.rmtree(_p(root, sub), ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)

@@ -229,77 +229,51 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # round-10 NEW entries: union-candidate fuzzy dedup (verified LSH
-    # edges UNION SimHash edges — VERDICT r9 item 4), the per-source
-    # contamination report (item 6), the candidate-family overlap
-    # evidence table, and the continuous-score percentile gate (the
-    # two-level-carry regime, ADVICE r9 medium). The last two take the
-    # slots of semantic_dedup / session_window_native — the
-    # alphabetically-last r6-pool entries per the stated tie-break;
-    # both rotate first in r11 and stay covered by the local sweep
-    "dedup_fuzzy_keep_union",
-    "contamination_by_source",
-    "dedup_family_overlap",
-    "quality_percentile_continuous",
-    # the PQ pair (deterministic ANN compression + ADC search — the
-    # oracled counterpart to the rows-only LSH/IVF routing); slots
-    # from regr_value_by_type / semantic_decontaminate (same rule)
-    "pq_encode",
-    "pq_adc_topk",
-    # fifth wave (CCNet perplexity gate, priority sampling, bloom
-    # ingest dedup); slots from ngram_containment_pairs /
-    # pmi_collocations / profile_events — the alphabetically-last
-    # r6-age entries remaining in the window (same tie-break; they
-    # keep their r6 rows, age cur-4, and rotate FIRST in r11)
-    "perplexity_gate",
-    "priority_sample",
-    "dedup_bloom_ingest",
-    # sixth wave: the perplexity gate composed into the e2e pipeline
-    # (keep_ids seam); slot from latest_event_per_user (same rule)
-    "corpus_prepare_ppl_e2e",
-    # seventh wave: per-source priority sampling (two-phase top-k) and
-    # the lang-ID calibration report; slots from heavy_bigrams /
-    # embedding_quantize (same rule)
-    "priority_sample_per_source",
-    "lang_id_confusion",
-    # eighth wave: exact per-source percentiles (the deterministic
-    # twin of the rows-only approx-quantiles entry); slot from
-    # embedding_normalize (same rule)
-    "length_percentiles_exact",
-    # ninth wave: the warclite offset-indexed binary container source
-    # (payload content pinned by the oracle); slot from dup_span_stats
-    "warclite_scan",
-    # tenth wave: the container-fed multimodal pipeline (archive →
-    # splits → real codecs, media_features' oracle); slot from
-    # dsir_weights (same rule)
-    "media_archive_features",
-    # the seven r5-age stragglers rotate FIRST (VERDICT r9 item 1)
-    "textrank_keywords",
-    "top_tokens",
-    "type_entropy",
-    "value_histogram",
-    "variant_json_stats",
-    "weekday_bitmap",
-    "window_value_funcs",
-    # the alphabetically-first 30 of the r6-age pool (the rows-only
-    # ANN/approx entries take their periodic rows-only row here)
-    "ann_topk_ivf",
-    "ann_topk_lsh",
-    "approx_distinct_daily",
-    "approx_quantiles_daily",
-    "asof_click_purchase",
-    "asof_click_purchase_bucketed",
-    "bigram_logprob",
-    "bm25_search",
-    "bpe_encode_docs",
-    "bpe_merges",
-    "clicks_before_purchase",
-    "cms_user_counts",
-    "corpus_keep_list",
-    "dedup_fuzzy_keep",
-    "dedup_incremental",
-    "dedup_span_rewrite",
-    "dq_report",
+    # the WHOLE 22-entry r6-age pool rotates this round (VERDICT r10
+    # item 1: at r11 every pool entry sits exactly at the r6 = cur-5
+    # boundary, so none may wait another round)
+    "dsir_weights",
+    "dup_span_stats",
+    "embedding_normalize",
+    "embedding_quantize",
+    "heavy_bigrams",
+    "latest_event_per_user",
+    "ngram_containment_pairs",
+    "pmi_collocations",
+    "profile_events",
+    "regr_value_by_type",
+    "semantic_decontaminate",
+    "semantic_dedup",
+    "session_window_native",
+    "sessionize",
+    "temperature_mix",
+    "tpch_q18_big_orders",
+    "tpch_q3",
+    "tumbling_hourly",
+    "user_type_arrays",
+    "video_frames",
+    "zscore_outliers",
+    "zscore_outliers_bucketed",
+    # remaining 17 slots: r11 novelties displace (alphabetically-last
+    # first, the standing tie-break) the alphabetically-first entries
+    # of the r7-age pool below, which pre-rotate a round early
+    "bm25_rrf_rerank",
+    "corpus_prepare_e2e",
+    "dedup_cluster_sizes",
+    "distinct_users_daily",
+    "eval_split_quota",
+    "grouping_sets_daily",
+    "json_props",
+    "median_value",
+    "mix_waterfill",
+    "pack_efficiency",
+    "pivot_daily",
+    "rollup_orders",
+    "salted_type_counts",
+    "set_ops_users",
+    "sliding_halfhour",
+    "string_funcs",
+    "top_events_per_type",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

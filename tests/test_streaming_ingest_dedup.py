@@ -157,3 +157,52 @@ def test_bloom_fast_path_carries_traffic(spark, tmp_path):
     expected = _expected_verdicts()
     true_dups = {d for d in ids if not expected[d]}
     assert true_dups and true_dups <= maybe
+
+
+def test_compact_on_empty_store_raises(spark, tmp_path):
+    """compact() on a store with no deltas and no base must fail with
+    a clear ValueError, not an AttributeError on a None frame."""
+    import pytest
+
+    with pytest.raises(ValueError, match="nothing to compact"):
+        compact(spark, str(tmp_path / "empty_store"))
+
+
+def test_compaction_crash_window_serves_old_state(spark, tmp_path):
+    """A crash between parking the old base aside (base/<sub>.old)
+    and renaming the new one into place must NOT lose fingerprints
+    whose deltas a PRIOR compaction already folded away: _base_dir
+    falls back to the .old dir, and a re-run of compact() heals the
+    store back to the exact pre-crash serving state."""
+    import shutil
+
+    root = str(tmp_path / "ingest_crash")
+    run_ingest_dedup_stream(spark, SF, root, n_waves=N_WAVES, max_waves=2)
+    compact(spark, root)  # generation 1: wave deltas folded + dropped
+    run_ingest_dedup_stream(spark, SF, root, n_waves=N_WAVES)
+    big = 1 << 60
+    fps_expected = sorted(
+        r["fp"] for r in _served_fps(spark, root, big).collect()
+    )
+    words_expected = _served_bloom_words(spark, root, big)
+    # simulate the crash: old base parked aside, new base not yet in
+    # place (the exact window ADVICE r10 flagged)
+    for sub in ("fps", "bloom"):
+        final = os.path.join(root, "base", sub)
+        os.rename(final, final + ".old")
+    assert sorted(
+        r["fp"] for r in _served_fps(spark, root, big).collect()
+    ) == fps_expected
+    assert _served_bloom_words(spark, root, big) == words_expected
+    # recovery: a fresh compact() reads .old + deltas and rebuilds
+    compact(spark, root)
+    for sub in ("fps", "bloom"):
+        assert os.path.isdir(os.path.join(root, "base", sub))
+        assert not os.path.isdir(os.path.join(root, "base", sub + ".old"))
+        assert not os.path.isdir(os.path.join(root, sub))
+    assert sorted(
+        r["fp"] for r in _served_fps(spark, root, big).collect()
+    ) == fps_expected
+    assert _served_bloom_words(spark, root, big) == words_expected
+    assert _got(spark, root) == _expected_verdicts()
+    shutil.rmtree(root, ignore_errors=True)

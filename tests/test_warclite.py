@@ -141,3 +141,44 @@ def test_distributed_sink_roundtrip(spark, tmp_path):
     assert got == {
         i: (f"t/{i % 3}", str(i).encode()) for i in range(200)
     }
+
+
+def test_nonexistent_path_rejected_at_option_validation(tmp_path):
+    """A path that is neither a file nor a dir must fail reader
+    construction with the same ValueError as an empty directory, not
+    surface later as FileNotFoundError inside partitions()."""
+    from aggregator_spark.sources.warclite import WarcliteReader
+
+    with pytest.raises(ValueError, match="no .wlc containers"):
+        WarcliteReader({"path": str(tmp_path / "never_written.wlc")})
+
+
+def test_sink_rerun_overwrites_instead_of_duplicating(spark, tmp_path):
+    """A retried/speculative task re-renames the same bytes over the
+    same deterministic part-<pid>.wlc — re-running the whole sink
+    (every task 'retried') must leave the same file set and the same
+    records, never a second container per partition."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.sources.warclite import write_containers
+
+    df = (
+        spark.range(0, 60)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("t/x").alias("mime"),
+            F.col("id").cast("string").cast("binary").alias("payload"),
+        )
+        .repartition(3, "doc_id")
+    )
+    out = str(tmp_path / "sink_retry")
+    write_containers(df, out)
+    files_once = sorted(g.glob(out + "/*.wlc"))
+    write_containers(df, out)  # simulate every task retrying
+    assert sorted(g.glob(out + "/*.wlc")) == files_once
+    got = sorted(
+        r["doc_id"] for r in _read(spark, out, per_split=25).collect()
+    )
+    assert got == list(range(60))
