@@ -73,6 +73,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     # downstream stage shuffles ~2.7x topp's survivor volume, plus
     # the LM scoring joins (25.7 MB measured; 1.5x cap)
     "corpus_prepare_ppl_e2e": 38.5,
+    "corpus_shard_emit": 2.0,  # r11 first wave: floor (1.2 MB measured)
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,
     "corpus_train_split_e2e": 45.6,
@@ -149,6 +150,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "pack_efficiency": 2.0,
     "pack_sequences": 2.0,
     "perplexity_gate": 2.0,  # r10 fifth wave: floor
+    "shard_manifest": 2.0,  # r11 first wave: floor (1.2 MB measured)
     "pii_redact": 2.0,
     "pivot_daily": 2.0,
     "pmi_collocations": 2.0,

@@ -272,8 +272,11 @@ DRIVER_WINDOW = [
     "salted_type_counts",
     "set_ops_users",
     "sliding_halfhour",
-    "string_funcs",
-    "top_events_per_type",
+    # r11 first wave: deterministic training-shard emission (VERDICT
+    # r10 item 3); slots from string_funcs / top_events_per_type (the
+    # alphabetically-last fill entries, per the standing tie-break)
+    "corpus_shard_emit",
+    "shard_manifest",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
@@ -303,6 +306,7 @@ def queries():
     from aggregator_spark.analytics_queries9 import ANALYTICS9_QUERIES
     from aggregator_spark.analytics_queries10 import ANALYTICS10_QUERIES
     from aggregator_spark.analytics_queries11 import ANALYTICS11_QUERIES
+    from aggregator_spark.analytics_queries12 import ANALYTICS12_QUERIES
     from aggregator_spark.graph_queries import GRAPH_QUERIES
     from aggregator_spark.index_queries import INDEX_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
@@ -329,6 +333,7 @@ def queries():
     qs.update(ANALYTICS9_QUERIES)
     qs.update(ANALYTICS10_QUERIES)
     qs.update(ANALYTICS11_QUERIES)
+    qs.update(ANALYTICS12_QUERIES)
     qs.update(GRAPH_QUERIES)
     qs.update(LLM_QUERIES)
     qs.update(INDEX_QUERIES)

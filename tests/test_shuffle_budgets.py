@@ -205,6 +205,14 @@ EXCHANGE_PINS = {
     "lang_id_confusion": (2, 1),
     "length_percentiles_exact": (4, 1),
     "warclite_scan": (2, 0),
+    # r11 first wave: chunk->pack->rollup checkpointed once (the ppl
+    # lesson: the bounded-rank plan reads its input from local +
+    # carry branches), then the two-level-carry rank: local window +
+    # summary agg + coarse rollup + carry windows + final gather; the
+    # 2 broadcasts are the summary-sized carry joins
+    # (threshold-governed, degrade to shuffle joins at scale)
+    "corpus_shard_emit": (6, 2),
+    "shard_manifest": (7, 2),
 }
 
 
