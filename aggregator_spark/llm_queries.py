@@ -737,6 +737,7 @@ def corpus_prepare_kept_docs(
     embeddings: DataFrame | None = None,
     semantic_max_cluster: int | None = None,
     keep_ids: DataFrame | None = None,
+    fuzzy_union: bool = False,
 ) -> DataFrame:
     """The KEEP decision layers of the composed pipeline — quality
     gate → fuzzy dedup → optional SEMANTIC dedup — returning the
@@ -762,12 +763,22 @@ def corpus_prepare_kept_docs(
     by the per-source quality PERCENTILE (FineWeb-style top-p%)
     instead of the absolute keep-list conjunction, with every
     downstream stage untouched (None keeps the default gate
-    byte-identical)."""
+    byte-identical).
+
+    ``fuzzy_union`` swaps the DEDUP stage for the union-candidate
+    configuration (``fuzzy_dedup_keep_union``: verified MinHash-LSH
+    edges UNION SimHash Hamming edges over the gate survivors — the
+    complementary-recall production setup); both candidate families
+    run over the SURVIVOR corpus, and every other stage is
+    byte-identical."""
     if keep_ids is None:
         keep_ids = corpus_keep_flags(docs).filter("keep").select("doc_id")
     keep_ids = keep_ids.localCheckpoint(eager=True)
     survivors = docs.join(keep_ids, "doc_id")
-    fuzzy = D.minhash_dedup_keep(
+    dedup_fn = D.fuzzy_dedup_keep_union if fuzzy_union else (
+        D.minhash_dedup_keep
+    )
+    fuzzy = dedup_fn(
         survivors,
         threshold=JACCARD_THRESHOLD,
         buckets=buckets.join(keep_ids, "doc_id"),
@@ -798,6 +809,7 @@ def corpus_prepare(
     semantic_max_cluster: int | None = None,
     line_df_threshold: int | None = None,
     keep_ids: DataFrame | None = None,
+    fuzzy_union: bool = False,
 ) -> DataFrame:
     """DataFrame-in form of the composed pipeline (see
     ``q_corpus_prepare_e2e`` for the full stage description; the
@@ -823,7 +835,8 @@ def corpus_prepare(
     vs the hand-composed chain in test_llm_ops.py; the windowed
     composed entry is an r10 candidate)."""
     kept = corpus_prepare_kept_docs(
-        docs, buckets, embeddings, semantic_max_cluster, keep_ids
+        docs, buckets, embeddings, semantic_max_cluster, keep_ids,
+        fuzzy_union=fuzzy_union,
     )
     if line_df_threshold is not None:
         kept = (
@@ -1384,6 +1397,25 @@ def q_corpus_prepare_ppl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prepare_union_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``corpus_prepare_e2e`` with the DEDUP stage swapped for the
+    union-candidate configuration (VERDICT r10 item 6): quality gate →
+    ``fuzzy_dedup_keep_union`` over the gate survivors (verified
+    MinHash-LSH Jaccard edges UNION SimHash Hamming edges, components
+    over the union — the complementary-recall production dedup the
+    standalone ``dedup_fuzzy_keep_union`` entry grades) → span removal
+    → chunk → pack, every non-dedup stage byte-identical to the base
+    pipeline via the ``fuzzy_union`` seam. Returns (doc_id, chunk_id,
+    pack_group, seq_bin, n_tokens)."""
+    return corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+        fuzzy_union=True,
+    )
+
+
 def q_span_rewrite_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1845,6 +1877,7 @@ LLM_QUERIES = {
     "corpus_prepare_line_e2e": q_corpus_prepare_line_e2e,
     "corpus_prepare_topp_e2e": q_corpus_prepare_topp_e2e,
     "corpus_prepare_ppl_e2e": q_corpus_prepare_ppl_e2e,
+    "corpus_prepare_union_e2e": q_corpus_prepare_union_e2e,
     "quality_percentile": q_quality_percentile,
     "quality_percentile_bucketed": q_quality_percentile_bucketed,
     "quality_percentile_continuous": q_quality_percentile_continuous,

@@ -769,3 +769,85 @@ PIPELINE_ORACLES["curriculum_ablation"] = f"""
                        AS BIGINT) END AS util_micro
     FROM counts c LEFT JOIN agg a USING (stratum, bin)
 """
+
+
+# ---------------------------------------------------------------------
+# corpus_prepare_union_e2e (llm_queries.q_corpus_prepare_union_e2e):
+# the e2e pipeline with the DEDUP stage widened to the union-candidate
+# configuration — the fz closure takes verified-Jaccard edges UNION the
+# simhash_near_dup pairs, BOTH families computed over the quality
+# survivors (the simhash fragment re-targeted at qsurv, the same
+# controlled substitution as the shingle CTEs); keepq and every
+# downstream CTE are the base oracle verbatim. The simhash subquery is
+# MATERIALIZED because the closure references edges multiply (the
+# DuckDB CTE-inlining trap, dedup_fuzzy_keep_union precedent).
+_SIMHASH_Q = _retarget(LLM_ORACLES["simhash_near_dup"], "qsurv")
+
+PIPELINE_ORACLES["corpus_prepare_union_e2e"] = f"""
+    WITH keepq AS ({LLM_ORACLES["corpus_keep_list"]}),
+    qsurv AS (
+      SELECT d.* FROM documents d JOIN keepq k USING (doc_id)
+      WHERE k.keep),
+    fz AS (
+      WITH RECURSIVE {_SH_Q},
+      sigs AS (
+        SELECT doc_id,
+           {_MH_COLS}
+        FROM sh),
+      buckets AS (
+{_BAND_SELECTS}
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id),
+      ver AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT c.doc_a, c.doc_b,
+                 len(list_intersect(a.shingles, b.shingles)) AS ic,
+                 len(a.shingles) AS na, len(b.shingles) AS nb
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b)
+        WHERE ic > 0
+          AND round(CAST(ic AS DOUBLE) / (na + nb - ic), 6)
+              >= {JACCARD_THRESHOLD}),
+      sim AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_SIMHASH_Q})),
+      uni AS (
+        SELECT doc_a, doc_b FROM ver
+        UNION
+        SELECT doc_a, doc_b FROM sim),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM uni
+        UNION
+        SELECT doc_b, doc_a FROM uni),
+      reach(node, lab) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+      SELECT q.doc_id FROM qsurv q LEFT JOIN comp c ON q.doc_id = c.node
+      WHERE q.doc_id = COALESCE(c.component, q.doc_id)),
+    fkept AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN fz USING (doc_id)),
+    rewritten AS (
+      SELECT doc_id, clean_text FROM ({_SPAN_KEPT})),
+    src2 AS (
+      SELECT doc_id, clean_text AS text FROM rewritten
+      WHERE clean_text <> ''),
+    packed AS (
+      WITH {_CHUNKS_RW}
+      SELECT doc_id, chunk_id,
+             CAST(doc_id % {DEFAULT_PACK_GROUPS} AS INT) AS pack_group,
+             n_tokens
+      FROM chunks)
+    SELECT doc_id, chunk_id, pack_group,
+           CAST(floor((SUM(n_tokens) OVER (
+                  PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+                / {DEFAULT_PACK_BUDGET}) AS INT) AS seq_bin,
+           n_tokens
+    FROM packed
+"""

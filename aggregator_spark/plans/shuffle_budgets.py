@@ -73,6 +73,9 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     # downstream stage shuffles ~2.7x topp's survivor volume, plus
     # the LM scoring joins (25.7 MB measured; 1.5x cap)
     "corpus_prepare_ppl_e2e": 38.5,
+    # r11 second wave: 31.3 MB measured sf0.1 — the base e2e's LSH
+    # stages plus the SimHash family over the same survivors
+    "corpus_prepare_union_e2e": 47.0,
     "corpus_shard_emit": 2.0,  # r11 first wave: floor (1.2 MB measured)
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,

@@ -271,12 +271,15 @@ DRIVER_WINDOW = [
     "rollup_orders",
     "salted_type_counts",
     "set_ops_users",
-    "sliding_halfhour",
     # r11 first wave: deterministic training-shard emission (VERDICT
     # r10 item 3); slots from string_funcs / top_events_per_type (the
     # alphabetically-last fill entries, per the standing tie-break)
     "corpus_shard_emit",
     "shard_manifest",
+    # r11 second wave: the union-candidate dedup threaded through the
+    # composed pipeline (VERDICT r10 item 6); slot from
+    # sliding_halfhour (same rule)
+    "corpus_prepare_union_e2e",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

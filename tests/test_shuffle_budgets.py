@@ -213,6 +213,11 @@ EXCHANGE_PINS = {
     # (threshold-governed, degrade to shuffle joins at scale)
     "corpus_shard_emit": (6, 2),
     "shard_manifest": (7, 2),
+    # r11 second wave: the base e2e's gate+LSH+span+pack exchanges
+    # plus the SimHash candidate family (banded self-join + verify)
+    # over the same survivors; broadcasts are the survivor-id/carry
+    # joins (threshold-governed at sf0.001)
+    "corpus_prepare_union_e2e": (19, 8),
 }
 
 
