@@ -1,0 +1,250 @@
+"""Streaming multimodal ingest from LANDED WARCLITE CONTAINERS —
+closing the loop VERDICT r10 item 7 asked for: the batch multimodal
+pipeline reads archived containers (``media_archive_features``); this
+module is its standing-ingest twin. Containers land in a directory,
+each micro-batch folds the newly-landed records through ingest-time
+payload dedup, and ONLY first-seen payloads pay the decode.
+
+Shape::
+
+    warcland source (landing-dir watcher; offset = #files consumed,
+                     files in name order — exact replay)
+      → foreachBatch (batch N):
+          fp      = md5(payload)                     (JVM-side)
+          verdict = bloom fast path + exact verify vs batches < N
+                    (the ingest_dedup_stream discipline, same store
+                     layout/compaction — its compact() works here)
+          decode  = features_from_media over ONE representative per
+                    first-seen fp (real PNG/WAV codecs), features
+                    copied to every new doc of that fp
+          writes verdicts/batch_id=N, fps/batch_id=N, bloom/batch_id=N,
+                 features/batch_id=N                 (all overwrite-keyed)
+
+Exactly-once: same argument as ingest_dedup_stream — every read is
+self-excluding (batch_id < N), every write overwrites its own
+batch_id dir, so a retried fold reproduces itself byte-identically.
+
+Scale notes: the dedup probe cost is flat per arriving record at any
+archive size (bloom words + the maybe-sliver verify join); decode work
+is proportional to NEW DISTINCT payloads, not arrivals — the whole
+point of ingest-time dedup for a media crawl where the same asset
+arrives from thousands of pages. The landing source here is a
+SimpleDataSourceStreamReader (driver-side read, the Spark API's
+simple form) — fine for the landing-watcher role at test scale; a
+production source pairs the same offset log with the batch warclite
+reader's offset-indexed splits so payload bytes never pass through
+the driver (sources/warclite.py already implements that split logic).
+
+Reference analogue: the reference's S3 landing loop (main.py download
+step) — files arrive, get folded once, serve queries; here the fold
+is dedup+decode instead of a COPY.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    SimpleDataSourceStreamReader,
+)
+
+from aggregator_spark.sources.warclite import WARCLITE_SCHEMA
+from aggregator_spark.streaming.ingest_dedup_stream import (
+    STREAM_BLOOM_K,
+    STREAM_BLOOM_M,
+    _p,
+    _served_bloom_words,
+    _served_fps,
+)
+
+
+class WarcLandStreamReader(SimpleDataSourceStreamReader):
+    """Landing-dir watcher: offset = how many containers (name order)
+    have been consumed. A container is immutable once landed (the
+    write_warclite temp+rename discipline), so files[start:end] is a
+    pure function of the offsets — the replay contract
+    ``readBetweenOffsets`` answers checkpoint recovery with."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warcland source requires .option('path', ...)")
+        self.path = path
+
+    def _files(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.wlc")))
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        from aggregator_spark.sources.warclite import _read_footer
+
+        import struct
+
+        out: list[tuple] = []
+        for p in files:
+            offsets = _read_footer(p)
+            with open(p, "rb") as f:
+                f.seek(offsets[0] if offsets else 0)
+                for _ in offsets:
+                    doc_id, mlen = struct.unpack(">qH", f.read(10))
+                    mime = f.read(mlen).decode()
+                    (plen,) = struct.unpack(">I", f.read(4))
+                    out.append((doc_id, mime, f.read(plen)))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
+        files = self._files()
+        n = start["n"]
+        if n >= len(files):
+            return iter([]), {"n": n}
+        return iter(self._rows(files[n:])), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._rows(self._files()[start["n"] : end["n"]]))
+
+
+class WarcLandDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warcland"
+
+    def schema(self) -> T.StructType:
+        return WARCLITE_SCHEMA
+
+    def simpleStreamReader(
+        self, schema: T.StructType
+    ) -> WarcLandStreamReader:
+        return WarcLandStreamReader(dict(self.options))
+
+
+def register_warcland_source(spark: SparkSession) -> None:
+    spark.dataSource.register(WarcLandDataSource)
+
+
+def ingest_media_batch(
+    batch_df: DataFrame, batch_id: int, root: str
+) -> None:
+    """Fold one landed wave: payload-fingerprint verdicts from the
+    PRE-wave state, decode features for one representative per
+    first-seen fingerprint, append this batch's deltas."""
+    from aggregator_spark.analytics_queries4 import features_from_media
+    from aggregator_spark.operators.runtime_filter import (
+        build_bloom_words,
+        membership_col,
+    )
+
+    spark = batch_df.sparkSession
+    if not batch_df.take(1):
+        return
+    recs = batch_df.select(
+        "doc_id", "mime", "payload", F.md5("payload").alias("fp")
+    ).localCheckpoint(eager=True)
+
+    prior = _served_fps(spark, root, batch_id)
+    fps = recs.select("doc_id", "fp")
+    if prior is None:
+        verdicts = fps.select("doc_id", "fp", F.lit(True).alias("is_new"))
+    else:
+        words = _served_bloom_words(spark, root, batch_id)
+        marked = fps.withColumn(
+            "maybe",
+            membership_col(
+                F.col("fp"), words, m_bits=STREAM_BLOOM_M,
+                k_hashes=STREAM_BLOOM_K,
+            ),
+        )
+        hits = prior.withColumn("hit", F.lit(True))
+        verified = (
+            marked.filter(F.col("maybe"))
+            .join(hits, "fp", "left")
+            .select("doc_id", "fp", F.col("hit").isNull().alias("is_new"))
+        )
+        misses = marked.filter(~F.col("maybe")).select(
+            "doc_id", "fp", F.lit(True).alias("is_new")
+        )
+        verdicts = verified.unionByName(misses)
+    verdicts = verdicts.localCheckpoint(eager=True)
+    verdicts.write.mode("overwrite").parquet(
+        _p(root, "verdicts", f"batch_id={batch_id}")
+    )
+
+    # decode once per FIRST-SEEN fingerprint: representative = min
+    # doc_id of the fp within the batch; features copied back to every
+    # new doc of that fp (identical bytes ⇒ identical features)
+    new = verdicts.filter("is_new")
+    rep_ids = new.groupBy("fp").agg(F.min("doc_id").alias("media_id"))
+    rep = rep_ids.join(
+        recs.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("mime").alias("kind"),
+            "payload",
+        ),
+        "media_id",
+    )
+    feats = features_from_media(rep.select("media_id", "kind", "payload"))
+    out = (
+        new.select("doc_id", "fp")
+        .join(rep_ids, "fp")
+        .join(feats, "media_id")
+        .drop("media_id")
+    )
+    out.write.mode("overwrite").parquet(
+        _p(root, "features", f"batch_id={batch_id}")
+    )
+
+    # this batch's state deltas (same layout as ingest_dedup_stream,
+    # so its compact() applies to this store unchanged)
+    fps.select("fp").distinct().write.mode("overwrite").parquet(
+        _p(root, "fps", f"batch_id={batch_id}")
+    )
+    wave_words = build_bloom_words(
+        fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
+    )
+    spark.createDataFrame(
+        [(w, word) for w, word in enumerate(wave_words) if word != 0],
+        "w INT, word BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _p(root, "bloom", f"batch_id={batch_id}")
+    )
+
+
+def run_warclite_ingest_stream(
+    spark: SparkSession, landing_dir: str, root: str
+) -> None:
+    """Drain every landed container into the store (one drain = one
+    micro-batch of all not-yet-consumed containers)."""
+    register_warcland_source(spark)
+    stream = (
+        spark.readStream.format("warcland")
+        .option("path", landing_dir)
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: ingest_media_batch(df, bid, root)
+        )
+        .option("checkpointLocation", _p(root, "checkpoint"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def served_media_verdicts(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(_p(root, "verdicts")).select(
+        "doc_id", "fp", "is_new"
+    )
+
+
+def served_media_features(spark: SparkSession, root: str) -> DataFrame:
+    return spark.read.parquet(_p(root, "features"))

@@ -21,11 +21,20 @@ from sf0.1 with the scaling model a real corpus follows:
 - remaining TPC-H tables: copied verbatim (loader warmup only; no
   sf1-benched key reads them).
 
-Usage: python tests/make_sf1.py [out_dir] [copies]
+Usage: python tests/make_sf1.py [out_dir] [copies] [honest]
 (defaults /tmp/testdata_sf1, 10; e.g. `/tmp/testdata_sf10 100` for the
 second scaling decade). Idempotent; ~30 MB per 10 copies.
 Deterministic (pure SQL, no RNG).
-"""
+
+``honest`` (the stopword-honest mode, VERDICT r10 item 5): leave the
+gate-lexicon tokens (STOPWORDS ∪ LANG_MARKERS, operators/text.py)
+UNPREFIXED in the copies, so stopword/marker-based absolute gates
+(corpus_keep_flags: gopher ∧ lang-id ∧ …) keep sf-PROPORTIONAL
+survivors instead of copy-0 only — the measurement-fidelity fix for
+keys whose cost is dominated by SURVIVOR-side work. Cross-copy
+near-dup structure stays dead: isolated shared stopwords almost never
+form a full shared shingle, and the non-lexicon token mass still
+diverges per copy (test_make_sfn_honest.py pins both)."""
 
 from __future__ import annotations
 
@@ -62,16 +71,47 @@ def _copy_tag(i: int) -> str:
     )
 
 
+HONEST_STOPWORDS = False  # set by build(); argv[3] == "honest"
+
+
+def _keep_tokens() -> list[str]:
+    """The gate lexicon (stopwords + language markers), longest-first
+    so the unprefix alternation can't stop at a shorter prefix word
+    (RE2 alternation is leftmost-FIRST, not longest)."""
+    from aggregator_spark.operators.text import LANG_MARKERS, STOPWORDS
+
+    keep = set(STOPWORDS)
+    for markers in LANG_MARKERS.values():
+        keep |= set(markers)
+    return sorted(keep, key=lambda t: (-len(t), t))
+
+
+# script is runnable from anywhere (the sweep protocol): make the
+# repo importable for the lexicon import above
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 def _doc_text(i: int) -> str:
     """Copy-i text expression: token-prefix with the copy tag, so
     cross-copy shingle overlap is ~0 while within-copy duplicate
-    structure replicates."""
+    structure replicates. Honest mode then UN-prefixes the gate
+    lexicon (a prefixed original token can't false-match: the \\b
+    after the alternation fails inside a longer word, and tag+word
+    only equals a different tag+word across widths the _copy_tag
+    docstring already forbids)."""
     if i == 0:
         return "text"
     backref = "\\1"
-    return (
+    expr = (
         f"regexp_replace(text, '([a-z0-9]+)', '{_copy_tag(i)}{backref}', 'g')"
     )
+    if HONEST_STOPWORDS:
+        alt = "|".join(_keep_tokens())
+        expr = (
+            f"regexp_replace({expr}, "
+            f"'\\b{_copy_tag(i)}({alt})\\b', '{backref}', 'g')"
+        )
+    return expr
 
 
 def _emb_expr(i: int) -> str:
@@ -84,9 +124,10 @@ def _emb_expr(i: int) -> str:
     return f"embedding[{r + 1}:64] || embedding[1:{r}]"
 
 
-def build(out_dir: str, copies: int = COPIES) -> None:
-    global COPIES
+def build(out_dir: str, copies: int = COPIES, honest: bool = False) -> None:
+    global COPIES, HONEST_STOPWORDS
     COPIES = copies
+    HONEST_STOPWORDS = honest
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
 
@@ -156,4 +197,5 @@ if __name__ == "__main__":
     build(
         sys.argv[1] if len(sys.argv) > 1 else "/tmp/testdata_sf1",
         int(sys.argv[2]) if len(sys.argv) > 2 else 10,
+        honest=(len(sys.argv) > 3 and sys.argv[3] == "honest"),
     )

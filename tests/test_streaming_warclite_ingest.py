@@ -1,0 +1,160 @@
+"""Streaming warclite ingest (streaming/warclite_ingest_stream.py):
+containers land in waves; served verdicts must equal a driver-side
+first-batch-wins replay over payload md5s (hashlib, no Spark);
+features must exist for exactly the new docs and match the batch
+decode tail; a checkpoint restart between waves and a re-folded batch
+must change nothing; compaction (shared with ingest_dedup_stream)
+must preserve the served state."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from aggregator_spark.operators.media_fixture import (
+    N_KEYS,
+    build_payload,
+    media_kind,
+)
+from aggregator_spark.sources.warclite import write_warclite
+from aggregator_spark.streaming.ingest_dedup_stream import compact
+from aggregator_spark.streaming.warclite_ingest_stream import (
+    ingest_media_batch,
+    run_warclite_ingest_stream,
+    served_media_features,
+    served_media_verdicts,
+)
+
+# wave 1: keys 0..19 plus a WITHIN-wave dup pair (20 and 20+256 share
+# a payload); wave 2: ids 256..275 (cross-wave dups of wave 1's keys)
+# plus fresh keys 100..109
+WAVE1 = list(range(0, 21)) + [20 + N_KEYS]
+WAVE2 = list(range(N_KEYS, N_KEYS + 20)) + list(range(100, 110))
+
+
+def _land(landing: str, name: str, ids: list[int]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    write_warclite(
+        os.path.join(landing, name),
+        ((d, media_kind(d), build_payload(d % N_KEYS)) for d in ids),
+    )
+
+
+def _expected(waves: list[list[int]]) -> dict[int, bool]:
+    seen: set[str] = set()
+    out: dict[int, bool] = {}
+    for ids in waves:
+        fps = [
+            (d, hashlib.md5(build_payload(d % N_KEYS)).hexdigest())
+            for d in ids
+        ]
+        for d, fp in fps:
+            out[d] = fp not in seen
+        seen |= {fp for _, fp in fps}
+    return out
+
+
+def _got(spark, root) -> dict[int, bool]:
+    return {
+        r["doc_id"]: r["is_new"]
+        for r in served_media_verdicts(spark, root).collect()
+    }
+
+
+def test_stream_matches_replay_and_decodes_only_new(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "store")
+    _land(landing, "c0.wlc", WAVE1)
+    run_warclite_ingest_stream(spark, landing, root)
+    _land(landing, "c1.wlc", WAVE2)
+    run_warclite_ingest_stream(spark, landing, root)
+
+    expected = _expected([WAVE1, WAVE2])
+    got = _got(spark, root)
+    assert got == expected
+    # fixture alive: cross-wave dups exist AND fresh keys exist in w2
+    w2 = {d: expected[d] for d in WAVE2}
+    assert not all(w2.values()) and any(w2.values())
+    # within-wave dup pair: both new (the whole batch probes pre-batch
+    # state), one shared feature row each
+    assert expected[20] and expected[20 + N_KEYS]
+
+    feats = served_media_features(spark, root)
+    new_ids = {d for d, isnew in expected.items() if isnew}
+    assert {r["doc_id"] for r in feats.collect()} == new_ids
+
+    # feature values match the batch decode tail over the same docs
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.analytics_queries4 import features_from_media
+
+    rows = [
+        (d, media_kind(d), build_payload(d % N_KEYS)) for d in new_ids
+    ]
+    batch = features_from_media(
+        spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        )
+    )
+    got_feats = feats.select(
+        F.col("doc_id").alias("media_id"), "kind", "width", "height",
+        "duration_ms", "rms_micro", "feat_str",
+    )
+    assert got_feats.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got_feats).count() == 0
+
+
+def test_restart_and_retry_are_idempotent(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "store")
+    _land(landing, "c0.wlc", WAVE1)
+    run_warclite_ingest_stream(spark, landing, root)
+    _land(landing, "c1.wlc", WAVE2)
+    run_warclite_ingest_stream(spark, landing, root)  # restart seam
+    before = _got(spark, root)
+    assert before == _expected([WAVE1, WAVE2])
+
+    # retry: re-fold wave 2's exact frame through the fold again
+    rows = [
+        (d, media_kind(d), build_payload(d % N_KEYS)) for d in WAVE2
+    ]
+    wave_df = spark.createDataFrame(
+        rows, "doc_id long, mime string, payload binary"
+    )
+    ingest_media_batch(wave_df, 1, root)
+    assert _got(spark, root) == before
+
+    feats_before = sorted(
+        (r["doc_id"], r["feat_str"])
+        for r in served_media_features(spark, root).collect()
+    )
+    ingest_media_batch(wave_df, 1, root)
+    assert sorted(
+        (r["doc_id"], r["feat_str"])
+        for r in served_media_features(spark, root).collect()
+    ) == feats_before
+
+
+def test_compaction_shared_with_ingest_dedup_store(spark, tmp_path):
+    from aggregator_spark.streaming.ingest_dedup_stream import (
+        _served_bloom_words,
+        _served_fps,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "store")
+    _land(landing, "c0.wlc", WAVE1)
+    run_warclite_ingest_stream(spark, landing, root)
+    _land(landing, "c1.wlc", WAVE2)
+    run_warclite_ingest_stream(spark, landing, root)
+    big = 1 << 60
+    fps_before = sorted(
+        r["fp"] for r in _served_fps(spark, root, big).collect()
+    )
+    words_before = _served_bloom_words(spark, root, big)
+    compact(spark, root)
+    assert sorted(
+        r["fp"] for r in _served_fps(spark, root, big).collect()
+    ) == fps_before
+    assert _served_bloom_words(spark, root, big) == words_before
+    assert _got(spark, root) == _expected([WAVE1, WAVE2])
