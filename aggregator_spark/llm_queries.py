@@ -282,6 +282,29 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+IVFPQ_NPROBE = 3  # of the 10 label cells — the 30%-scan routing point
+
+
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/similarity.py:ann_topk_ivfpq —
+    Jégou et al. 2011 §IVFADC): deterministic label-centroid routing
+    (kmeans_assign's cells, round-6 argmin) + ADC scoring over the PQ
+    codes INSIDE the nprobe probed cells only. The production ANN
+    shape — inverted lists bound the scan, codes bound the memory —
+    and, because both halves are the catalog's deterministic variants,
+    the FULL composition is DuckDB-oracled (the rows-only
+    ann_topk_ivf grades the geometric-kmeans routing quality
+    separately)."""
+    emb = load_testdata(spark, sf_dir, "embeddings")
+    return S.ann_topk_ivfpq(
+        emb,
+        query_ids=ANN_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVFPQ_NPROBE,
+        n_blocks=PQ_BLOCKS,
+    ).orderBy("query_id", "rank")
+
+
 # LSH geometry shared by the cached index build AND the query routing —
 # one source of truth so the cache key always matches the probe logic
 LSH_GEOM = {"n_tables": 12, "planes_per_table": 5, "n_dims": 64}
@@ -1854,6 +1877,7 @@ LLM_QUERIES = {
     "ann_topk": q_ann_topk,
     "pq_encode": q_pq_encode,
     "pq_adc_topk": q_pq_adc_topk,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,

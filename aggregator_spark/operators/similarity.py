@@ -1170,6 +1170,142 @@ def pq_encode(
     )
 
 
+def _pq_lut(
+    embeddings: DataFrame,
+    cb: DataFrame,
+    query_ids: list[int],
+    n_blocks: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table: (query_id, block, code) → round-6
+    squared sub-distance as decimal(30,6) — queries × blocks ×
+    codewords, always broadcast-sized. Shared by ``pq_adc_topk`` (full
+    ADC scan) and ``ann_topk_ivfpq`` (cell-routed ADC)."""
+    dims = embeddings.select(
+        F.size(_as_double(F.col(vec_col))).alias("d")
+    ).head(1)
+    sub = dims[0]["d"] // n_blocks
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    qblocks = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qvec", 1 + b * sub, sub)
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("block", "qsub"),
+    )
+    return qblocks.join(cb, "block").select(
+        "query_id",
+        "block",
+        "code",
+        F.round(_sqdist(F.col("qsub"), F.col("cvec")), 6)
+        .cast("decimal(30,6)")
+        .alias("d2"),
+    )
+
+
+def ann_topk_ivfpq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 3,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (Jégou et al. 2011,
+    §IVFADC): coarse ROUTING by inverted lists + ADC scoring over PQ
+    codes INSIDE the probed lists only, so a query touches
+    ~nprobe/n_cells of the code table and never a raw vector. Both
+    stages here are the DETERMINISTIC variants the catalog already
+    oracles — cells are the label-centroid assignment
+    (``kmeans_assign``: round-6 distances, ties → lowest label) and
+    scoring is the ``pq_adc_topk`` decimal-summed LUT — so unlike the
+    rows-only geometric-kmeans ``ann_topk_ivf``, the full composition
+    is SQL-expressible and hash-checked. Returns (query_id,
+    neighbor_id, adc_dist, rank), rank ≤ k, ties → lowest neighbor_id.
+
+    Scale shape: centroids and the LUT are broadcast-sized; the cell
+    assignment and code table are one-pass corpus projections (built
+    offline in production); the probe join filters the code table to
+    the probed cells BEFORE the LUT join, so scored work is
+    nprobe/n_cells of the corpus. No stage shuffles the raw vectors.
+    """
+    cells = kmeans_assign(embeddings, id_col, vec_col, label_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("assigned").alias("cell"),
+    )
+    # routing table: per query, the nprobe nearest label centroids
+    # (same centroid definition as kmeans_assign; round-6 distances,
+    # ties → lowest label — the engine-neutral argmin discipline)
+    cent = (
+        embeddings.select(
+            F.col(label_col).alias("cell"),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
+        )
+        .groupBy("cell", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    )
+    qdist = queries.join(F.broadcast(cent)).select(
+        "query_id",
+        "cell",
+        F.round(F.sqrt(_sqdist(F.col("qvec"), F.col("cvec"))), 6).alias(
+            "qcdist"
+        ),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("qcdist", "cell")
+    probes = (
+        qdist.withColumn("__rn", F.row_number().over(wprobe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    cb = pq_codebooks(embeddings, n_blocks, id_col, vec_col, label_col)
+    codes = pq_encode(
+        embeddings, n_blocks, id_col, vec_col, label_col, codebooks=cb
+    ).select(F.col(id_col).alias("neighbor_id"), "block", "code")
+    lut = _pq_lut(embeddings, cb, query_ids, n_blocks, id_col, vec_col)
+
+    routed = scatter(codes.join(cells, "neighbor_id")).join(
+        F.broadcast(probes), "cell"
+    )
+    scored = (
+        routed.join(F.broadcast(lut), ["query_id", "block", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias(
+                "adc_dist"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1197,33 +1333,7 @@ def pq_adc_topk(
     codes = pq_encode(
         embeddings, n_blocks, id_col, vec_col, label_col, codebooks=cb
     )
-    dims = embeddings.select(
-        F.size(_as_double(F.col(vec_col))).alias("d")
-    ).head(1)
-    sub = dims[0]["d"] // n_blocks
-    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qvec"),
-    )
-    qblocks = queries.select(
-        "query_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice("qvec", 1 + b * sub, sub)
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("block", "qsub"),
-    )
-    lut = qblocks.join(cb, "block").select(
-        "query_id",
-        "block",
-        "code",
-        F.round(_sqdist(F.col("qsub"), F.col("cvec")), 6)
-        .cast("decimal(30,6)")
-        .alias("d2"),
-    )
+    lut = _pq_lut(embeddings, cb, query_ids, n_blocks, id_col, vec_col)
     scored = (
         scatter(codes.select(F.col(id_col).alias("neighbor_id"), "block", "code"))
         .join(F.broadcast(lut), ["block", "code"])

@@ -543,6 +543,69 @@ LLM_ORACLES["pq_adc_topk"] = f"""
 """
 
 
+# IVF-PQ (r11): the two deterministic fragments composed — cells are
+# the kmeans_assign oracle VERBATIM (subquery), routing re-derives the
+# same label centroids (raw AVG means, round-6 distance argmin, ties
+# -> lowest cell), scoring is the pq_adc LUT restricted to the probed
+# cells. NPROBE/ANN_K come from the same constants as the Spark side.
+from aggregator_spark.llm_queries import IVFPQ_NPROBE  # noqa: E402
+
+LLM_ORACLES["ann_topk_ivfpq"] = f"""
+    WITH {_PQ_CTES},
+    cent AS (
+      SELECT c_label AS cell, list(m ORDER BY dim) AS cvec FROM (
+        SELECT label AS c_label, dim, AVG(x) AS m
+        FROM (SELECT label,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY label, dim)
+      GROUP BY c_label),
+    cells AS (
+      SELECT vec_id AS neighbor_id, assigned AS cell
+      FROM ({LLM_ORACLES["kmeans_assign"]})),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings
+      WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, cent.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_distance(q.qvec, cent.cvec), 6),
+                          cent.cell) AS rn
+        FROM q CROSS JOIN cent)
+      WHERE rn <= {IVFPQ_NPROBE}),
+    qb AS (
+      SELECT query_id, b.block,
+             qvec[1 + b.block * {_PQ_SUB} : (b.block + 1) * {_PQ_SUB}]
+               AS qsub
+      FROM q, (SELECT unnest(generate_series(0, 3)) AS block) b),
+    lut AS (
+      SELECT query_id, cb.block, cb.code,
+             CAST(round(list_sum(list_transform(
+                    list_zip(qb.qsub, cb.cvec),
+                    s -> (s[1] - s[2]) * (s[1] - s[2]))),
+                  6) AS DECIMAL(30, 6)) AS d2
+      FROM qb JOIN cb ON cb.block = qb.block),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id,
+             round(sqrt(CAST(SUM(l.d2) AS DOUBLE)), 6) AS adc_dist
+      FROM enc e
+      JOIN cells c ON c.neighbor_id = e.vec_id
+      JOIN probes p ON p.cell = c.cell
+      JOIN lut l ON l.query_id = p.query_id
+               AND l.block = e.block AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {ANN_K}
+"""
+
+
 def _kmeans_unrolled_sql(iters: int) -> str:
     """Unroll `iters` Lloyd rounds as a CTE chain — the declarative
     twin of the iterative kmeans_fit loop."""

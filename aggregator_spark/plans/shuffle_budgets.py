@@ -34,6 +34,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "ann_lsh_index_build": 2.0,
     "ann_topk": 2.0,
     "ann_topk_ivf": 4.4,
+    "ann_topk_ivfpq": 8.3,  # r11 third wave: 5.55 MB measured sf0.1
     "ann_topk_lsh": 13.6,
     "approx_distinct_daily": 2.0,
     "approx_quantiles_daily": 2.0,

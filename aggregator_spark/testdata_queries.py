@@ -270,7 +270,6 @@ DRIVER_WINDOW = [
     "pivot_daily",
     "rollup_orders",
     "salted_type_counts",
-    "set_ops_users",
     # r11 first wave: deterministic training-shard emission (VERDICT
     # r10 item 3); slots from string_funcs / top_events_per_type (the
     # alphabetically-last fill entries, per the standing tie-break)
@@ -280,6 +279,9 @@ DRIVER_WINDOW = [
     # composed pipeline (VERDICT r10 item 6); slot from
     # sliding_halfhour (same rule)
     "corpus_prepare_union_e2e",
+    # r11 third wave: the oracled IVF-PQ composition (deterministic
+    # cell routing + in-cell ADC); slot from set_ops_users (same rule)
+    "ann_topk_ivfpq",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -3,9 +3,12 @@
 - corpus_prepare_union_e2e: the composed pipeline with the
   union-candidate dedup must (a) be structurally identical to the
   hand-composed chain (gate → fuzzy_dedup_keep_union → span → chunk →
-  pack), and (b) keep a SUBSET of the base pipeline's documents —
-  union edges are a superset of LSH-only edges over the same
-  survivors, so components only merge and survivors only shrink.
+  pack), (b) keep a SUBSET of the base pipeline's documents — union
+  edges are a superset of LSH-only edges over the same survivors, so
+  components only merge and survivors only shrink — and (c) the seam
+  must demonstrably engage the SimHash family (crafted reorder pair).
+- ann_topk_ivfpq: routing recall against the full-ADC yardstick plus
+  distance identity on shared pairs.
 """
 
 from __future__ import annotations
@@ -124,3 +127,33 @@ def test_union_e2e_matches_hand_composed_chain(spark):
     got = q_corpus_prepare_union_e2e(spark, SF)
     assert got.exceptAll(hand).count() == 0
     assert hand.exceptAll(got).count() == 0
+
+
+def test_ivfpq_routing_recall_vs_full_adc(spark):
+    """Routing evidence for the oracled IVF-PQ composition, against
+    the right yardstick: the FULL ADC scan (same L2-over-codes metric
+    — ``ann_topk``'s cosine ranks a different neighbor set entirely,
+    so it can't isolate routing). nprobe=3 of 10 cells must recover a
+    healthy fraction of the unrouted ADC top-k, and for every pair
+    both return, the distance must be IDENTICAL (routing only drops
+    candidates; it can never change a kept distance). Deterministic
+    plan + fixture, so the floor is a stable pin."""
+    from aggregator_spark.llm_queries import (
+        ANN_K,
+        q_ann_topk_ivfpq,
+        q_pq_adc_topk,
+    )
+
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in q_pq_adc_topk(spark, SF).collect()
+    }
+    routed = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in q_ann_topk_ivfpq(spark, SF).collect()
+    }
+    n_queries = len({q for q, _ in full})
+    recall = len(full.keys() & routed.keys()) / (n_queries * ANN_K)
+    assert recall >= 0.5, f"ivfpq routing recall@{ANN_K}: {recall}"
+    for pair in full.keys() & routed.keys():
+        assert full[pair] == routed[pair], pair

@@ -218,6 +218,11 @@ EXCHANGE_PINS = {
     # over the same survivors; broadcasts are the survivor-id/carry
     # joins (threshold-governed at sf0.001)
     "corpus_prepare_union_e2e": (19, 8),
+    # r11 third wave: cell assignment + codebook/code aggs + routing
+    # windows; the BroadcastNestedLoopJoin is the deliberate 10-row
+    # centroid fan-out (kmeans_assign's shape), never a shuffled
+    # cartesian; 6 broadcasts = centroids/probes/LUT/codebooks
+    "ann_topk_ivfpq": (14, 6),
 }
 
 
