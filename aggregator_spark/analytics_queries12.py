@@ -30,22 +30,19 @@ N_SHARDS = 16
 SEQ_KEY_BASE = 1 << 40
 
 
-def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per training sequence: the pack_sequences stream rolled
+def sequence_rollup(packed: DataFrame) -> DataFrame:
+    """One row per training sequence: a pack_sequences stream rolled
     up to (pack_group, seq_bin) with chunk/token totals and the unique
     bigint ``seq_key`` the resharder ranks on.
 
     localCheckpoint'ed eagerly: the bounded-rank plan reads its input
     from multiple branches (local ranks + carry summary — the
     corpus_prepare_ppl_e2e lesson), and without the checkpoint the
-    whole chunk→pack→rollup subtree re-runs per branch (12→6
-    exchanges measured). The materialized relation is 4 integers per
-    SEQUENCE (corpus_tokens / 256) — three orders smaller than the
-    text it summarizes."""
-    from aggregator_spark.operators import corpus as C
-
-    docs = load_testdata(spark, sf_dir, "documents")
-    packed = C.pack_sequences(C.doc_chunks(docs))
+    whole upstream subtree re-runs per branch (12→6 exchanges measured
+    on the raw-pack form; the prepared-corpus form would re-run the
+    ENTIRE gate+dedup pipeline). The materialized relation is 4
+    integers per SEQUENCE (corpus_tokens / 256) — three orders smaller
+    than the text it summarizes."""
     return (
         packed.groupBy("pack_group", "seq_bin")
         .agg(
@@ -59,6 +56,15 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequence_rollup`` over the raw chunk→pack stream (no gate —
+    the standalone shard entries grade the resharder itself)."""
+    from aggregator_spark.operators import corpus as C
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    return sequence_rollup(C.pack_sequences(C.doc_chunks(docs)))
 
 
 def q_corpus_shard_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,7 +103,38 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prepare_shard_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPLETE last mile composed as one plan: quality gate →
+    fuzzy dedup → span removal → chunk → pack
+    (``llm_queries.corpus_prepare``, the base e2e) → sequence rollup →
+    deterministic balanced shard assignment — what actually leaves the
+    engine for a trainer, ending in shard ids instead of a serving
+    table. The rollup checkpoint keeps the whole prepared-corpus
+    subtree from re-running per bounded-rank branch. Returns
+    (pack_group, seq_bin, n_chunks, seq_tokens, shard_id,
+    shard_rank)."""
+    from aggregator_spark.llm_queries import _mh_buckets, corpus_prepare
+    from aggregator_spark.operators.reshard import reshard_deterministic
+
+    packed = corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+    )
+    seqs = sequence_rollup(packed)
+    return reshard_deterministic(seqs, N_SHARDS, "seq_key").select(
+        "pack_group",
+        "seq_bin",
+        "n_chunks",
+        "seq_tokens",
+        "shard_id",
+        "shard_rank",
+    )
+
+
 ANALYTICS12_QUERIES = {
     "corpus_shard_emit": q_corpus_shard_emit,
     "shard_manifest": q_shard_manifest,
+    "corpus_prepare_shard_e2e": q_corpus_prepare_shard_e2e,
 }

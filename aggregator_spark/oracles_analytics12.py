@@ -9,16 +9,21 @@ from __future__ import annotations
 
 from aggregator_spark.analytics_queries12 import N_SHARDS, SEQ_KEY_BASE
 from aggregator_spark.oracles_llm import LLM_ORACLES
+from aggregator_spark.oracles_pipeline import PIPELINE_ORACLES
 
-_SEQS = f"""
-    packed AS ({LLM_ORACLES["pack_sequences"]}),
+
+def _seqs_ranked(src: str) -> str:
+    """seqs+ranked CTE pair over any packed-stream relation ``src``
+    (columns pack_group, seq_bin, n_tokens) — the sequence rollup and
+    the hash-order ROW_NUMBER the shard closed form reads."""
+    return f"""
     seqs AS (
       SELECT pack_group, seq_bin,
              CAST(COUNT(*) AS BIGINT) AS n_chunks,
              CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
              CAST(pack_group AS BIGINT) * {SEQ_KEY_BASE}
                + CAST(seq_bin AS BIGINT) AS seq_key
-      FROM packed GROUP BY 1, 2),
+      FROM {src} GROUP BY 1, 2),
     ranked AS (
       SELECT *,
              ROW_NUMBER() OVER (
@@ -27,21 +32,38 @@ _SEQS = f"""
       FROM seqs)
 """
 
+
+_SHARD_SELECT = f"""
+    SELECT pack_group, seq_bin, n_chunks, seq_tokens,
+           CAST(r % {N_SHARDS} AS INT) AS shard_id,
+           CAST(r // {N_SHARDS} AS BIGINT) AS shard_rank
+    FROM ranked
+"""
+
 ANALYTICS12_ORACLES = {
     "corpus_shard_emit": f"""
-        WITH {_SEQS}
-        SELECT pack_group, seq_bin, n_chunks, seq_tokens,
-               CAST(r % {N_SHARDS} AS INT) AS shard_id,
-               CAST(r // {N_SHARDS} AS BIGINT) AS shard_rank
-        FROM ranked
+        WITH packed AS ({LLM_ORACLES["pack_sequences"]}),
+        {_seqs_ranked("packed")}
+        {_SHARD_SELECT}
     """,
     "shard_manifest": f"""
-        WITH {_SEQS}
+        WITH packed AS ({LLM_ORACLES["pack_sequences"]}),
+        {_seqs_ranked("packed")}
         SELECT CAST(r % {N_SHARDS} AS INT) AS shard_id,
                CAST(COUNT(*) AS BIGINT) AS n_seqs,
                CAST(SUM(seq_tokens) AS BIGINT) AS shard_tokens,
                MIN(CASE WHEN r // {N_SHARDS} = 0 THEN seq_key END)
                  AS head_seq_key
         FROM ranked GROUP BY 1
+    """,
+    # the complete last mile: the base corpus_prepare_e2e oracle (all
+    # its gate/dedup/span/pack CTEs verbatim, MATERIALIZED — the
+    # recursive closure must not re-inline per reference) feeding the
+    # SAME rollup + ROW_NUMBER closed form as corpus_shard_emit
+    "corpus_prepare_shard_e2e": f"""
+        WITH prep AS MATERIALIZED (
+            {PIPELINE_ORACLES["corpus_prepare_e2e"]}),
+        {_seqs_ranked("prep")}
+        {_SHARD_SELECT}
     """,
 }

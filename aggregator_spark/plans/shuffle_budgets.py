@@ -77,6 +77,9 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     # r11 second wave: 31.3 MB measured sf0.1 — the base e2e's LSH
     # stages plus the SimHash family over the same survivors
     "corpus_prepare_union_e2e": 47.0,
+    # r11 fourth wave: 30.5 MB measured sf0.1 (base-e2e stages + the
+    # rollup/rank tail)
+    "corpus_prepare_shard_e2e": 45.7,
     "corpus_shard_emit": 2.0,  # r11 first wave: floor (1.2 MB measured)
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,

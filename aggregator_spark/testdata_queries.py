@@ -269,7 +269,6 @@ DRIVER_WINDOW = [
     "pack_efficiency",
     "pivot_daily",
     "rollup_orders",
-    "salted_type_counts",
     # r11 first wave: deterministic training-shard emission (VERDICT
     # r10 item 3); slots from string_funcs / top_events_per_type (the
     # alphabetically-last fill entries, per the standing tie-break)
@@ -282,6 +281,9 @@ DRIVER_WINDOW = [
     # r11 third wave: the oracled IVF-PQ composition (deterministic
     # cell routing + in-cell ADC); slot from set_ops_users (same rule)
     "ann_topk_ivfpq",
+    # r11 fourth wave: the complete last mile (prepared corpus ->
+    # deterministic shards); slot from salted_type_counts (same rule)
+    "corpus_prepare_shard_e2e",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

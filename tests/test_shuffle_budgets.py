@@ -223,6 +223,10 @@ EXCHANGE_PINS = {
     # centroid fan-out (kmeans_assign's shape), never a shuffled
     # cartesian; 6 broadcasts = centroids/probes/LUT/codebooks
     "ann_topk_ivfpq": (14, 6),
+    # r11 fourth wave: the rollup checkpoint truncates the prepared-
+    # corpus subtree (it runs eagerly at plan build), so the visible
+    # plan is the rollup + bounded-rank stages only
+    "corpus_prepare_shard_e2e": (10, 0),
 }
 
 
