@@ -1420,6 +1420,69 @@ def q_corpus_prepare_ppl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_TOP_FRAC = 0.25  # keep the most target-like quartile per source
+
+
+def q_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data SELECTION (the deployment step Xie et al. 2023 run
+    after weighting): per-source top-p% of documents by the hashed-
+    unigram importance weight — the fourth gating regime beside the
+    absolute heuristic, the quality percentile, and the CCNet
+    perplexity thirds, with selection pressure driven by
+    target-DISTRIBUTION fit instead of surface quality. logw is a
+    continuous near-unique score, so ranks run on the two-level-carry
+    bounded form (score_coarse = floor(logw × {CQ_COARSE})) — no
+    source ever lands its membership on one task. The scored relation
+    is localCheckpoint'ed once: the bounded-rank plan reads its input
+    from local + carry branches, and without the checkpoint the whole
+    dsir_weights token-model subtree re-runs per branch (25→10
+    exchanges measured — the corpus_prepare_ppl_e2e lesson). Returns
+    (doc_id, source, logw, pct_rank, keep)."""
+    from aggregator_spark.operators.corpus import dsir_weights
+    from aggregator_spark.operators.rankdist import percent_rank_bucketed
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    w = dsir_weights(docs, target_filter=F.col("lang") == "en")
+    scored = (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "logw")
+        .localCheckpoint(eager=True)
+    )
+    pr = percent_rank_bucketed(
+        scored,
+        "source",
+        "logw",
+        "doc_id",
+        id_bucket=QP_ID_BUCKET,
+        score_coarse=lambda s: F.floor(s * CQ_COARSE),
+    )
+    return pr.select(
+        "doc_id",
+        "source",
+        "logw",
+        F.round("pct_rank", 6).alias("pct_rank"),
+        (F.col("pct_rank") <= F.lit(DSIR_TOP_FRAC)).alias("keep"),
+    )
+
+
+def q_corpus_prepare_dsir_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``corpus_prepare_e2e`` with the quality gate swapped for DSIR
+    selection (``q_dsir_gate``: keep each source's most target-like
+    top-p% by hashed-unigram importance weight) — the fourth
+    production gating regime through the ``keep_ids`` seam; every
+    downstream stage (fuzzy dedup → span removal → chunk → pack) is
+    byte-identical to the base pipeline. Returns (doc_id, chunk_id,
+    pack_group, seq_bin, n_tokens)."""
+    gate_ids = q_dsir_gate(spark, sf_dir).filter("keep").select("doc_id")
+    return corpus_prepare(
+        load_testdata(spark, sf_dir, "documents"),
+        _mh_buckets(spark, sf_dir),
+        keep_ids=gate_ids,
+    )
+
+
 def q_corpus_prepare_union_e2e(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1902,6 +1965,8 @@ LLM_QUERIES = {
     "corpus_prepare_topp_e2e": q_corpus_prepare_topp_e2e,
     "corpus_prepare_ppl_e2e": q_corpus_prepare_ppl_e2e,
     "corpus_prepare_union_e2e": q_corpus_prepare_union_e2e,
+    "dsir_gate": q_dsir_gate,
+    "corpus_prepare_dsir_e2e": q_corpus_prepare_dsir_e2e,
     "quality_percentile": q_quality_percentile,
     "quality_percentile_bucketed": q_quality_percentile_bucketed,
     "quality_percentile_continuous": q_quality_percentile_continuous,

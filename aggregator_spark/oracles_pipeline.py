@@ -851,3 +851,38 @@ PIPELINE_ORACLES["corpus_prepare_union_e2e"] = f"""
            n_tokens
     FROM packed
 """
+
+# the base e2e oracle body from qsurv onward, reused verbatim by the
+# dsir e2e (extracted once so a 5th copy of the 60-line CTE chain is
+# not hand-maintained; asserts pin the extraction point)
+_E2E_TAIL = PIPELINE_ORACLES["corpus_prepare_e2e"]
+_E2E_TAIL = _E2E_TAIL[_E2E_TAIL.index("qsurv AS (") :]
+
+
+# ---------------------------------------------------------------------
+# dsir_gate (llm_queries.q_dsir_gate): DSIR selection — per-source
+# top-p% by the hashed-unigram importance weight; the dsir_weights
+# fragment reused verbatim, plain percent_rank window as the oracle of
+# the two-level-carry bounded form (bit-identical by integer rank
+# equality, the quality_percentile_continuous precedent).
+from aggregator_spark.llm_queries import DSIR_TOP_FRAC  # noqa: E402
+
+PIPELINE_ORACLES["dsir_gate"] = f"""
+    WITH w AS ({ANALYTICS10_ORACLES["dsir_weights"]})
+    SELECT w.doc_id, d.source, w.logw,
+           round(percent_rank() OVER win, 6) AS pct_rank,
+           (percent_rank() OVER win <= {DSIR_TOP_FRAC}) AS keep
+    FROM w JOIN documents d USING (doc_id)
+    WINDOW win AS (PARTITION BY d.source
+                   ORDER BY w.logw DESC NULLS LAST, w.doc_id)
+"""
+
+# corpus_prepare_dsir_e2e: the e2e pipeline with the DSIR gate as
+# keepq — every downstream CTE is the base oracle verbatim (the
+# topp/ppl pattern).
+PIPELINE_ORACLES["corpus_prepare_dsir_e2e"] = f"""
+    WITH keepq AS (
+      SELECT doc_id, keep
+      FROM ({PIPELINE_ORACLES["dsir_gate"]})),
+    {_E2E_TAIL}
+"""

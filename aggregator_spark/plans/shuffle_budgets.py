@@ -80,6 +80,11 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     # r11 fourth wave: 30.5 MB measured sf0.1 (base-e2e stages + the
     # rollup/rank tail)
     "corpus_prepare_shard_e2e": 45.7,
+    # r11 fifth wave: gate 0.45 MB / e2e 8.2 MB measured sf0.1 (the
+    # DSIR gate keeps 25%/source, so the e2e's survivor volume sits
+    # between topp's 10% and ppl's 67%)
+    "corpus_prepare_dsir_e2e": 12.3,
+    "dsir_gate": 2.0,
     "corpus_shard_emit": 2.0,  # r11 first wave: floor (1.2 MB measured)
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,

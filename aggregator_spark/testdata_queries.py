@@ -267,8 +267,6 @@ DRIVER_WINDOW = [
     "median_value",
     "mix_waterfill",
     "pack_efficiency",
-    "pivot_daily",
-    "rollup_orders",
     # r11 first wave: deterministic training-shard emission (VERDICT
     # r10 item 3); slots from string_funcs / top_events_per_type (the
     # alphabetically-last fill entries, per the standing tie-break)
@@ -284,6 +282,11 @@ DRIVER_WINDOW = [
     # r11 fourth wave: the complete last mile (prepared corpus ->
     # deterministic shards); slot from salted_type_counts (same rule)
     "corpus_prepare_shard_e2e",
+    # r11 fifth wave: DSIR selection — the fourth gating regime — and
+    # its e2e composition through the keep_ids seam; slots from
+    # pivot_daily / rollup_orders (same rule)
+    "dsir_gate",
+    "corpus_prepare_dsir_e2e",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

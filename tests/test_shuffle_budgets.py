@@ -227,6 +227,11 @@ EXCHANGE_PINS = {
     # corpus subtree (it runs eagerly at plan build), so the visible
     # plan is the rollup + bounded-rank stages only
     "corpus_prepare_shard_e2e": (10, 0),
+    # r11 fifth wave: dsir scored relation checkpointed once (25->10
+    # exchanges — the ppl lesson again); the e2e matches the other
+    # keep_ids-seam pipelines' shape
+    "dsir_gate": (10, 0),
+    "corpus_prepare_dsir_e2e": (19, 8),
 }
 
 
