@@ -133,8 +133,132 @@ def q_corpus_prepare_shard_e2e(
     )
 
 
+HEAPS_CKPTS = 20  # corpus-prefix checkpoints for the scaling curve
+
+
+def q_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary scaling curve (Heaps/Herdan law, V ≈ k·Nᵝ): for 20
+    equal-width doc_id prefixes of the corpus, the cumulative token
+    count and the cumulative DISTINCT-token count — the points a
+    scaling-law fit reads, and the growth diagnostic a tokenizer/
+    dedup run checks before committing a vocab budget.
+
+    Scale shape: cumulative distinct over an ordered stream is
+    closed-form on FIRST OCCURRENCES — vocab(prefix) = #tokens whose
+    min(doc_id) falls in the prefix — so the whole curve is two
+    corpus-pass aggregates (token counts per checkpoint; min doc_id
+    per token, one shuffle on token) plus windows over the 20-row
+    rollup. Checkpoint = integer-DIV bucketing on doc_id against the
+    broadcast max — no rank pass at all."""
+    from aggregator_spark.operators.text import normalized_text
+
+    docs = load_testdata(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(normalized_text(F.col("text")), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    k = F.lit(HEAPS_CKPTS)
+    ckpt = F.least(
+        F.expr(f"CAST(doc_id * {HEAPS_CKPTS} DIV (mx + 1) AS INT)"),
+        F.lit(HEAPS_CKPTS - 1),
+    )
+    tokens_per = (
+        tok.join(F.broadcast(mx))
+        .withColumn("ckpt", ckpt)
+        .groupBy("ckpt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    vocab_per = (
+        first.join(F.broadcast(mx))
+        .withColumn("ckpt", ckpt)
+        .groupBy("ckpt")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    spine = spark.range(HEAPS_CKPTS).select(
+        F.col("id").cast("int").alias("ckpt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ckpt").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(tokens_per, "ckpt", "left")
+        .join(vocab_per, "ckpt", "left")
+        .select(
+            "ckpt",
+            F.sum(F.coalesce("c", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce("v", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_size"),
+        )
+    )
+
+
+ZORDER_TILES = 16  # 4 bits per dimension, 8-bit z-key over 2 dims
+_ZBITS = 4
+
+
+def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quantile Morton (Z-order) clustering keys over the fact
+    table's (value, user_id) — the write-side layout primitive
+    (sources/layout.py writes the curve with approxQuantile bounds;
+    this entry is the driver-checkable exact twin): each dimension
+    buckets to its NTILE(16) rank tile — rank-space, so skew spreads
+    uniformly along the curve — and tiles interleave bit-by-bit into
+    one long key. Rows sorted by zkey give every interleaved column
+    real min/max row-group skipping.
+
+    Both NTILEs run on the bounded-rank machinery (global order ⇒
+    constant group + two-level carry; value is continuous → unit-floor
+    coarse cells, user_id's carry is bounded by the user population).
+    Returns (event_id, b_value, b_user, zkey)."""
+    from aggregator_spark.operators.rankdist import ntile_bucketed
+
+    events = load_testdata(spark, sf_dir, "events")
+
+    def tiles(col: str, coarse):
+        base = events.select("event_id", col).withColumn(
+            "grp", F.lit(0)
+        )
+        t = ntile_bucketed(
+            base, "grp", col, "event_id", ZORDER_TILES,
+            score_coarse=coarse,
+        )
+        return t.select(
+            "event_id", (F.col("bin") - 1).cast("int").alias(f"b_{col}")
+        )
+
+    v = tiles("value", lambda s: F.floor(s))
+    u = tiles("user_id", lambda s: F.floor(s / F.lit(1024)))
+    z = F.lit(0).cast("long")
+    for bit in range(_ZBITS):
+        z = z + F.shiftleft(
+            F.shiftright(F.col("b_value"), bit).bitwiseAND(F.lit(1)),
+            2 * bit,
+        ).cast("long")
+        z = z + F.shiftleft(
+            F.shiftright(F.col("b_user_id"), bit).bitwiseAND(F.lit(1)),
+            2 * bit + 1,
+        ).cast("long")
+    return v.join(u, "event_id").select(
+        "event_id",
+        "b_value",
+        F.col("b_user_id").alias("b_user"),
+        z.alias("zkey"),
+    )
+
+
 ANALYTICS12_QUERIES = {
     "corpus_shard_emit": q_corpus_shard_emit,
     "shard_manifest": q_shard_manifest,
     "corpus_prepare_shard_e2e": q_corpus_prepare_shard_e2e,
+    "heaps_law_points": q_heaps_law_points,
+    "zorder_layout_keys": q_zorder_layout_keys,
 }

@@ -67,3 +67,64 @@ ANALYTICS12_ORACLES = {
         {_SHARD_SELECT}
     """,
 }
+
+
+# vocabulary scaling curve: first-occurrence closed form; checkpoint =
+# integer-DIV bucket against the corpus max doc_id (both engines
+# integer: Spark DIV, DuckDB //)
+from aggregator_spark.analytics_queries12 import HEAPS_CKPTS, ZORDER_TILES
+from aggregator_spark.oracles_llm import NORM
+
+_K = HEAPS_CKPTS
+
+ANALYTICS12_ORACLES["heaps_law_points"] = f"""
+    WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+    tok AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split({NORM}, ' ')) AS token
+        FROM documents)
+      WHERE token <> ''),
+    tp AS (
+      SELECT LEAST(CAST(doc_id * {_K} // (mx + 1) AS INT), {_K - 1})
+               AS ckpt, COUNT(*) AS c
+      FROM tok CROSS JOIN mx GROUP BY 1),
+    first AS (SELECT token, MIN(doc_id) AS doc_id FROM tok GROUP BY 1),
+    vf AS (
+      SELECT LEAST(CAST(doc_id * {_K} // (mx + 1) AS INT), {_K - 1})
+               AS ckpt, COUNT(*) AS v
+      FROM first CROSS JOIN mx GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(0, {_K - 1})) AS ckpt)
+    SELECT CAST(s.ckpt AS INT) AS ckpt,
+           CAST(SUM(COALESCE(tp.c, 0)) OVER (ORDER BY s.ckpt)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(vf.v, 0)) OVER (ORDER BY s.ckpt)
+                AS BIGINT) AS vocab_size
+    FROM spine s
+    LEFT JOIN tp ON tp.ckpt = s.ckpt
+    LEFT JOIN vf ON vf.ckpt = s.ckpt
+"""
+
+# exact-quantile Morton keys: plain NTILE windows (the bounded form is
+# bit-identical) + the same bit interleave in integer arithmetic
+_ZSUM = " + ".join(
+    f"((b_value >> {b}) & 1) * {1 << (2 * b)}"
+    f" + ((b_user >> {b}) & 1) * {1 << (2 * b + 1)}"
+    for b in range(4)
+)
+
+ANALYTICS12_ORACLES["zorder_layout_keys"] = f"""
+    WITH v AS (
+      SELECT event_id,
+             NTILE({ZORDER_TILES}) OVER (
+               ORDER BY value DESC NULLS LAST, event_id) - 1 AS b_value
+      FROM events),
+    u AS (
+      SELECT event_id,
+             NTILE({ZORDER_TILES}) OVER (
+               ORDER BY user_id DESC NULLS LAST, event_id) - 1 AS b_user
+      FROM events)
+    SELECT v.event_id, CAST(b_value AS INT) AS b_value,
+           CAST(b_user AS INT) AS b_user,
+           CAST({_ZSUM} AS BIGINT) AS zkey
+    FROM v JOIN u ON u.event_id = v.event_id
+"""

@@ -85,6 +85,8 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     # between topp's 10% and ppl's 67%)
     "corpus_prepare_dsir_e2e": 12.3,
     "dsir_gate": 2.0,
+    "heaps_law_points": 2.0,  # r11 sixth wave: floor
+    "zorder_layout_keys": 5.9,  # r11 sixth wave: 3.9 MB measured sf0.1
     "corpus_shard_emit": 2.0,  # r11 first wave: floor (1.2 MB measured)
     "corpus_prepare_semantic_e2e": 50.5,
     "corpus_prepared_index_build": 14.1,

@@ -265,8 +265,6 @@ DRIVER_WINDOW = [
     "grouping_sets_daily",
     "json_props",
     "median_value",
-    "mix_waterfill",
-    "pack_efficiency",
     # r11 first wave: deterministic training-shard emission (VERDICT
     # r10 item 3); slots from string_funcs / top_events_per_type (the
     # alphabetically-last fill entries, per the standing tie-break)
@@ -287,6 +285,11 @@ DRIVER_WINDOW = [
     # pivot_daily / rollup_orders (same rule)
     "dsir_gate",
     "corpus_prepare_dsir_e2e",
+    # r11 sixth wave: the vocabulary scaling curve and the exact-
+    # quantile Morton layout keys; slots from mix_waterfill /
+    # pack_efficiency (same rule)
+    "heaps_law_points",
+    "zorder_layout_keys",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

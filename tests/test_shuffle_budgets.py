@@ -232,6 +232,11 @@ EXCHANGE_PINS = {
     # keep_ids-seam pipelines' shape
     "dsir_gate": (10, 0),
     "corpus_prepare_dsir_e2e": (19, 8),
+    # r11 sixth wave: token agg + first-occurrence agg + 20-row spine
+    # windows (heaps); two bounded-rank NTILE branches + the interleave
+    # join (zorder) — broadcasts are the max/carry relations
+    "heaps_law_points": (6, 4),
+    "zorder_layout_keys": (14, 4),
 }
 
 
