@@ -255,10 +255,54 @@ def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence table for the deterministic GLOBAL SHUFFLE claim: per
+    shard, how many corpus-ADJACENT sequence pairs (seq_key and
+    seq_key+1 — consecutive bins of one pack group) landed in the
+    same shard. A contiguous assignment would co-locate ~100% of
+    adjacent pairs; hash-ordered round-robin co-locates ~1/N_SHARDS by
+    chance (pinned with bounds in tests/test_reshard.py) — i.e. the
+    trainer's within-shard stream really is mixed, not an accident of
+    the driver fixture. The assignment is checkpointed once (it feeds
+    both sides of the adjacency self-join). Returns (shard_id,
+    n_seqs, adj_colocated)."""
+    from aggregator_spark.operators.reshard import reshard_deterministic
+
+    seqs = packed_sequences(spark, sf_dir)
+    sh = (
+        reshard_deterministic(seqs, N_SHARDS, "seq_key")
+        .select("seq_key", "shard_id")
+        .localCheckpoint(eager=True)
+    )
+    succ = sh.select(
+        (F.col("seq_key") - 1).alias("seq_key"),
+        F.col("shard_id").alias("succ_shard"),
+    )
+    co = (
+        sh.join(succ, "seq_key")
+        .filter(F.col("shard_id") == F.col("succ_shard"))
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("adj_colocated"))
+    )
+    return (
+        sh.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seqs"))
+        .join(co, "shard_id", "left")
+        .select(
+            "shard_id",
+            "n_seqs",
+            F.coalesce("adj_colocated", F.lit(0))
+            .cast("long")
+            .alias("adj_colocated"),
+        )
+    )
+
+
 ANALYTICS12_QUERIES = {
     "corpus_shard_emit": q_corpus_shard_emit,
     "shard_manifest": q_shard_manifest,
     "corpus_prepare_shard_e2e": q_corpus_prepare_shard_e2e,
     "heaps_law_points": q_heaps_law_points,
     "zorder_layout_keys": q_zorder_layout_keys,
+    "shard_mixing_report": q_shard_mixing_report,
 }

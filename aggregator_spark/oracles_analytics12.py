@@ -128,3 +128,25 @@ ANALYTICS12_ORACLES["zorder_layout_keys"] = f"""
            CAST({_ZSUM} AS BIGINT) AS zkey
     FROM v JOIN u ON u.event_id = v.event_id
 """
+
+
+# shard mixing evidence: the ranked CTE re-used, adjacency = seq_key+1
+# (consecutive bins of one pack group; bins never straddle the 2^40
+# group stride), co-location counted per shard
+ANALYTICS12_ORACLES["shard_mixing_report"] = f"""
+    WITH packed AS ({LLM_ORACLES["pack_sequences"]}),
+    {_seqs_ranked("packed")},
+    sh AS (
+      SELECT seq_key, CAST(r % {N_SHARDS} AS INT) AS shard_id
+      FROM ranked),
+    co AS (
+      SELECT a.shard_id, COUNT(*) AS adj_colocated
+      FROM sh a JOIN sh b ON b.seq_key = a.seq_key + 1
+      WHERE a.shard_id = b.shard_id
+      GROUP BY 1)
+    SELECT s.shard_id, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(COALESCE(MIN(co.adj_colocated), 0) AS BIGINT)
+             AS adj_colocated
+    FROM sh s LEFT JOIN co ON co.shard_id = s.shard_id
+    GROUP BY 1
+"""

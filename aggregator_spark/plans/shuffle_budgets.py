@@ -165,6 +165,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "pack_sequences": 2.0,
     "perplexity_gate": 2.0,  # r10 fifth wave: floor
     "shard_manifest": 2.0,  # r11 first wave: floor (1.2 MB measured)
+    "shard_mixing_report": 2.0,  # r11 seventh wave: floor (1.2 MB)
     "pii_redact": 2.0,
     "pivot_daily": 2.0,
     "pmi_collocations": 2.0,

@@ -264,7 +264,6 @@ DRIVER_WINDOW = [
     "eval_split_quota",
     "grouping_sets_daily",
     "json_props",
-    "median_value",
     # r11 first wave: deterministic training-shard emission (VERDICT
     # r10 item 3); slots from string_funcs / top_events_per_type (the
     # alphabetically-last fill entries, per the standing tie-break)
@@ -290,6 +289,9 @@ DRIVER_WINDOW = [
     # pack_efficiency (same rule)
     "heaps_law_points",
     "zorder_layout_keys",
+    # r11 seventh wave: the shard mixing evidence table; slot from
+    # median_value (same rule)
+    "shard_mixing_report",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

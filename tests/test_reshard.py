@@ -144,3 +144,20 @@ def test_container_emission_roundtrip_and_rerun(spark, sf_dir, tmp_path):
                    for r in rows)
     emit_shard_containers(sharded, out, N)  # rerun overwrites in place
     assert sorted(glob.glob(out + "/shard-*.wlc")) == files
+
+
+def test_mixing_report_colocation_near_chance(spark, sf_dir):
+    """Hash-ordered round-robin must destroy corpus adjacency:
+    adjacent sequence pairs co-locate at ~1/N_SHARDS (chance), never
+    the ~100% a contiguous assignment would give. Deterministic
+    fixture, so the bounds are a stable pin."""
+    from aggregator_spark.analytics_queries12 import (
+        N_SHARDS,
+        q_shard_mixing_report,
+    )
+
+    rows = q_shard_mixing_report(spark, sf_dir).collect()
+    n_adj_total = sum(r["n_seqs"] for r in rows) - 1  # pairs overall
+    colocated = sum(r["adj_colocated"] for r in rows)
+    frac = colocated / n_adj_total
+    assert 0.2 / N_SHARDS <= frac <= 3.0 / N_SHARDS, frac

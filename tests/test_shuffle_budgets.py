@@ -237,6 +237,9 @@ EXCHANGE_PINS = {
     # join (zorder) — broadcasts are the max/carry relations
     "heaps_law_points": (6, 4),
     "zorder_layout_keys": (14, 4),
+    # r11 seventh wave: both rank/rollup seams checkpointed, visible
+    # plan = adjacency self-join + two rollups
+    "shard_mixing_report": (4, 0),
 }
 
 
