@@ -193,25 +193,15 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (dict insertion order), so the window is an explicit, tested artifact
 # rotated per round to convert local green into driver CORRECTNESS rows.
-# Round-10 window (VERDICT r9 item 1): the §2-parity block first (fresh
-# §2 rows every round), then this round's novelties (never
-# driver-checked, so they MUST sit in the window — pytest-enforced),
-# then the SEVEN r5-age stragglers FIRST (the ageing debt the r9
-# rotation left: displaced by r9 novelties under the stated tie-break),
-# then the alphabetically-FIRST 17 of the 39-entry r6-age pool. The 22
-# r6 entries dropped to r11 are the alphabetically-last pool entries
-# per the same tie-break (dsir_weights, dup_span_stats,
-# embedding_normalize,
-# embedding_quantize, heavy_bigrams,
-# latest_event_per_user,
-# ngram_containment_pairs, pmi_collocations,
-# profile_events, regr_value_by_type, semantic_decontaminate,
-# semantic_dedup, session_window_native,
-# sessionize, temperature_mix, tpch_q18_big_orders, tpch_q3,
-# tumbling_hourly, user_type_arrays, video_frames, zscore_outliers,
-# zscore_outliers_bucketed) — the pool
-# is one round deep, nothing ages past r6+anything older than 4 rounds
-# (the derived age-ledger pin in tests/test_driver_window.py). Every
+# Round-12 window (VERDICT r11 item 1): the §2-parity block first (fresh
+# §2 rows every round), then the WHOLE 32-entry r7-age pool — derived
+# from the CORRECTNESS_r*.json files by the age-ledger test, NOT from
+# HANDOFF arithmetic (VERDICT r11 what's-wrong #2: the hand-copied pool
+# omitted median_value) — then 7 free slots: this round's novelties
+# displace (alphabetically-last first, the standing tie-break) fill
+# entries pre-rotated from the alphabetically-FIRST of the 39-entry
+# r8-age pool (each pre-rotation buys r13 one novelty slot: the r13
+# boundary pool would otherwise be 39 + 11 parity = exactly 50). Every
 # displaced entry stays covered by the local full sweep
 # (test_entry_oracle runs EVERY oracle at both SFs); displacement only
 # defers driver rows.
@@ -229,69 +219,50 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # the WHOLE 22-entry r6-age pool rotates this round (VERDICT r10
-    # item 1: at r11 every pool entry sits exactly at the r6 = cur-5
-    # boundary, so none may wait another round)
-    "dsir_weights",
-    "dup_span_stats",
-    "embedding_normalize",
-    "embedding_quantize",
-    "heavy_bigrams",
-    "latest_event_per_user",
-    "ngram_containment_pairs",
-    "pmi_collocations",
-    "profile_events",
-    "regr_value_by_type",
-    "semantic_decontaminate",
-    "semantic_dedup",
-    "session_window_native",
-    "sessionize",
-    "temperature_mix",
-    "tpch_q18_big_orders",
-    "tpch_q3",
-    "tumbling_hourly",
-    "user_type_arrays",
-    "video_frames",
-    "zscore_outliers",
-    "zscore_outliers_bucketed",
-    # remaining 17 slots: r11 novelties displace (alphabetically-last
-    # first, the standing tie-break) the alphabetically-first entries
-    # of the r7-age pool below, which pre-rotate a round early
-    "bm25_rrf_rerank",
-    "corpus_prepare_e2e",
-    "dedup_cluster_sizes",
-    "distinct_users_daily",
-    "eval_split_quota",
-    "grouping_sets_daily",
-    "json_props",
-    # r11 first wave: deterministic training-shard emission (VERDICT
-    # r10 item 3); slots from string_funcs / top_events_per_type (the
-    # alphabetically-last fill entries, per the standing tie-break)
-    "corpus_shard_emit",
-    "shard_manifest",
-    # r11 second wave: the union-candidate dedup threaded through the
-    # composed pipeline (VERDICT r10 item 6); slot from
-    # sliding_halfhour (same rule)
-    "corpus_prepare_union_e2e",
-    # r11 third wave: the oracled IVF-PQ composition (deterministic
-    # cell routing + in-cell ADC); slot from set_ops_users (same rule)
-    "ann_topk_ivfpq",
-    # r11 fourth wave: the complete last mile (prepared corpus ->
-    # deterministic shards); slot from salted_type_counts (same rule)
-    "corpus_prepare_shard_e2e",
-    # r11 fifth wave: DSIR selection — the fourth gating regime — and
-    # its e2e composition through the keep_ids seam; slots from
-    # pivot_daily / rollup_orders (same rule)
-    "dsir_gate",
-    "corpus_prepare_dsir_e2e",
-    # r11 sixth wave: the vocabulary scaling curve and the exact-
-    # quantile Morton layout keys; slots from mix_waterfill /
-    # pack_efficiency (same rule)
-    "heaps_law_points",
-    "zorder_layout_keys",
-    # r11 seventh wave: the shard mixing evidence table; slot from
-    # median_value (same rule)
-    "shard_mixing_report",
+    # the WHOLE 32-entry r7-age pool rotates this round (every entry
+    # sits exactly at the r7 = cur-5 boundary, so none may wait)
+    "median_value",
+    "mix_waterfill",
+    "pack_efficiency",
+    "pivot_daily",
+    "rollup_orders",
+    "salted_type_counts",
+    "set_ops_users",
+    "sliding_halfhour",
+    "string_funcs",
+    "top_events_per_type",
+    "tpch_q1",
+    "tpch_q10_returns",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q20_nested_in",
+    "tpch_q21_waiting",
+    "tpch_q22_idle",
+    "tpch_q2_min_supp",
+    "tpch_q4_semi",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7_nation_pairs",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "unpivot_daily",
+    "value_bands",
+    # remaining 7 slots: fill entries pre-rotated from the
+    # alphabetically-first of the r8-age pool; r12 novelties displace
+    # the alphabetically-last fills as they land (standing tie-break)
+    "ann_ivf_index",
+    "ann_topk",
+    "bm25_index_postings",
+    "bpe_dict_states",
+    "calendar_funcs",
+    "clean_text",
+    "cohort_retention",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
