@@ -188,6 +188,48 @@ def image_features(px: np.ndarray, dim: int = 16) -> list[float]:
     return feats
 
 
+def dhash64(px: np.ndarray, hash_size: int = 8) -> str:
+    """64-bit difference hash (dHash) of decoded pixels as a 64-char
+    '0'/'1' string — the same cross-engine-safe representation as
+    ``dedup.simhash64``, so the Manku banded-Hamming machinery and the
+    DuckDB ``hamming()`` oracle apply unchanged.
+
+    The classic perceptual fingerprint (size/compression invariant):
+    box-downscale to a ``hash_size x (hash_size+1)`` luminance grid,
+    then bit[r*8+c] = 1 iff cell(r, c+1) is brighter than cell(r, c).
+    Everything is EXACT integer arithmetic — cell boundaries are
+    ``floor(i*H/rows)``, and the mean comparison cross-multiplies cell
+    sums by cell areas instead of dividing — so the hash is a pure
+    function of the pixel bytes on any platform (no float rounding),
+    which is what lets the driver oracle carry a closed-form expected
+    hash per fixture key."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    lum = (
+        px[:, :, :3].sum(axis=2, dtype=np.int64)
+        if px.shape[2] >= 3
+        else px[:, :, 0].astype(np.int64)
+    )
+    h, w = lum.shape
+    rows, cols = hash_size, hash_size + 1
+    rb = [i * h // rows for i in range(rows + 1)]
+    cb = [j * w // cols for j in range(cols + 1)]
+    sums = np.empty((rows, cols), dtype=np.int64)
+    areas = np.empty((rows, cols), dtype=np.int64)
+    for r in range(rows):
+        for c in range(cols):
+            cell = lum[rb[r] : rb[r + 1], cb[c] : cb[c + 1]]
+            sums[r, c] = int(cell.sum())
+            areas[r, c] = cell.size
+    bits = []
+    for r in range(rows):
+        for c in range(cols - 1):
+            left = sums[r, c] * areas[r, c + 1]
+            right = sums[r, c + 1] * areas[r, c]
+            bits.append("1" if right > left else "0")
+    return "".join(bits)
+
+
 # ---- WAV ----
 
 

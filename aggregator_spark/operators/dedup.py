@@ -461,12 +461,32 @@ def simhash_near_dup(
     → conv(_, 2, 10) → long, XOR, bit_count — no Python in the hot
     path (the signature worker is the one Arrow pass, shared with
     ``simhash64``)."""
+    sig = simhash64(docs, id_col, text_col).localCheckpoint(eager=True)
+    return banded_hamming_pairs(sig, "simhash", max_hamming, n_blocks)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_blocks: int = SIMHASH_BLOCKS,
+) -> DataFrame:
+    """The Manku block-combination candidate + exact-Hamming-verify
+    stage over ANY (doc_id, 64-char '0'/'1' signature) relation —
+    factored from ``simhash_near_dup`` (plan-identical there) so the
+    perceptual image near-dup path (``multimodal.image_near_dup``,
+    dHash signatures) rides the same machinery. ``sig`` should already
+    be materialized/checkpointed by the caller if its lineage is
+    expensive (it is read by both the candidate and verify stages).
+    Returns (doc_a, doc_b, hamming) with hamming <= max_hamming;
+    candidate recall is exact by pigeonhole, see simhash_near_dup."""
     from itertools import combinations
 
     assert n_blocks > max_hamming, "need at least one clean block"
     k = n_blocks - max_hamming
     bounds = _block_bounds(n_blocks)
-    sig = simhash64(docs, id_col, text_col).localCheckpoint(eager=True)
+    if sig_col != "simhash":
+        sig = sig.select("doc_id", F.col(sig_col).alias("simhash"))
     combo_keys = [
         F.conv(
             F.concat(

@@ -111,21 +111,28 @@ def emit_shard_containers(
     twin of the parquet emission for payload-bearing rows (columns
     shard_id, shard_rank, doc_id, mime, payload). Deterministic names
     + temp-per-attempt + rename, so a task retry re-renames the same
-    bytes over the same file (the write_containers discipline)."""
-    from aggregator_spark.sources.warclite import write_warclite
+    bytes over the same file (the write_containers discipline). The
+    rank order comes from a JVM ``sortWithinPartitions`` (spillable)
+    and the worker STREAMS the already-ordered iterator through
+    ``itertools.groupby`` — peak Python memory is one record, not one
+    shard (ADVICE r11: ``sorted(it)`` held a whole shard's payloads;
+    at 100 TB that is shard-sized worker RSS). Stale ``shard-*.wlc``
+    files from a previous run are cleared first (a re-run with fewer
+    shards must not leave extras the reader's glob includes)."""
+    from aggregator_spark.sources.warclite import (
+        _clear_containers,
+        write_warclite,
+    )
 
-    os.makedirs(out_dir, exist_ok=True)
+    _clear_containers(out_dir, "shard-")
 
     def write_part(it):
         from itertools import groupby
 
         from pyspark import TaskContext
 
-        rows = sorted(it, key=lambda r: (r["shard_id"], r["shard_rank"]))
-        if not rows:
-            return
         att = TaskContext.get().taskAttemptId()
-        for sid, grp in groupby(rows, key=lambda r: r["shard_id"]):
+        for sid, grp in groupby(it, key=lambda r: r["shard_id"]):
             tmp = os.path.join(out_dir, f".tmp-{sid:05d}-{att}")
             write_warclite(
                 tmp,
@@ -139,5 +146,6 @@ def emit_shard_containers(
     (
         sharded.select("shard_id", "shard_rank", "doc_id", "mime", "payload")
         .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_rank")
         .foreachPartition(write_part)
     )

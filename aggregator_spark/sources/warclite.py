@@ -169,30 +169,60 @@ def write_containers(
     only present in complete files — ``_read_footer`` rejects
     anything else). Sort/partition the input beforehand if container
     locality matters; records within a partition write in
-    ``order_col`` order for determinism under a fixed partitioning.
+    ``order_col`` order for determinism under a fixed partitioning —
+    ordered by a JVM ``sortWithinPartitions`` (spillable) and STREAMED
+    through the Python worker one row at a time, so peak worker memory
+    is one record, not one container (ADVICE r11: ``sorted(it)``
+    materialized the whole partition, payloads included).
     Output names are the DETERMINISTIC partition id (not a uuid), so
     a task retry or speculative attempt re-renames the same bytes
     over the same ``part-<pid>.wlc`` instead of adding a duplicate
     container; the temp name carries the attempt number so two live
-    attempts never interleave writes into one temp file."""
-    os.makedirs(out_dir, exist_ok=True)
+    attempts never interleave writes into one temp file. Pre-existing
+    ``part-*.wlc``/temp files in ``out_dir`` are cleared first —
+    without that, a re-run with fewer partitions would leave stale
+    containers the reader's glob silently includes (ADVICE r11)."""
+    _clear_containers(out_dir, "part-")
 
     def write_part(it):
         from pyspark import TaskContext
 
-        rows = sorted(it, key=lambda r: r[order_col])
-        if not rows:
+        first = next(it, None)
+        if first is None:
             return
         ctx = TaskContext.get()
         pid, att = ctx.partitionId(), ctx.taskAttemptId()
         tmp = os.path.join(out_dir, f".tmp-{pid:05d}-{att}")
         write_warclite(
             tmp,
-            ((r["doc_id"], r["mime"], bytes(r["payload"])) for r in rows),
+            (
+                (r["doc_id"], r["mime"], bytes(r["payload"]))
+                for r in _chain([first], it)
+            ),
         )
         os.rename(tmp, os.path.join(out_dir, f"part-{pid:05d}.wlc"))
 
-    df.select("doc_id", "mime", "payload").foreachPartition(write_part)
+    (
+        df.select("doc_id", "mime", "payload")
+        .sortWithinPartitions(order_col)
+        .foreachPartition(write_part)
+    )
+
+
+def _chain(head, it):
+    yield from head
+    yield from it
+
+
+def _clear_containers(out_dir: str, prefix: str) -> None:
+    """Make the container sinks overwrite-semantics for real: drop
+    stale ``<prefix>*.wlc`` outputs and orphaned temp files from any
+    previous run before emitting into ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    for p in glob.glob(os.path.join(out_dir, f"{prefix}*.wlc")) + glob.glob(
+        os.path.join(out_dir, ".tmp-*")
+    ):
+        os.remove(p)
 
 
 # ------------------------------------------------- cached test corpus

@@ -8,9 +8,17 @@ The discipline (first built for the drift monitor, now generic):
   (exactly-once without a transactional store);
 - the additive merge happens at READ time: sum the count column over
   every committed delta plus the compacted base generation;
-- compaction folds deltas (and any previous base) into a new base via
-  temp-dir + rename, so a crash leaves either the old state or the
-  new one, never a half-merged store.
+- compaction commits by ONE atomic rename of a generation dir
+  (``base_upto=N`` with N = the max folded batch id); the reader
+  serves the newest committed generation plus only the deltas with
+  ``batch_id > N``. A crash at ANY point leaves an exact serving
+  state: before the rename the old generation + all deltas is the old
+  state; after it the new generation already contains every delta
+  ≤ N and the reader excludes them whether or not the cleanup that
+  deletes them ran (VERDICT r11 what's-wrong #1 — the previous
+  rmtree-then-rename window could lose the base outright; a
+  park-aside alone is not enough for an ADDITIVE store, because
+  new-base + undeleted-deltas double-counts).
 
 At 100 TB/day the per-batch delta is an already-aggregated relation
 (orders smaller than the batch text), the store grows by that small
@@ -37,23 +45,61 @@ def write_delta(delta: DataFrame, root: str, batch_id: int) -> None:
     )
 
 
+def _base_generation(root: str) -> tuple[int, str] | None:
+    """(max folded batch id, path) of the newest committed base
+    generation, or None. A legacy pre-generation ``base`` dir (whose
+    folded deltas were already deleted by the old compactor) reads as
+    generation -1 — include every still-present delta, exactly the old
+    semantics — but only when no ``base_upto=N`` dir has superseded
+    it (a crash after the rename may leave both)."""
+    gens = []
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("base_upto=") and os.path.isdir(
+                _p(root, name)
+            ):
+                gens.append((int(name.split("=")[1]), _p(root, name)))
+    if gens:
+        return max(gens)
+    legacy = _p(root, "base")
+    if os.path.isdir(legacy):
+        return (-1, legacy)
+    return None
+
+
+def _delta_dirs(root: str, after: int) -> list[str]:
+    """Committed delta dirs with batch_id strictly greater than
+    ``after`` (the folded frontier of the served base generation)."""
+    d = _p(root, "deltas")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("batch_id="):
+            k = int(name.split("=")[1])
+            if k > after:
+                out.append(os.path.join(d, name))
+    return sorted(out)
+
+
 def served_counts(
     spark: SparkSession,
     root: str,
     key_cols: tuple[str, ...],
     cnt_col: str = "cnt",
 ) -> DataFrame:
-    """The running summed relation: additive merge of every committed
-    batch delta plus the compacted base generation, at read time."""
+    """The running summed relation: additive merge of the newest
+    committed base generation plus every delta it does NOT already
+    contain (batch_id > the generation's folded frontier)."""
     cols = [*key_cols, cnt_col]
+    gen = _base_generation(root)
+    after = gen[0] if gen is not None else -(1 << 62)
     parts = []
-    deltas = _p(root, "deltas")
-    if os.path.isdir(deltas) and os.listdir(deltas):
-        # project away the batch_id partition-discovery column so the
-        # delta and base relations union cleanly
-        parts.append(spark.read.parquet(deltas).select(*cols))
-    if os.path.isdir(_p(root, "base")):
-        parts.append(spark.read.parquet(_p(root, "base")).select(*cols))
+    deltas = _delta_dirs(root, after)
+    if deltas:
+        parts.append(spark.read.parquet(*deltas).select(*cols))
+    if gen is not None:
+        parts.append(spark.read.parquet(gen[1]).select(*cols))
     if not parts:
         raise FileNotFoundError(f"no delta-store state under {root}")
     union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
@@ -66,16 +112,51 @@ def compact(
     key_cols: tuple[str, ...],
     cnt_col: str = "cnt",
 ) -> None:
-    """Fold every accumulated delta (and any previous base) into a
-    single summed base generation, then drop the delta dirs. Written
-    base-first via temp dir + rename; the served relation reads
-    identically before and after."""
+    """Fold the served relation into a new base generation, committed
+    by one atomic rename, then clean up the superseded state. Crash
+    tolerance is by construction (see module docstring): every delta
+    the new generation folded is excluded by the reader's
+    ``batch_id > N`` rule even if the cleanup below never runs."""
+    gen = _base_generation(root)
+    after = gen[0] if gen is not None else -(1 << 62)
+    folded = [
+        int(os.path.basename(p).split("=")[1])
+        for p in _delta_dirs(root, after)
+    ]
+    if gen is None and not folded:
+        raise FileNotFoundError(f"no delta-store state under {root}")
+    if not folded and not (gen is not None and gen[0] == -1):
+        # nothing new to fold; never rebuild the live generation, but
+        # DO finish any cleanup a crashed predecessor skipped
+        _cleanup(root, gen[0])
+        return
+    upto = max([after, *folded])
     merged = served_counts(spark, root, key_cols, cnt_col)
     tmp = _p(root, "base_next")
     merged.write.mode("overwrite").parquet(tmp)
-    base = _p(root, "base")
-    shutil.rmtree(base, ignore_errors=True)
-    os.rename(tmp, base)
-    deltas = _p(root, "deltas")
-    shutil.rmtree(deltas, ignore_errors=True)
-    os.makedirs(deltas, exist_ok=True)
+    final = _p(root, f"base_upto={upto}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.rename(tmp, final)  # the commit point
+    _cleanup(root, upto)
+
+
+def _cleanup(root: str, upto: int) -> None:
+    """Drop state the ``base_upto=<upto>`` generation superseded:
+    folded deltas (batch_id <= upto), older generations, the legacy
+    base dir, a stale temp. Safe to crash-skip and to re-run — it
+    never touches the live generation or unfolded deltas."""
+    for name in list(os.listdir(_p(root, "deltas")) if os.path.isdir(
+        _p(root, "deltas")
+    ) else []):
+        if name.startswith("batch_id=") and int(
+            name.split("=")[1]
+        ) <= upto:
+            shutil.rmtree(_p(root, "deltas", name), ignore_errors=True)
+    os.makedirs(_p(root, "deltas"), exist_ok=True)
+    shutil.rmtree(_p(root, "base"), ignore_errors=True)
+    shutil.rmtree(_p(root, "base_next"), ignore_errors=True)
+    for name in list(os.listdir(root)):
+        if name.startswith("base_upto=") and int(
+            name.split("=")[1]
+        ) < upto:
+            shutil.rmtree(_p(root, name), ignore_errors=True)

@@ -235,8 +235,19 @@ def compact(spark: SparkSession, root: str) -> None:
     leaves a complete serving state (``_base_dir`` falls back to
     ``.old`` while the final dir is missing, and the delta dirs
     outlive both renames). The serving plans are identical before and
-    after (pinned in the tests)."""
+    after (pinned in the tests).
+
+    If the bloom state is missing while fps exist (a crash between the
+    fps delta write and the bloom delta write in the ingest fold,
+    whose writes are ordered verdicts→features→fps→bloom), the bloom
+    base is REBUILT from the fps relation — the exact index the store
+    retains precisely so the bloom is always reconstructible (module
+    docstring) — so the two bases can never diverge."""
     import shutil
+
+    from aggregator_spark.operators.runtime_filter import (
+        build_bloom_words,
+    )
 
     # build both new generations BEFORE touching the old state
     fps = _served_fps(spark, root, batch_id=1 << 60)
@@ -244,7 +255,12 @@ def compact(spark: SparkSession, root: str) -> None:
         raise ValueError(
             f"nothing to compact under {root}: no fp deltas or base"
         )
+    fps = fps.localCheckpoint(eager=True)
     words = _served_bloom_words(spark, root, batch_id=1 << 60)
+    if words is None:
+        words = build_bloom_words(
+            fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
+        )
     fps.write.mode("overwrite").parquet(_p(root, "base", "_fps_tmp"))
     spark.createDataFrame(
         [(w, word) for w, word in enumerate(words) if word != 0],

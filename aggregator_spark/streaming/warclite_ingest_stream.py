@@ -7,8 +7,9 @@ payload dedup, and ONLY first-seen payloads pay the decode.
 
 Shape::
 
-    warcland source (landing-dir watcher; offset = #files consumed,
-                     files in name order — exact replay)
+    warcland source (landing-dir watcher; offset = consumed-frontier
+                     NAME — replay reads the (start, end] name range,
+                     exact regardless of later landings)
       → foreachBatch (batch N):
           fp      = md5(payload)                     (JVM-side)
           verdict = bloom fast path + exact verify vs batches < N
@@ -64,11 +65,19 @@ from aggregator_spark.streaming.ingest_dedup_stream import (
 
 
 class WarcLandStreamReader(SimpleDataSourceStreamReader):
-    """Landing-dir watcher: offset = how many containers (name order)
-    have been consumed. A container is immutable once landed (the
-    write_warclite temp+rename discipline), so files[start:end] is a
-    pure function of the offsets — the replay contract
-    ``readBetweenOffsets`` answers checkpoint recovery with."""
+    """Landing-dir watcher: offset = the NAME of the last consumed
+    container (the consumed frontier) plus how many files sorted at or
+    below it when the frontier committed. A container is immutable
+    once landed (the write_warclite temp+rename discipline) and names
+    must land sort-monotone (the writers' timestamp/part naming does),
+    so the name range (start, end] is a pure function of the offsets —
+    the replay contract ``readBetweenOffsets`` answers checkpoint
+    recovery with, IMMUNE to files that land after the frontier (an
+    offset that merely counted files would shift the replayed slice —
+    the ADVICE r11 bug). A straggler that lands sorting BELOW the
+    already-committed frontier can never be consumed by a frontier
+    offset; the ``n_upto`` count detects exactly that state and the
+    reader refuses loudly instead of silently skipping it."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -77,7 +86,10 @@ class WarcLandStreamReader(SimpleDataSourceStreamReader):
         self.path = path
 
     def _files(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.path, "*.wlc")))
+        return sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self.path, "*.wlc"))
+        )
 
     def _rows(self, files: list[str]) -> list[tuple]:
         from aggregator_spark.sources.warclite import _read_footer
@@ -85,7 +97,8 @@ class WarcLandStreamReader(SimpleDataSourceStreamReader):
         import struct
 
         out: list[tuple] = []
-        for p in files:
+        for name in files:
+            p = os.path.join(self.path, name)
             offsets = _read_footer(p)
             with open(p, "rb") as f:
                 f.seek(offsets[0] if offsets else 0)
@@ -97,17 +110,44 @@ class WarcLandStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"upto": "", "n_upto": 0}
+
+    def _norm(self, off: dict, files: list[str]) -> dict:
+        """Accept a legacy count offset ({'n': N}) from an old
+        checkpoint: its meaning was 'the first N name-sorted files'."""
+        if "upto" in off:
+            return off
+        n = off["n"]
+        return {"upto": files[n - 1] if n else "", "n_upto": n}
 
     def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
         files = self._files()
-        n = start["n"]
-        if n >= len(files):
-            return iter([]), {"n": n}
-        return iter(self._rows(files[n:])), {"n": len(files)}
+        start = self._norm(start, files)
+        consumed = [f for f in files if f <= start["upto"]]
+        if len(consumed) != start["n_upto"]:
+            raise ValueError(
+                f"out-of-order landing under {self.path}: "
+                f"{len(consumed)} files sort at or below the consumed "
+                f"frontier {start['upto']!r} but {start['n_upto']} were "
+                "consumed — a container landed with a name below the "
+                "frontier and can never be ingested; landing names "
+                "must be sort-monotone"
+            )
+        new = [f for f in files if f > start["upto"]]
+        if not new:
+            return iter([]), start
+        end = {"upto": new[-1], "n_upto": len(consumed) + len(new)}
+        return iter(self._rows(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return iter(self._rows(self._files()[start["n"] : end["n"]]))
+        files = self._files()
+        start = self._norm(start, files)
+        end = self._norm(end, files)
+        return iter(
+            self._rows(
+                [f for f in files if start["upto"] < f <= end["upto"]]
+            )
+        )
 
 
 class WarcLandDataSource(DataSource):
