@@ -117,6 +117,24 @@ def lookup_values_sql() -> str:
     return ",\n".join(rows)
 
 
+@lru_cache(maxsize=N_KEYS)
+def expected_dhash(k: int) -> str:
+    """64-char dHash expected from the REAL decode of the even key's
+    PNG payload — same codec functions the Spark workers run
+    (integer-exact, so closed-form across engines)."""
+    from aggregator_spark.operators.codecs import decode_png, dhash64
+
+    return dhash64(decode_png(build_payload(k)))
+
+
+def dhash_lookup_values_sql() -> str:
+    """(k, dhash) VALUES rows for the DuckDB oracle — one per even
+    (image) fixture key."""
+    return ",\n".join(
+        f"({k}, '{expected_dhash(k)}')" for k in range(0, N_KEYS, 2)
+    )
+
+
 # ---- video fixture (r6): same contract as image/audio, AVI modality --
 
 N_VIDEO_KEYS = 64  # videos key on doc_id % N_VIDEO_KEYS

@@ -150,3 +150,76 @@ ANALYTICS12_ORACLES["shard_mixing_report"] = f"""
     FROM sh s LEFT JOIN co ON co.shard_id = s.shard_id
     GROUP BY 1
 """
+
+
+# ---- round-12: perceptual image near-dup dedup -----------------------
+# The expected dHash per even fixture key is a CLOSED FORM of
+# doc_id % 256 computed by the same codec functions the Spark workers
+# run (operators/media_fixture.expected_dhash — the media_features
+# oracle precedent), embedded as a VALUES lookup. Banding in SQL uses
+# the 4x16-bit single-block tables (pigeonhole-exact for hamming <= 3,
+# same recall as the Spark side's 6-choose-3 Manku tables — both are
+# candidate schemes verified by the same exact Hamming, so the PAIR
+# sets are identical); components are the standard recursive closure.
+
+from aggregator_spark.operators.media_fixture import (  # noqa: E402
+    dhash_lookup_values_sql,
+)
+
+_DHASH_SIG = f"""
+    lk(k, dhash) AS (VALUES
+{dhash_lookup_values_sql()}),
+    sig AS (
+      SELECT d.doc_id, l.dhash
+      FROM documents d JOIN lk l ON d.doc_id % 256 = l.k
+      WHERE d.doc_id % 2 = 0)
+"""
+
+_DHASH_EDGES = """
+    rep AS (SELECT dhash, MIN(doc_id) AS rid FROM sig GROUP BY dhash),
+    bands AS (
+      SELECT rid, b.band, substr(dhash, 1 + 16 * b.band, 16) AS bucket
+      FROM rep, (SELECT unnest(generate_series(0, 3)) AS band) b),
+    cand AS (
+      SELECT DISTINCT a.rid AS doc_a, b.rid AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.rid < b.rid),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(hamming(x.dhash, y.dhash) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN rep x ON x.rid = c.doc_a
+      JOIN rep y ON y.rid = c.doc_b
+      WHERE hamming(x.dhash, y.dhash) <= 3)
+"""
+
+ANALYTICS12_ORACLES["image_dhash"] = f"""
+    WITH {_DHASH_SIG}
+    SELECT doc_id, dhash FROM sig
+"""
+
+ANALYTICS12_ORACLES["image_near_dup_pairs"] = f"""
+    WITH {_DHASH_SIG},
+    {_DHASH_EDGES}
+    SELECT doc_a, doc_b, hamming FROM ver
+"""
+
+ANALYTICS12_ORACLES["image_near_dup_keep"] = f"""
+    WITH RECURSIVE {_DHASH_SIG},
+    {_DHASH_EDGES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    repc AS (
+      SELECT r.dhash, COALESCE(c.component, r.rid) AS component
+      FROM rep r LEFT JOIN comp c ON c.node = r.rid)
+    SELECT s.doc_id, rc.component, (s.doc_id = rc.component) AS keep
+    FROM sig s JOIN repc rc ON s.dhash = rc.dhash
+"""

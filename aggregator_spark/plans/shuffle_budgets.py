@@ -136,6 +136,12 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "grouping_sets_daily": 2.0,
     "heavy_bigrams": 3.0,
     "hll_monthly_users": 2.0,
+    # r12 first wave: image signatures are (long, 64-char string) and
+    # the banding/components run on ≤256 distinct-signature nodes —
+    # floors (measured sf0.1: ≤0.5 MB each)
+    "image_dhash": 2.0,
+    "image_near_dup_pairs": 2.0,
+    "image_near_dup_keep": 2.0,
     "incremental_daily_counts": 2.0,
     "interval_overlap_join": 2.8,
     "json_props": 2.0,

@@ -260,9 +260,12 @@ DRIVER_WINDOW = [
     "ann_topk",
     "bm25_index_postings",
     "bpe_dict_states",
-    "calendar_funcs",
-    "clean_text",
-    "cohort_retention",
+    # r12 first wave: perceptual image near-dup dedup (VERDICT r11
+    # what's-missing #1) — slots from calendar_funcs / clean_text /
+    # cohort_retention (the alphabetically-last fills, standing rule)
+    "image_dhash",
+    "image_near_dup_pairs",
+    "image_near_dup_keep",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

@@ -571,6 +571,26 @@ def main() -> None:
         summary_d["shuffle_viol"] = len(violations)
     if contended:
         summary_d["contended"] = True
+    # canary-normalized headline (VERDICT r11 item 6): the driver's
+    # recorded number was a slow-regime capture two rounds running even
+    # though the payload-of-record guard parked those runs aside. The
+    # END canaries are at JIT steady state in every full run, so
+    # new-end/prior-clean-end is a pure environment ratio; dividing the
+    # total by its geomean estimates the clean-regime total WITHOUT
+    # re-running the sweep. Only emitted when the regime is actually
+    # degraded (>5%), and never inflates a fast run.
+    vs_prior = run_conditions.get("canary_end_vs_prior_run") or {}
+    env_vals = [v for k, v in vs_prior.items()
+                if k != "canary_arrow" and v > 0]
+    if env_vals:
+        import math
+
+        env_ratio = math.exp(
+            sum(math.log(v) for v in env_vals) / len(env_vals)
+        )
+        if env_ratio > 1.05:
+            summary_d["env_ratio"] = round(env_ratio, 3)
+            summary_d["value_norm"] = round(total / env_ratio, 3)
     summary = json.dumps(summary_d)
     assert len(summary) <= 200, summary
     print(summary)

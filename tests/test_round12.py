@@ -1,0 +1,167 @@
+"""Round-12 property pins: perceptual image near-dup dedup (VERDICT
+r11 what's-missing #1 / next-round item 3).
+
+- dhash64 invariances: the hash must survive the transformations a
+  near-dup actually undergoes (re-encode, uniform brightness shift,
+  small crop/shift, downscale) and separate unrelated content.
+- The crafted near-dup-pair pin: the SAME image patch-edited (flips
+  1–3 dHash bits, inside the banding's exact-recall radius) must be
+  FOUND by the banded pipeline and merged by components — liveness of
+  the non-identical near-dup path, which the fixture alone can't
+  guarantee (its gradients also collide exactly).
+- Closed-form oracle parity: expected_dhash(k) is the same function
+  of the fixture key on both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aggregator_spark.operators.codecs import (
+    decode_png,
+    dhash64,
+    encode_png,
+)
+
+
+def _ham(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def _base_image() -> np.ndarray:
+    """Deterministic textured (non-smooth) grayscale image — smooth
+    gradients make every perturbation hash-invariant, which would pin
+    nothing."""
+    y = np.arange(32)[:, None]
+    x = np.arange(40)[None, :]
+    return ((3 * y * y + 5 * x + (x * y) % 7) % 200).astype(np.uint8)
+
+
+def _patched(px: np.ndarray) -> np.ndarray:
+    """A local brightening patch — the small-edit near-dup (flips 2
+    dHash bits on the base image, verified below)."""
+    v = px.copy()
+    v[8:12, 10:15] = np.minimum(
+        v[8:12, 10:15].astype(int) + 50, 255
+    ).astype(np.uint8)
+    return v
+
+
+def test_dhash_invariances_and_separation():
+    base = _base_image()
+    h0 = dhash64(base)
+    assert len(h0) == 64 and set(h0) <= {"0", "1"}
+    # re-encode round-trip: identical bytes-of-pixels, identical hash
+    assert dhash64(decode_png(encode_png(base))) == h0
+    # uniform brightness shift (no wrap): differences preserved
+    assert dhash64((base + 40).astype(np.uint8)) == h0
+    # one-pixel crop/shift and 2x downscale are grid-stable where the
+    # content is smoother than the 8x9 grid (the invariance dHash is
+    # built for); the textured base's sub-cell detail legitimately
+    # moves bits, so pin these on a smooth gradient
+    y = np.arange(32)[:, None]
+    x = np.arange(40)[None, :]
+    smooth = ((2 * y + 3 * x) % 200).astype(np.uint8)
+    hs = dhash64(smooth)
+    assert _ham(hs, dhash64(smooth[:, 1:])) == 0
+    assert _ham(hs, dhash64(smooth[::2, ::2])) == 0
+    # the crafted small edit sits INSIDE the near-dup radius
+    d_edit = _ham(h0, dhash64(_patched(base)))
+    assert 1 <= d_edit <= 3, d_edit
+    # unrelated content sits far OUTSIDE it
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, size=(32, 40)).astype(np.uint8)
+    assert _ham(h0, dhash64(noise)) > 10
+
+
+def test_dhash_degenerate_sizes():
+    """Images narrower than the 9-column grid produce empty cells —
+    deterministic '0' bits, never a crash (fixture widths go down to
+    8 px)."""
+    tiny = (np.arange(64).reshape(8, 8) % 256).astype(np.uint8)
+    h = dhash64(tiny)
+    assert len(h) == 64
+    # RGB input folds channels exactly (sum, not float mean)
+    rgb = np.stack([tiny, tiny, tiny], axis=2)
+    assert dhash64(rgb) == h
+
+
+def test_expected_dhash_matches_real_decode():
+    """The oracle's closed form IS the worker computation: payload →
+    real PNG decode → dhash64, per fixture key."""
+    from aggregator_spark.operators.media_fixture import (
+        build_payload,
+        expected_dhash,
+    )
+
+    for k in range(0, 32, 2):
+        assert expected_dhash(k) == dhash64(decode_png(build_payload(k)))
+
+
+def _media_df(spark):
+    """Crafted corpus: base (10), brightness twin (20) — EXACT dHash
+    collision, the contraction path; patch-edit near-dup (30) —
+    hamming 2, the banded-candidate path; unrelated (40)."""
+    base = _base_image()
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, size=(32, 40)).astype(np.uint8)
+    rows = [
+        (10, "image", bytearray(encode_png(base))),
+        (20, "image", bytearray(encode_png((base + 40).astype(np.uint8)))),
+        (30, "image", bytearray(encode_png(_patched(base)))),
+        (40, "image", bytearray(encode_png(noise))),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def test_image_near_dup_pipeline_liveness(spark):
+    """The end-to-end crafted pin (VERDICT r11 item 3 done-criteria):
+    re-encoded/shifted copies of one image must collapse to one
+    survivor through BOTH merge paths — exact signature collision AND
+    a banded non-zero-Hamming edge — while unrelated content survives
+    untouched."""
+    from aggregator_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup_keep,
+        image_near_dup_pairs,
+    )
+
+    media = _media_df(spark)
+    sigs = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(media).collect()
+    }
+    assert sigs[10] == sigs[20]  # brightness twin: exact collision
+    assert 1 <= _ham(sigs[10], sigs[30]) <= 3
+    assert _ham(sigs[10], sigs[40]) > 3
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_near_dup_pairs(media).collect()
+    }
+    # node representatives are min-ids per signature: {10,20}→10,
+    # {30}→30, {40}→40; the ONLY banded edge is the patch edit
+    assert set(pairs) == {(10, 30)}
+    assert 1 <= pairs[(10, 30)] <= 3
+
+    keep = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in image_near_dup_keep(media).collect()
+    }
+    assert keep == {
+        10: (10, True),
+        20: (10, False),
+        30: (10, False),
+        40: (40, True),
+    }
+
+
+def test_image_entries_in_driver_window():
+    from aggregator_spark.testdata_queries import DRIVER_WINDOW
+
+    for name in ("image_dhash", "image_near_dup_pairs",
+                 "image_near_dup_keep"):
+        assert name in DRIVER_WINDOW
