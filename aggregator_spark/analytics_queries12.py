@@ -383,6 +383,75 @@ def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio half of the media fixture: every ODD doc_id becomes
+    its deterministic sine-burst WAV payload (doc_id % 256 keyed) —
+    the mirror of ``image_media``."""
+    from pyspark.sql import types as T
+
+    from aggregator_spark.operators.media_fixture import (
+        N_KEYS,
+        build_payload,
+    )
+    from aggregator_spark.operators.util import scatter
+
+    docs = (
+        load_testdata(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    docs = scatter(docs, partitions=8)
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(["audio"] * len(ids), dtype="object"),
+                    "payload": pd.Series(
+                        [build_payload(i % N_KEYS) for i in ids],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(encode, media_schema)
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, afp) for every audio doc: real WAV decode → 64-bit
+    spectral fingerprint (operators/codecs.audio_fingerprint64) in one
+    Arrow pass — the audio twin of image_dhash."""
+    from aggregator_spark.operators.multimodal import audio_fp64
+
+    return (
+        audio_fp64(audio_media(spark, sf_dir))
+        .select(F.col("media_id").alias("doc_id"), "afp")
+        .orderBy("doc_id")
+    )
+
+
+def q_audio_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup keep-list (doc_id, component, keep) —
+    the shared contraction → banded-Hamming → star-components
+    composition over spectral fingerprints."""
+    from aggregator_spark.operators.multimodal import audio_near_dup_keep
+
+    return audio_near_dup_keep(
+        audio_media(spark, sf_dir), IMAGE_MAX_HAMMING
+    ).orderBy("doc_id")
+
+
 def q_image_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup keep-list (doc_id, component, keep):
     exact contraction → banded Hamming edges → star components on the
@@ -405,4 +474,6 @@ ANALYTICS12_QUERIES = {
     "image_dhash": q_image_dhash,
     "image_near_dup_pairs": q_image_near_dup_pairs,
     "image_near_dup_keep": q_image_near_dup_keep,
+    "audio_fingerprint": q_audio_fingerprint,
+    "audio_near_dup_keep": q_audio_near_dup_keep,
 }

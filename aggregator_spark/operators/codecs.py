@@ -325,6 +325,46 @@ def audio_features(
     return duration_ms, round(rms, 6), [round(float(b), 6) for b in bands]
 
 
+AUDIO_FP_SEGS = 8
+AUDIO_FP_BANDS = 9  # 8 adjacent-band comparisons per segment -> 64 bits
+
+
+def audio_fingerprint64(samples: np.ndarray, rate: int) -> str:
+    """64-bit spectral audio fingerprint as a 64-char '0'/'1' string —
+    the audio twin of ``dhash64`` (same signature contract, same
+    banded-Hamming machinery and DuckDB ``hamming()`` oracle apply).
+
+    Chromaprint-shaped: the clip splits into ``AUDIO_FP_SEGS`` equal
+    time segments; per segment, ``AUDIO_FP_BANDS`` log-spaced spectral
+    band energies (numpy rFFT, the ``audio_features`` band scheme);
+    bit = band[i+1] > band[i]. Level-invariant by construction (a
+    uniform gain scales every band, preserving every comparison);
+    robust to re-encode/quantization because band ORDER, not energy,
+    is the signature. Deterministic for a fixed numpy — the oracle
+    computes the same closed form per fixture key (the
+    ``audio_features`` float precedent). ``rate`` is accepted for
+    interface symmetry; the fingerprint is sample-domain."""
+    mono = samples.mean(axis=1) if samples.ndim > 1 else samples
+    n = len(mono)
+    bits = []
+    for s in range(AUDIO_FP_SEGS):
+        seg = mono[s * n // AUDIO_FP_SEGS : (s + 1) * n // AUDIO_FP_SEGS]
+        spec = np.abs(np.fft.rfft(seg)) if len(seg) else np.zeros(1)
+        edges = np.unique(
+            np.geomspace(1, max(2, len(spec)), AUDIO_FP_BANDS + 1).astype(
+                int
+            )
+        )
+        bands = np.zeros(AUDIO_FP_BANDS)
+        for i in range(min(AUDIO_FP_BANDS, len(edges) - 1)):
+            sub = spec[edges[i] : edges[i + 1]]
+            if len(sub):
+                bands[i] = float(np.mean(sub))
+        for i in range(AUDIO_FP_BANDS - 1):
+            bits.append("1" if bands[i + 1] > bands[i] else "0")
+    return "".join(bits)
+
+
 # ---- AVI (uncompressed DIB video) ----
 #
 # Same RIFF container family as WAV, so the parser reuses the chunk

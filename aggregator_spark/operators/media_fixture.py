@@ -135,6 +135,28 @@ def dhash_lookup_values_sql() -> str:
     )
 
 
+@lru_cache(maxsize=N_KEYS)
+def expected_audio_fp(k: int) -> str:
+    """64-char spectral fingerprint expected from the REAL decode of
+    the odd key's WAV payload — same codec functions the Spark workers
+    run."""
+    from aggregator_spark.operators.codecs import (
+        audio_fingerprint64,
+        decode_wav,
+    )
+
+    rate, _, samples = decode_wav(build_payload(k))
+    return audio_fingerprint64(samples, rate)
+
+
+def audio_fp_lookup_values_sql() -> str:
+    """(k, afp) VALUES rows for the DuckDB oracle — one per odd
+    (audio) fixture key."""
+    return ",\n".join(
+        f"({k}, '{expected_audio_fp(k)}')" for k in range(1, N_KEYS, 2)
+    )
+
+
 # ---- video fixture (r6): same contract as image/audio, AVI modality --
 
 N_VIDEO_KEYS = 64  # videos key on doc_id % N_VIDEO_KEYS

@@ -317,40 +317,93 @@ def image_near_dup_pairs(
     )
 
 
-def image_near_dup_keep(
-    media: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+def signature_near_dup_keep(
+    sigs: DataFrame,
+    sig_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
 ) -> DataFrame:
-    """Perceptual image dedup keep-list: (doc_id, component, keep) for
-    every image row. Exact-dup contraction (identical dHash → one
-    node), banded-Hamming near-dup edges between nodes, connected
-    components over the node graph (star contraction), then every
-    image inherits its signature node's component; the survivor per
-    component is the min doc_id (== the component label, because node
-    ids are already per-signature minima). keep = doc_id == component.
+    """Perceptual dedup keep-list over ANY (media_id, 64-bit-string
+    signature) relation — shared by the image (dHash) and audio
+    (spectral fingerprint) paths: exact-dup contraction (identical
+    signature → one node), banded-Hamming near-dup edges between
+    nodes, connected components over the node graph (star
+    contraction), then every row inherits its signature node's
+    component; the survivor per component is the min doc_id (== the
+    component label, because node ids are already per-signature
+    minima). Returns (doc_id, component, keep).
 
-    Scale shape: decode + hash is one linear Arrow pass; every join is
-    equi-shuffle; components run on the NODE graph (distinct
-    signatures), orders smaller than the corpus."""
+    Scale shape: every join is equi-shuffle; components run on the
+    NODE graph (distinct signatures), orders smaller than the corpus."""
     from pyspark.sql import functions as F
 
     from aggregator_spark.operators.components import dedup_clusters
     from aggregator_spark.operators.dedup import banded_hamming_pairs
 
-    sigs = image_dhash(media).localCheckpoint(eager=True)
+    sigs = sigs.localCheckpoint(eager=True)
     nodes = (
-        sigs.groupBy("dhash")
+        sigs.groupBy(sig_col)
         .agg(F.min("media_id").alias("doc_id"))
         .localCheckpoint(eager=True)
     )
     pairs = banded_hamming_pairs(
-        nodes.select("doc_id", "dhash"), "dhash", max_hamming, n_blocks
+        nodes.select("doc_id", sig_col), sig_col, max_hamming, n_blocks
     )
     comp = dedup_clusters(nodes, pairs.select("doc_a", "doc_b"))
-    rep_comp = nodes.join(comp, "doc_id").select("dhash", "component")
-    return sigs.join(rep_comp, "dhash").select(
+    rep_comp = nodes.join(comp, "doc_id").select(sig_col, "component")
+    return sigs.join(rep_comp, sig_col).select(
         F.col("media_id").alias("doc_id"),
         "component",
         (F.col("media_id") == F.col("component")).alias("keep"),
+    )
+
+
+def image_near_dup_keep(
+    media: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+) -> DataFrame:
+    """Perceptual image dedup keep-list: (doc_id, component, keep) for
+    every image row — real PNG decode → dHash, then the shared
+    ``signature_near_dup_keep`` composition."""
+    return signature_near_dup_keep(
+        image_dhash(media), "dhash", max_hamming, n_blocks
+    )
+
+
+def audio_fp64(df: DataFrame) -> DataFrame:
+    """media (kind='audio') → (media_id, afp): real WAV decode →
+    64-bit spectral fingerprint (``codecs.audio_fingerprint64``) in
+    one Arrow-batched pass — the audio twin of ``image_dhash``."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from aggregator_spark.operators.codecs import (
+            audio_fingerprint64,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            out = {"media_id": [], "afp": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, _, samples = decode_wav(payload)
+                out["media_id"].append(mid)
+                out["afp"].append(audio_fingerprint64(samples, rate))
+            yield pd.DataFrame(out)
+
+    return df.filter(df.kind == "audio").mapInPandas(
+        fn, "media_id long, afp string"
+    )
+
+
+def audio_near_dup_keep(
+    media: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+) -> DataFrame:
+    """Perceptual audio dedup keep-list: (doc_id, component, keep) for
+    every audio row — real WAV decode → spectral fingerprint, then the
+    shared ``signature_near_dup_keep`` composition (contraction +
+    banded Hamming + star components)."""
+    return signature_near_dup_keep(
+        audio_fp64(media), "afp", max_hamming, n_blocks
     )
 
 

@@ -223,3 +223,49 @@ ANALYTICS12_ORACLES["image_near_dup_keep"] = f"""
     SELECT s.doc_id, rc.component, (s.doc_id = rc.component) AS keep
     FROM sig s JOIN repc rc ON s.dhash = rc.dhash
 """
+
+
+# ---- round-12 second wave: perceptual AUDIO near-dup dedup ----------
+# Mirror of the image wave: expected spectral fingerprint per odd
+# fixture key as a closed-form VALUES lookup (computed by the same
+# codec functions), same SQL banding/closure.
+
+from aggregator_spark.operators.media_fixture import (  # noqa: E402
+    audio_fp_lookup_values_sql,
+)
+
+_AFP_SIG = f"""
+    lk(k, afp) AS (VALUES
+{audio_fp_lookup_values_sql()}),
+    sig AS (
+      SELECT d.doc_id, l.afp AS dhash
+      FROM documents d JOIN lk l ON d.doc_id % 256 = l.k
+      WHERE d.doc_id % 2 = 1)
+"""
+
+ANALYTICS12_ORACLES["audio_fingerprint"] = f"""
+    WITH {_AFP_SIG}
+    SELECT doc_id, dhash AS afp FROM sig
+"""
+
+# the keep oracle is the image one with the signature CTE swapped —
+# sig aliases afp to "dhash" above precisely so the banding/closure
+# fragment (_DHASH_EDGES + the same tail) reuses verbatim
+ANALYTICS12_ORACLES["audio_near_dup_keep"] = f"""
+    WITH RECURSIVE {_AFP_SIG},
+    {_DHASH_EDGES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    repc AS (
+      SELECT r.dhash, COALESCE(c.component, r.rid) AS component
+      FROM rep r LEFT JOIN comp c ON c.node = r.rid)
+    SELECT s.doc_id, rc.component, (s.doc_id = rc.component) AS keep
+    FROM sig s JOIN repc rc ON s.dhash = rc.dhash
+"""

@@ -38,6 +38,10 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "ann_topk_lsh": 13.6,
     "approx_distinct_daily": 2.0,
     "approx_quantiles_daily": 2.0,
+    # r12 second wave: audio signatures, same tiny-node shape as the
+    # image keys — floors
+    "audio_fingerprint": 2.0,
+    "audio_near_dup_keep": 2.0,
     "asof_click_purchase": 2.8,
     "asof_click_purchase_bucketed": 6.6,
     "bigram_logprob": 2.0,

@@ -258,14 +258,17 @@ DRIVER_WINDOW = [
     # the alphabetically-last fills as they land (standing tie-break)
     "ann_ivf_index",
     "ann_topk",
-    "bm25_index_postings",
-    "bpe_dict_states",
     # r12 first wave: perceptual image near-dup dedup (VERDICT r11
     # what's-missing #1) — slots from calendar_funcs / clean_text /
     # cohort_retention (the alphabetically-last fills, standing rule)
     "image_dhash",
     "image_near_dup_pairs",
     "image_near_dup_keep",
+    # r12 second wave: the audio twin (spectral fingerprint through
+    # the shared contraction/banding/components composition) — slots
+    # from bpe_dict_states / bm25_index_postings (same rule)
+    "audio_fingerprint",
+    "audio_near_dup_keep",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL

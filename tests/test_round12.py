@@ -163,5 +163,102 @@ def test_image_entries_in_driver_window():
     from aggregator_spark.testdata_queries import DRIVER_WINDOW
 
     for name in ("image_dhash", "image_near_dup_pairs",
-                 "image_near_dup_keep"):
+                 "image_near_dup_keep", "audio_fingerprint",
+                 "audio_near_dup_keep"):
         assert name in DRIVER_WINDOW
+
+
+# ---- audio twin -------------------------------------------------------
+
+
+def _tone(rate: int = 16000, n: int = 2000) -> np.ndarray:
+    t = np.arange(n) / rate
+    return (
+        0.5 * np.sin(2 * np.pi * 440 * t)
+        + 0.2 * np.sin(2 * np.pi * 1250 * t)
+        + 0.05 * np.sin(2 * np.pi * 3100 * t)
+    )
+
+
+def test_audio_fingerprint_invariances_and_separation():
+    from aggregator_spark.operators.codecs import (
+        audio_fingerprint64,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate = 16000
+    base = _tone(rate)
+    h0 = audio_fingerprint64(base, rate)
+    assert len(h0) == 64 and set(h0) <= {"0", "1"}
+    # level invariance: a uniform gain scales every band equally
+    assert audio_fingerprint64(base * 0.5, rate) == h0
+    assert audio_fingerprint64(base * 1.7, rate) == h0
+    # re-encode (int16 quantization) round-trip
+    r2, _, s2 = decode_wav(encode_wav(base, rate))
+    assert audio_fingerprint64(s2.ravel(), r2) == h0
+    # small additive noise sits INSIDE the near-dup radius
+    rng = np.random.RandomState(3)
+    noisy = base + 0.01 * rng.randn(len(base))
+    d = _ham(h0, audio_fingerprint64(noisy, rate))
+    assert 0 < d <= 3, d
+    # unrelated content sits far OUTSIDE it
+    assert _ham(h0, audio_fingerprint64(
+        rng.randn(len(base)) * 0.3, rate)) > 10
+
+
+def test_expected_audio_fp_matches_real_decode():
+    from aggregator_spark.operators.codecs import (
+        audio_fingerprint64,
+        decode_wav,
+    )
+    from aggregator_spark.operators.media_fixture import (
+        build_payload,
+        expected_audio_fp,
+    )
+
+    for k in range(1, 32, 2):
+        rate, _, samples = decode_wav(build_payload(k))
+        assert expected_audio_fp(k) == audio_fingerprint64(samples, rate)
+
+
+def test_audio_near_dup_pipeline_liveness(spark):
+    """The audio crafted pin, mirroring the image one: a gain copy
+    (exact fingerprint collision), a lightly-noised copy (banded
+    non-zero-Hamming edge), and unrelated content that survives."""
+    from aggregator_spark.operators.codecs import encode_wav
+    from aggregator_spark.operators.multimodal import (
+        audio_fp64,
+        audio_near_dup_keep,
+    )
+
+    rate = 16000
+    base = _tone(rate)
+    rng = np.random.RandomState(3)
+    noisy = base + 0.01 * rng.randn(len(base))
+    unrelated = rng.randn(len(base)) * 0.3
+    rows = [
+        (10, "audio", bytearray(encode_wav(base, rate))),
+        (20, "audio", bytearray(encode_wav(base * 0.5, rate))),
+        (30, "audio", bytearray(encode_wav(noisy, rate))),
+        (40, "audio", bytearray(encode_wav(unrelated, rate))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    sigs = {
+        r["media_id"]: r["afp"] for r in audio_fp64(media).collect()
+    }
+    assert sigs[10] == sigs[20]
+    assert 1 <= _ham(sigs[10], sigs[30]) <= 3
+    assert _ham(sigs[10], sigs[40]) > 3
+    keep = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in audio_near_dup_keep(media).collect()
+    }
+    assert keep == {
+        10: (10, True),
+        20: (10, False),
+        30: (10, False),
+        40: (40, True),
+    }
