@@ -19,7 +19,9 @@ Shape::
                     first-seen fp (real PNG/WAV codecs), features
                     copied to every new doc of that fp
           writes verdicts/batch_id=N, fps/batch_id=N, bloom/batch_id=N,
-                 features/batch_id=N                 (all overwrite-keyed)
+                 features/batch_id=N, dhash/batch_id=N (all overwrite-keyed;
+                 dhash = perceptual signature per first-seen image
+                 payload, feeding the served near-dup view)
 
 Exactly-once: same argument as ingest_dedup_stream — every read is
 self-excluding (batch_id < N), every write overwrites its own
@@ -239,6 +241,21 @@ def ingest_media_batch(
         _p(root, "features", f"batch_id={batch_id}")
     )
 
+    # perceptual signature per FIRST-SEEN image payload (r12: the
+    # streaming side of image near-dup dedup — exact md5 dedup above
+    # catches byte-identical arrivals; the dHash store lets the served
+    # view catch re-encoded/edited ones): hashed once per distinct
+    # payload on the same representative rows the decode already
+    # touches, keyed by fp so verdict-level fan-out stays serve-time
+    from aggregator_spark.operators.multimodal import image_dhash
+
+    dh = image_dhash(rep.select("media_id", "kind", "payload")).join(
+        rep_ids, "media_id"
+    )
+    dh.select("fp", "dhash").write.mode("overwrite").parquet(
+        _p(root, "dhash", f"batch_id={batch_id}")
+    )
+
     # this batch's state deltas (same layout as ingest_dedup_stream,
     # so its compact() applies to this store unchanged)
     fps.select("fp").distinct().write.mode("overwrite").parquet(
@@ -288,3 +305,74 @@ def served_media_verdicts(spark: SparkSession, root: str) -> DataFrame:
 
 def served_media_features(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(_p(root, "features"))
+
+
+def _served_dhash(spark: SparkSession, root: str) -> DataFrame:
+    """Distinct (fp, dhash) over every batch's delta plus any
+    compacted base — the exact-fold semantics of the fps relation
+    (identical payload ⇒ identical hash, so distinct IS the merge)."""
+    from aggregator_spark.streaming.ingest_dedup_stream import _base_dir
+
+    paths = _prior_dhash_batches(root)
+    base = _base_dir(root, "dhash")
+    if base is not None:
+        paths.append(base)
+    if not paths:
+        raise FileNotFoundError(f"no dhash state under {root}")
+    return spark.read.parquet(*paths).select("fp", "dhash").distinct()
+
+
+def _prior_dhash_batches(root: str) -> list[str]:
+    d = _p(root, "dhash")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, n)
+        for n in os.listdir(d)
+        if n.startswith("batch_id=")
+    )
+
+
+def served_image_near_dup(spark: SparkSession, root: str) -> DataFrame:
+    """The streaming perceptual image dedup view: every landed image
+    doc (verdict log ⋈ its payload fingerprint's dHash — the inner
+    join filters to images, since only image payloads carry a dHash)
+    through the SAME contraction → banded-Hamming → components
+    composition as the batch operator. Parity with batch
+    ``image_near_dup_keep`` over the landed corpus is pinned in the
+    tests — the store pays one decode+hash per DISTINCT payload ever
+    landed, while the served view fans out to every arrival."""
+    from aggregator_spark.operators.multimodal import (
+        signature_near_dup_keep,
+    )
+
+    sigs = (
+        served_media_verdicts(spark, root)
+        .select("doc_id", "fp")
+        .join(_served_dhash(spark, root), "fp")
+        .select(F.col("doc_id").alias("media_id"), "dhash")
+    )
+    return signature_near_dup_keep(sigs, "dhash")
+
+
+def compact_media(spark: SparkSession, root: str) -> None:
+    """The shared fps+bloom compaction plus the dHash fold: distinct
+    (fp, dhash) to a temp dir, old base parked aside, atomic rename,
+    delta dirs dropped, ``.old`` dropped LAST — the
+    ingest_dedup_stream.compact discipline applied to the third
+    relation this store maintains."""
+    import shutil
+
+    from aggregator_spark.streaming.ingest_dedup_stream import compact
+
+    compact(spark, root)
+    dh = _served_dhash(spark, root)
+    dh.write.mode("overwrite").parquet(_p(root, "base", "_dhash_tmp"))
+    final = _p(root, "base", "dhash")
+    old = final + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(final):
+        os.rename(final, old)
+    os.rename(_p(root, "base", "_dhash_tmp"), final)
+    shutil.rmtree(_p(root, "dhash"), ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)

@@ -20,6 +20,10 @@ import shutil
 import sys
 import time
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 def worker_peak_rss_mb(spark) -> float:
     """Max VmHWM (peak RSS) over the reused Python worker pool, MB."""
@@ -44,17 +48,11 @@ def main() -> None:
     n_shards = int(sys.argv[2])
     containers_only = len(sys.argv) > 3 and sys.argv[3] == "containers_only"
 
-    from pyspark.sql import SparkSession, functions as F
+    from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .appName("sink-measure")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    from aggregator_spark.session import get_spark
+
+    spark = get_spark(app_name="sink-measure")
     from aggregator_spark.operators.reshard import (
         emit_shard_containers,
         emit_shards_parquet,

@@ -158,3 +158,52 @@ def test_compaction_shared_with_ingest_dedup_store(spark, tmp_path):
     ) == fps_before
     assert _served_bloom_words(spark, root, big) == words_before
     assert _got(spark, root) == _expected([WAVE1, WAVE2])
+
+
+def test_streaming_image_near_dup_matches_batch(spark, tmp_path):
+    """r12: the served perceptual view == the batch operator over the
+    same landed corpus — the streaming side of image near-dup dedup.
+    Also pins decode-once: exactly one dHash row per distinct image
+    payload ever landed."""
+    from aggregator_spark.operators.multimodal import image_near_dup_keep
+    from aggregator_spark.streaming.warclite_ingest_stream import (
+        _served_dhash,
+        compact_media,
+        served_image_near_dup,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "store")
+    _land(landing, "c0.wlc", WAVE1)
+    run_warclite_ingest_stream(spark, landing, root)
+    _land(landing, "c1.wlc", WAVE2)
+    run_warclite_ingest_stream(spark, landing, root)
+
+    all_ids = WAVE1 + WAVE2
+    image_ids = [d for d in all_ids if media_kind(d) == "image"]
+    rows = [
+        (d, "image", build_payload(d % N_KEYS)) for d in image_ids
+    ]
+    batch = image_near_dup_keep(
+        spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        )
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    got = sorted(
+        tuple(r) for r in served_image_near_dup(spark, root).collect()
+    )
+    assert got == want
+
+    # decode-once: one signature per DISTINCT image payload
+    n_distinct_imgs = len({d % N_KEYS for d in image_ids})
+    assert _served_dhash(spark, root).count() == n_distinct_imgs
+
+    # the full-store compaction (fps + bloom + dhash) preserves the view
+    compact_media(spark, root)
+    import os as _os
+
+    assert not _os.path.isdir(_os.path.join(root, "dhash"))
+    assert sorted(
+        tuple(r) for r in served_image_near_dup(spark, root).collect()
+    ) == want
