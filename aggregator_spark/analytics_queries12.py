@@ -364,11 +364,16 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass (operators/multimodal.image_dhash)."""
     from aggregator_spark.operators.multimodal import image_dhash
 
-    return (
+    # checkpoint BEFORE the orderBy: a global sort's range-partitioner
+    # runs a sampling pass over its child, so an unmaterialized child
+    # would pay the whole decode subtree TWICE (measured at sf10:
+    # 48–53 s vs ~25 s checkpointed — warm, so not a JIT artifact)
+    sigs = (
         image_dhash(image_media(spark, sf_dir))
         .select(F.col("media_id").alias("doc_id"), "dhash")
-        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
     )
+    return sigs.orderBy("doc_id")
 
 
 def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,11 +439,15 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass — the audio twin of image_dhash."""
     from aggregator_spark.operators.multimodal import audio_fp64
 
-    return (
+    # checkpoint before the orderBy — same double-decode trap as
+    # q_image_dhash (the audio decode+rFFT subtree is the expensive
+    # half of this plan)
+    sigs = (
         audio_fp64(audio_media(spark, sf_dir))
         .select(F.col("media_id").alias("doc_id"), "afp")
-        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
     )
+    return sigs.orderBy("doc_id")
 
 
 def q_audio_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -350,11 +351,7 @@ def audio_fingerprint64(samples: np.ndarray, rate: int) -> str:
     for s in range(AUDIO_FP_SEGS):
         seg = mono[s * n // AUDIO_FP_SEGS : (s + 1) * n // AUDIO_FP_SEGS]
         spec = np.abs(np.fft.rfft(seg)) if len(seg) else np.zeros(1)
-        edges = np.unique(
-            np.geomspace(1, max(2, len(spec)), AUDIO_FP_BANDS + 1).astype(
-                int
-            )
-        )
+        edges = _fp_band_edges(len(spec))
         bands = np.zeros(AUDIO_FP_BANDS)
         for i in range(min(AUDIO_FP_BANDS, len(edges) - 1)):
             sub = spec[edges[i] : edges[i + 1]]
@@ -363,6 +360,18 @@ def audio_fingerprint64(samples: np.ndarray, rate: int) -> str:
         for i in range(AUDIO_FP_BANDS - 1):
             bits.append("1" if bands[i + 1] > bands[i] else "0")
     return "".join(bits)
+
+
+@lru_cache(maxsize=4096)
+def _fp_band_edges(spec_len: int) -> tuple[int, ...]:
+    """Log-spaced band edges for a spectrum length — a pure function
+    of the length, cached because the fingerprint loop would otherwise
+    recompute geomspace+unique per segment per clip."""
+    return tuple(
+        np.unique(
+            np.geomspace(1, max(2, spec_len), AUDIO_FP_BANDS + 1).astype(int)
+        )
+    )
 
 
 # ---- AVI (uncompressed DIB video) ----

@@ -309,20 +309,25 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # SPARK_GRAFT_WARM=1: steady-state mode — run every query once
-    # untimed (pays per-shape codegen/JIT), then time the second pass.
-    # Default off: the driver's recorded number is the one-shot cost.
-    if os.environ.get("SPARK_GRAFT_WARM") == "1":
-        for name in sorted(qs):
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-
     # SPARK_GRAFT_KEYS: comma list restricting the run to named keys —
     # resolved early because canaries only run on full sweeps (isolated
-    # re-measures must not pay or pollute the canary cost)
+    # re-measures must not pay or pollute the canary cost), and the
+    # warm pass below must warm only the keys it will time (r12: a
+    # restricted WARM run at sf10 used to warm the WHOLE catalog —
+    # hours of untimed work for a two-key probe)
     only_env = os.environ.get("SPARK_GRAFT_KEYS", "").strip()
     only = {k.strip() for k in only_env.split(",") if k.strip()} or None
+
+    # SPARK_GRAFT_WARM=1: steady-state mode — run every (selected)
+    # query once untimed (pays per-shape codegen/JIT), then time the
+    # second pass. Default off: the driver's recorded number is the
+    # one-shot cost.
+    if os.environ.get("SPARK_GRAFT_WARM") == "1":
+        for name in sorted(qs):
+            if only is None or name in only:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
     # contention canaries (start point): one untimed pass first so both
     # canary points are warm — otherwise end/start conflates codegen
