@@ -240,6 +240,19 @@ EXCHANGE_PINS = {
     # r11 seventh wave: both rank/rollup seams checkpointed, visible
     # plan = adjacency self-join + two rollups
     "shard_mixing_report": (4, 0),
+    # r12 perceptual media waves. Signature entries: the decode
+    # subtree is checkpointed out (the orderBy double-decode fix), so
+    # the visible plan is checkpoint-scan -> global sort. Pairs: band
+    # generate + candidate self-join + verify joins (broadcast at
+    # sf0.001 — threshold-governed, the distinct-signature node table
+    # is tiny; degrades to shuffle joins when nodes outgrow it).
+    # Keeps: nodes/components checkpointed out; visible = the
+    # signature-join fan-back + final sort (one SMJ at sf0.001).
+    "image_dhash": (1, 0),
+    "audio_fingerprint": (1, 0),
+    "image_near_dup_pairs": (2, 3),
+    "image_near_dup_keep": (3, 2),
+    "audio_near_dup_keep": (3, 2),
 }
 
 
