@@ -407,6 +407,77 @@ def audio_near_dup_keep(
     )
 
 
+def video_frame_dhash(df: DataFrame, every_ms: int = 500) -> DataFrame:
+    """media (kind='video') → (media_id, frame_index, fhash): real AVI
+    demux + frame sampling (``sample_video_frames``, the catalog
+    cadence), each sampled frame perceptually hashed with the SAME
+    dHash as still images. One Arrow pass for the demux/sample, one
+    for the hash."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from aggregator_spark.operators.codecs import decode_png, dhash64
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_index": [], "fhash": []}
+            for mid, fidx, payload in zip(
+                pdf["media_id"], pdf["frame_index"], pdf["frame_payload"]
+            ):
+                out["media_id"].append(mid)
+                out["frame_index"].append(fidx)
+                out["fhash"].append(dhash64(decode_png(payload)))
+            yield pd.DataFrame(out)
+
+    frames = sample_video_frames(df, every_ms=every_ms, fake=False)
+    return frames.mapInPandas(
+        fn, "media_id long, frame_index int, fhash string"
+    )
+
+
+def video_near_dup_keep(
+    media: DataFrame, every_ms: int = 500
+) -> DataFrame:
+    """Perceptual VIDEO dedup keep-list (doc_id, component, keep) —
+    the third modality on the shared machinery: two videos are
+    near-dups when any sampled frame hashes identically (re-encoded
+    copies share every frame hash; partial edits still share the
+    untouched frames). Evidence edges are STAR edges per frame-hash
+    bucket — (min video of the bucket) → (each other video) — so a
+    frame shared by B videos contributes B-1 edges, never B², and a
+    ubiquitous frame (title card, black frame) cannot go quadratic;
+    connectivity through the hub is equivalent to the all-pairs
+    clique. Components + min-id survivor as in the image/audio keeps."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.components import dedup_clusters
+
+    fh = (
+        video_frame_dhash(media, every_ms)
+        .select("media_id", "fhash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = fh.groupBy("fhash").agg(F.min("media_id").alias("hub"))
+    edges = (
+        fh.join(hubs, "fhash")
+        .filter(F.col("media_id") != F.col("hub"))
+        .select(
+            F.col("hub").alias("doc_a"), F.col("media_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    videos = fh.select("media_id").distinct().withColumnRenamed(
+        "media_id", "doc_id"
+    )
+    comp = dedup_clusters(videos, edges)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
 def resize_images(
     df: DataFrame, width: int = 224, height: int = 224, fake: bool = False
 ) -> DataFrame:

@@ -262,3 +262,58 @@ def test_audio_near_dup_pipeline_liveness(spark):
         30: (10, False),
         40: (40, True),
     }
+
+
+# ---- video twin (operator-level; no window slot left this round) ----
+
+
+def _frames(seed: int, n: int = 3):
+    rng = np.random.RandomState(seed)
+    return [
+        rng.randint(0, 200, size=(16, 20, 3)).astype(np.uint8)
+        for _ in range(n)
+    ]
+
+
+def test_video_near_dup_pipeline_liveness(spark):
+    """The third modality on the shared machinery: a re-encoded copy
+    (all frame hashes shared), a one-frame-edited copy (two of three
+    frames shared), and an unrelated video that survives. Star edges
+    per frame-hash bucket — connectivity equals the clique."""
+    from aggregator_spark.operators.codecs import encode_avi
+    from aggregator_spark.operators.multimodal import (
+        video_frame_dhash,
+        video_near_dup_keep,
+    )
+
+    base = _frames(1)
+    edited = [f.copy() for f in base]
+    edited[2] = _frames(99)[0]  # replace one frame entirely
+    rows = [
+        (10, "video", bytearray(encode_avi(base, fps=4))),
+        (20, "video", bytearray(encode_avi(base, fps=4))),  # re-encode
+        (30, "video", bytearray(encode_avi(edited, fps=4))),
+        (40, "video", bytearray(encode_avi(_frames(7), fps=4))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    fh = video_frame_dhash(media, every_ms=250).collect()
+    by_vid = {}
+    for r in fh:
+        by_vid.setdefault(r["media_id"], set()).add(r["fhash"])
+    assert by_vid[10] == by_vid[20]
+    shared = by_vid[10] & by_vid[30]
+    assert shared and by_vid[30] - by_vid[10]
+    assert not (by_vid[10] & by_vid[40])
+
+    keep = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in video_near_dup_keep(media, every_ms=250).collect()
+    }
+    assert keep == {
+        10: (10, True),
+        20: (10, False),
+        30: (10, False),
+        40: (40, True),
+    }
