@@ -310,13 +310,16 @@ def q_shard_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMAGE_MAX_HAMMING = 3  # reuses the SimHash banding defaults exactly
 
 
-def image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The image half of the media fixture: every EVEN doc_id becomes
-    its deterministic gradient-PNG payload (doc_id % 256 keyed), the
-    same encode the media_features entry runs — bounded 8-way fan-out
-    per that entry's measured policy (one input split otherwise
-    serializes the codec work; full scatter costs more in Python
-    round-trips than it buys at fixture payload size)."""
+def _fixture_media(
+    spark: SparkSession, sf_dir: str, kind: str
+) -> DataFrame:
+    """One modality half of the media fixture: every doc_id of the
+    kind's parity (even → image, odd → audio) becomes its
+    deterministic payload (doc_id % 256 keyed), the same encode the
+    media_features entry runs — bounded 8-way fan-out per that
+    entry's measured policy (one input split otherwise serializes the
+    codec work; full scatter costs more in Python round-trips than it
+    buys at fixture payload size)."""
     from pyspark.sql import types as T
 
     from aggregator_spark.operators.media_fixture import (
@@ -325,10 +328,11 @@ def image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from aggregator_spark.operators.util import scatter
 
+    parity = 0 if kind == "image" else 1
     docs = (
         load_testdata(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") % 2 == 0)
+        .filter(F.col("doc_id") % 2 == parity)
     )
     docs = scatter(docs, partitions=8)
     media_schema = T.StructType(
@@ -347,7 +351,7 @@ def image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
-                    "kind": pd.Series(["image"] * len(ids), dtype="object"),
+                    "kind": pd.Series([kind] * len(ids), dtype="object"),
                     "payload": pd.Series(
                         [build_payload(i % N_KEYS) for i in ids],
                         dtype="object",
@@ -356,6 +360,11 @@ def image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(encode, media_schema)
+
+
+def image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image half of the media fixture (even doc_ids)."""
+    return _fixture_media(spark, sf_dir, "image")
 
 
 def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,48 +398,8 @@ def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The audio half of the media fixture: every ODD doc_id becomes
-    its deterministic sine-burst WAV payload (doc_id % 256 keyed) —
-    the mirror of ``image_media``."""
-    from pyspark.sql import types as T
-
-    from aggregator_spark.operators.media_fixture import (
-        N_KEYS,
-        build_payload,
-    )
-    from aggregator_spark.operators.util import scatter
-
-    docs = (
-        load_testdata(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 2 == 1)
-    )
-    docs = scatter(docs, partitions=8)
-    media_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("kind", T.StringType()),
-            T.StructField("payload", T.BinaryType()),
-        ]
-    )
-
-    def encode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            ids = [int(d) for d in pdf["doc_id"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.Series(ids, dtype="int64"),
-                    "kind": pd.Series(["audio"] * len(ids), dtype="object"),
-                    "payload": pd.Series(
-                        [build_payload(i % N_KEYS) for i in ids],
-                        dtype="object",
-                    ),
-                }
-            )
-
-    return docs.mapInPandas(encode, media_schema)
+    """The audio half of the media fixture (odd doc_ids)."""
+    return _fixture_media(spark, sf_dir, "audio")
 
 
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

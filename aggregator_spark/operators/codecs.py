@@ -327,7 +327,7 @@ def audio_features(
 
 
 AUDIO_FP_SEGS = 8
-AUDIO_FP_BANDS = 9  # 8 adjacent-band comparisons per segment -> 64 bits
+AUDIO_FP_BANDS = 8  # 8 band-vs-segment-mean bits per segment -> 64 bits
 
 
 def audio_fingerprint64(samples: np.ndarray, rate: int) -> str:
@@ -338,13 +338,20 @@ def audio_fingerprint64(samples: np.ndarray, rate: int) -> str:
     Chromaprint-shaped: the clip splits into ``AUDIO_FP_SEGS`` equal
     time segments; per segment, ``AUDIO_FP_BANDS`` log-spaced spectral
     band energies (numpy rFFT, the ``audio_features`` band scheme);
-    bit = band[i+1] > band[i]. Level-invariant by construction (a
-    uniform gain scales every band, preserving every comparison);
-    robust to re-encode/quantization because band ORDER, not energy,
-    is the signature. Deterministic for a fixed numpy — the oracle
-    computes the same closed form per fixture key (the
-    ``audio_features`` float precedent). ``rate`` is accepted for
-    interface symmetry; the fingerprint is sample-domain."""
+    bit = band energy ABOVE the segment's mean band energy — i.e. the
+    bit pattern marks WHERE the spectral mass sits, not just its
+    monotone shape (an adjacent-band comparison chain collapsed the
+    pure-tone fixture to 18 signatures, 36 of them all-zero — a
+    signature that can't see which band is hot carries ~4 informative
+    bits on tonal content; this form yields 87 distinct fixture
+    signatures with none degenerate). Level-invariant by construction
+    (a uniform gain scales every band AND the mean, preserving every
+    comparison); robust to re-encode/quantization because thresholded
+    energy, not raw energy, is the signature. Deterministic for a
+    fixed numpy — the oracle computes the same closed form per
+    fixture key (the ``audio_features`` float precedent). ``rate`` is
+    accepted for interface symmetry; the fingerprint is
+    sample-domain."""
     mono = samples.mean(axis=1) if samples.ndim > 1 else samples
     n = len(mono)
     bits = []
@@ -357,8 +364,9 @@ def audio_fingerprint64(samples: np.ndarray, rate: int) -> str:
             sub = spec[edges[i] : edges[i + 1]]
             if len(sub):
                 bands[i] = float(np.mean(sub))
-        for i in range(AUDIO_FP_BANDS - 1):
-            bits.append("1" if bands[i + 1] > bands[i] else "0")
+        mean = float(np.mean(bands))
+        for i in range(AUDIO_FP_BANDS):
+            bits.append("1" if bands[i] > mean else "0")
     return "".join(bits)
 
 

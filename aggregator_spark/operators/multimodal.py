@@ -281,20 +281,21 @@ def image_dhash(df: DataFrame) -> DataFrame:
     )
 
 
-def image_near_dup_nodes(media: DataFrame) -> DataFrame:
-    """(dhash, doc_id = min media_id carrying it) — the EXACT-dup
-    contraction that makes perceptual image dedup linear: identical
+def signature_nodes(sigs: DataFrame, sig_col: str) -> DataFrame:
+    """(<sig_col>, doc_id = min media_id carrying it) — the EXACT-dup
+    contraction that makes perceptual dedup linear: identical
     payloads (and any distinct payloads that hash alike) collapse to
     ONE signature node before the banded candidate join, so candidate
     work is bounded by distinct perceptual signatures, not crawl
     arrivals — the property that holds at 100 TB where the same asset
     arrives from thousands of pages. Checkpointed eagerly: the banding
-    plan reads it from both join sides."""
+    plan reads it from both join sides. The ONE node builder — pairs
+    and keep both flow through it, so 'what a node is' cannot
+    diverge between them."""
     from pyspark.sql import functions as F
 
     return (
-        image_dhash(media)
-        .groupBy("dhash")
+        sigs.groupBy(sig_col)
         .agg(F.min("media_id").alias("doc_id"))
         .localCheckpoint(eager=True)
     )
@@ -311,7 +312,7 @@ def image_near_dup_pairs(
     verbatim; VERDICT r11 what's-missing #1)."""
     from aggregator_spark.operators.dedup import banded_hamming_pairs
 
-    nodes = image_near_dup_nodes(media)
+    nodes = signature_nodes(image_dhash(media), "dhash")
     return banded_hamming_pairs(
         nodes.select("doc_id", "dhash"), "dhash", max_hamming, n_blocks
     )
@@ -341,11 +342,7 @@ def signature_near_dup_keep(
     from aggregator_spark.operators.dedup import banded_hamming_pairs
 
     sigs = sigs.localCheckpoint(eager=True)
-    nodes = (
-        sigs.groupBy(sig_col)
-        .agg(F.min("media_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    nodes = signature_nodes(sigs, sig_col)
     pairs = banded_hamming_pairs(
         nodes.select("doc_id", sig_col), sig_col, max_hamming, n_blocks
     )
@@ -409,28 +406,38 @@ def audio_near_dup_keep(
 
 def video_frame_dhash(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """media (kind='video') → (media_id, frame_index, fhash): real AVI
-    demux + frame sampling (``sample_video_frames``, the catalog
-    cadence), each sampled frame perceptually hashed with the SAME
-    dHash as still images. One Arrow pass for the demux/sample, one
-    for the hash."""
+    demux + the SAME per-instant frame sampling as
+    ``sample_video_frames``, each sampled frame perceptually hashed
+    with the image dHash — in ONE Arrow pass. The hash runs on the
+    raw demuxed pixel array: re-encoding the frame as PNG only to
+    decode it again would produce the identical hash (the round-trip
+    is lossless — pinned in tests) while paying a zlib deflate +
+    inflate + unfilter per frame and shipping PNG bytes through an
+    extra exchange; at crawl scale that would be the dominant wasted
+    CPU of the video dedup path."""
 
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from aggregator_spark.operators.codecs import decode_png, dhash64
+        from aggregator_spark.operators.codecs import decode_avi, dhash64
 
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "fhash": []}
-            for mid, fidx, payload in zip(
-                pdf["media_id"], pdf["frame_index"], pdf["frame_payload"]
-            ):
-                out["media_id"].append(mid)
-                out["frame_index"].append(fidx)
-                out["fhash"].append(dhash64(decode_png(payload)))
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                us_per_frame, frames = decode_avi(payload)
+                duration_ms = len(frames) * us_per_frame // 1000
+                n = max(1, int(duration_ms // every_ms))
+                for i in range(n):
+                    ts_ms = i * every_ms
+                    fidx = min(
+                        len(frames) - 1, ts_ms * 1000 // us_per_frame
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(int(fidx))
+                    out["fhash"].append(dhash64(frames[fidx]))
             yield pd.DataFrame(out)
 
-    frames = sample_video_frames(df, every_ms=every_ms, fake=False)
-    return frames.mapInPandas(
+    return df.filter(df.kind == "video").mapInPandas(
         fn, "media_id long, frame_index int, fhash string"
     )
 

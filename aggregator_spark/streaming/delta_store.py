@@ -82,6 +82,32 @@ def _delta_dirs(root: str, after: int) -> list[str]:
     return sorted(out)
 
 
+def _merge(
+    spark: SparkSession,
+    gen: tuple[int, str] | None,
+    delta_paths: list[str],
+    key_cols: tuple[str, ...],
+    cnt_col: str,
+) -> DataFrame:
+    """Additive merge of an EXPLICIT state snapshot (one generation +
+    one delta-path list). Both served_counts and compact build their
+    relation through this, from paths they listed themselves — compact
+    must never re-list the directory between choosing its fold
+    frontier and reading the data, or a delta written in between gets
+    folded into the new generation while still sorting above its
+    frontier (double-counted forever)."""
+    cols = [*key_cols, cnt_col]
+    parts = []
+    if delta_paths:
+        parts.append(spark.read.parquet(*delta_paths).select(*cols))
+    if gen is not None:
+        parts.append(spark.read.parquet(gen[1]).select(*cols))
+    if not parts:
+        raise FileNotFoundError("no delta-store state")
+    union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return union.groupBy(*key_cols).agg(F.sum(cnt_col).alias(cnt_col))
+
+
 def served_counts(
     spark: SparkSession,
     root: str,
@@ -91,19 +117,20 @@ def served_counts(
     """The running summed relation: additive merge of the newest
     committed base generation plus every delta it does NOT already
     contain (batch_id > the generation's folded frontier)."""
-    cols = [*key_cols, cnt_col]
     gen = _base_generation(root)
     after = gen[0] if gen is not None else -(1 << 62)
-    parts = []
-    deltas = _delta_dirs(root, after)
-    if deltas:
-        parts.append(spark.read.parquet(*deltas).select(*cols))
-    if gen is not None:
-        parts.append(spark.read.parquet(gen[1]).select(*cols))
-    if not parts:
+    try:
+        return _merge(spark, gen, _delta_dirs(root, after), key_cols, cnt_col)
+    except FileNotFoundError:
         raise FileNotFoundError(f"no delta-store state under {root}")
-    union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    return union.groupBy(*key_cols).agg(F.sum(cnt_col).alias(cnt_col))
+
+
+def _is_legacy(gen: tuple[int, str] | None) -> bool:
+    """True for the pre-generation plain ``base`` dir — the ONLY state
+    compact() may fold without new deltas (its migration). A committed
+    ``base_upto=-1`` generation is NOT legacy: re-folding it would
+    rmtree the live generation (the crash-loss window all over again)."""
+    return gen is not None and os.path.basename(gen[1]) == "base"
 
 
 def compact(
@@ -119,19 +146,21 @@ def compact(
     ``batch_id > N`` rule even if the cleanup below never runs."""
     gen = _base_generation(root)
     after = gen[0] if gen is not None else -(1 << 62)
+    delta_paths = _delta_dirs(root, after)
     folded = [
-        int(os.path.basename(p).split("=")[1])
-        for p in _delta_dirs(root, after)
+        int(os.path.basename(p).split("=")[1]) for p in delta_paths
     ]
     if gen is None and not folded:
         raise FileNotFoundError(f"no delta-store state under {root}")
-    if not folded and not (gen is not None and gen[0] == -1):
+    if not folded and not _is_legacy(gen):
         # nothing new to fold; never rebuild the live generation, but
         # DO finish any cleanup a crashed predecessor skipped
         _cleanup(root, gen[0])
         return
     upto = max([after, *folded])
-    merged = served_counts(spark, root, key_cols, cnt_col)
+    # merge from the SAME snapshot `upto` was derived from — a delta
+    # landing after the listing stays a delta (batch_id > upto)
+    merged = _merge(spark, gen, delta_paths, key_cols, cnt_col)
     tmp = _p(root, "base_next")
     merged.write.mode("overwrite").parquet(tmp)
     final = _p(root, f"base_upto={upto}")

@@ -237,12 +237,17 @@ def compact(spark: SparkSession, root: str) -> None:
     outlive both renames). The serving plans are identical before and
     after (pinned in the tests).
 
-    If the bloom state is missing while fps exist (a crash between the
-    fps delta write and the bloom delta write in the ingest fold,
-    whose writes are ordered verdicts→features→fps→bloom), the bloom
-    base is REBUILT from the fps relation — the exact index the store
-    retains precisely so the bloom is always reconstructible (module
-    docstring) — so the two bases can never diverge."""
+    The bloom base is ALWAYS rebuilt from the fps relation — the exact
+    index the store retains precisely so the bloom is reconstructible
+    (module docstring). Folding the served bloom deltas instead would
+    bake in any divergence a mid-fold crash left (the ingest writes
+    are ordered verdicts→features→fps→bloom, so a crash between the
+    last two leaves fps of batch N with no bloom bits for it; once
+    compaction deleted the delta dirs that gap would become permanent
+    false definite-misses). Rebuilding from fps makes compaction the
+    healing point — after it, the two bases agree by construction.
+    Exactness: the bloom OF the fps set has every bit the delta OR
+    had for still-present fps, plus the bits a torn write lost."""
     import shutil
 
     from aggregator_spark.operators.runtime_filter import (
@@ -256,11 +261,9 @@ def compact(spark: SparkSession, root: str) -> None:
             f"nothing to compact under {root}: no fp deltas or base"
         )
     fps = fps.localCheckpoint(eager=True)
-    words = _served_bloom_words(spark, root, batch_id=1 << 60)
-    if words is None:
-        words = build_bloom_words(
-            fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
-        )
+    words = build_bloom_words(
+        fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
+    )
     fps.write.mode("overwrite").parquet(_p(root, "base", "_fps_tmp"))
     spark.createDataFrame(
         [(w, word) for w, word in enumerate(words) if word != 0],

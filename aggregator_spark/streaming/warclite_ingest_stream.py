@@ -116,23 +116,31 @@ class WarcLandStreamReader(SimpleDataSourceStreamReader):
 
     def _norm(self, off: dict, files: list[str]) -> dict:
         """Accept a legacy count offset ({'n': N}) from an old
-        checkpoint: its meaning was 'the first N name-sorted files'."""
+        checkpoint: its meaning was 'the first N name-sorted files'.
+        N is clamped to the present list — consumed files may have
+        been pruned from the landing dir since the checkpoint."""
         if "upto" in off:
             return off
         n = off["n"]
-        return {"upto": files[n - 1] if n else "", "n_upto": n}
+        k = min(n, len(files))
+        return {"upto": files[k - 1] if k else "", "n_upto": n}
 
     def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
         files = self._files()
         start = self._norm(start, files)
         consumed = [f for f in files if f <= start["upto"]]
-        if len(consumed) != start["n_upto"]:
+        # MORE files below the frontier than were consumed = a NEW
+        # container landed with a name the frontier already passed —
+        # it can never be ingested, refuse loudly. FEWER is benign:
+        # the operator pruned already-consumed containers to reclaim
+        # space (their content lives in the store).
+        if len(consumed) > start["n_upto"]:
             raise ValueError(
                 f"out-of-order landing under {self.path}: "
                 f"{len(consumed)} files sort at or below the consumed "
-                f"frontier {start['upto']!r} but {start['n_upto']} were "
-                "consumed — a container landed with a name below the "
-                "frontier and can never be ingested; landing names "
+                f"frontier {start['upto']!r} but only {start['n_upto']} "
+                "were consumed — a container landed with a name below "
+                "the frontier and can never be ingested; landing names "
                 "must be sort-monotone"
             )
         new = [f for f in files if f > start["upto"]]

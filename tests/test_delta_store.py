@@ -196,3 +196,25 @@ def test_monitor_stores_share_the_generation_semantics(spark, tmp_path):
         sorted(tuple(r) for r in served_seg_df(spark, root).collect())
         == before
     )
+
+
+def test_recompact_after_legacy_migration_is_noop(spark, tmp_path):
+    """The legacy carve-out must fire ONLY for the plain ``base`` dir:
+    once migrated to ``base_upto=-1``, a delta-less re-compact must
+    not rebuild the live generation (the rebuild path is exactly the
+    rmtree-then-rename crash window this module exists to close)."""
+    root = str(tmp_path / "ds")
+    _delta(spark, [("a", 7)]).write.parquet(os.path.join(root, "base"))
+    compact(spark, root, KEYS)  # migration
+    gen = os.path.join(root, "base_upto=-1")
+    assert os.path.isdir(gen)
+    ino_before = os.stat(gen).st_ino
+    compact(spark, root, KEYS)  # must be a no-op on the generation
+    assert os.stat(gen).st_ino == ino_before
+    assert _got(spark, root) == [("a", 7)]
+    # and new deltas still fold forward normally
+    write_delta(_delta(spark, [("a", 1)]), root, 0)
+    compact(spark, root, KEYS)
+    assert os.path.isdir(os.path.join(root, "base_upto=0"))
+    assert not os.path.isdir(gen)
+    assert _got(spark, root) == [("a", 8)]

@@ -197,9 +197,12 @@ def test_audio_fingerprint_invariances_and_separation():
     # re-encode (int16 quantization) round-trip
     r2, _, s2 = decode_wav(encode_wav(base, rate))
     assert audio_fingerprint64(s2.ravel(), r2) == h0
-    # small additive noise sits INSIDE the near-dup radius
+    # small additive noise sits INSIDE the near-dup radius (0.08 RMS
+    # on a 0.5-amplitude tone flips 2 threshold bits; quieter noise
+    # flips none — thresholded-energy bits are stabler than the old
+    # comparison chain)
     rng = np.random.RandomState(3)
-    noisy = base + 0.01 * rng.randn(len(base))
+    noisy = base + 0.08 * rng.randn(len(base))
     d = _ham(h0, audio_fingerprint64(noisy, rate))
     assert 0 < d <= 3, d
     # unrelated content sits far OUTSIDE it
@@ -235,7 +238,7 @@ def test_audio_near_dup_pipeline_liveness(spark):
     rate = 16000
     base = _tone(rate)
     rng = np.random.RandomState(3)
-    noisy = base + 0.01 * rng.randn(len(base))
+    noisy = base + 0.08 * rng.randn(len(base))
     unrelated = rng.randn(len(base)) * 0.3
     rows = [
         (10, "audio", bytearray(encode_wav(base, rate))),

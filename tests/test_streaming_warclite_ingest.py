@@ -207,3 +207,72 @@ def test_streaming_image_near_dup_matches_batch(spark, tmp_path):
     assert sorted(
         tuple(r) for r in served_image_near_dup(spark, root).collect()
     ) == want
+
+
+def test_pruned_consumed_containers_are_tolerated(spark, tmp_path):
+    """Deleting already-consumed containers from the landing dir must
+    not wedge the stream (their content lives in the store); only a
+    NEW container landing with a name below the consumed frontier is
+    the refuse-loudly case."""
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "store")
+    _land(landing, "c0.wlc", WAVE1)
+    run_warclite_ingest_stream(spark, landing, root)
+    os.remove(os.path.join(landing, "c0.wlc"))  # prune consumed
+    _land(landing, "c1.wlc", WAVE2)
+    run_warclite_ingest_stream(spark, landing, root)
+    assert _got(spark, root) == _expected([WAVE1, WAVE2])
+
+
+def test_below_frontier_landing_raises(tmp_path):
+    """A container whose name sorts below the consumed frontier can
+    never be ingested by a frontier offset — the reader refuses with
+    a diagnosis instead of silently skipping it."""
+    import pytest
+
+    from aggregator_spark.streaming.warclite_ingest_stream import (
+        WarcLandStreamReader,
+    )
+
+    landing = str(tmp_path / "landing")
+    _land(landing, "c5.wlc", [0, 2])
+    reader = WarcLandStreamReader({"path": landing})
+    rows, end = reader.read(reader.initialOffset())
+    assert list(rows) and end["upto"] == "c5.wlc"
+    _land(landing, "c3.wlc", [4])  # sorts BELOW the frontier
+    with pytest.raises(ValueError, match="out-of-order landing"):
+        reader.read(end)
+
+
+def test_compaction_heals_bloom_fps_divergence(spark, tmp_path):
+    """A crash between the fps and bloom delta writes leaves fps of a
+    batch with no bloom bits; compaction must rebuild the bloom base
+    from the fps ground truth so the definite-miss fast path can never
+    wrongly clear a known fingerprint afterwards."""
+    import shutil as _sh
+
+    from aggregator_spark.operators.runtime_filter import (
+        build_bloom_words,
+    )
+    from aggregator_spark.streaming.ingest_dedup_stream import (
+        STREAM_BLOOM_K,
+        STREAM_BLOOM_M,
+        _served_bloom_words,
+        _served_fps,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "store")
+    _land(landing, "c0.wlc", WAVE1)
+    run_warclite_ingest_stream(spark, landing, root)
+    _land(landing, "c1.wlc", WAVE2)
+    run_warclite_ingest_stream(spark, landing, root)
+    # simulate the torn fold: batch 1's bloom delta never landed
+    _sh.rmtree(os.path.join(root, "bloom", "batch_id=1"))
+    compact(spark, root)
+    big = 1 << 60
+    fps = _served_fps(spark, root, big)
+    want = build_bloom_words(
+        fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
+    )
+    assert _served_bloom_words(spark, root, big) == want
