@@ -364,12 +364,17 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(encode, media_schema)
     frames = sample_video_frames(media, every_ms=VIDEO_EVERY_MS, fake=False)
-    return frames.select(
+    # checkpoint BEFORE the orderBy: the global sort's range
+    # partitioner samples its child in a separate pass, so an
+    # unmaterialized child pays the whole demux+sample+md5 subtree
+    # TWICE (the r12 q_image_dhash lesson, same decode-heavy shape)
+    hashed = frames.select(
         "media_id",
         F.col("frame_index").cast("long").alias("frame_index"),
         "frame_ts_ms",
         F.md5("frame_payload").alias("frame_md5"),
-    ).orderBy("media_id", "frame_ts_ms")
+    ).localCheckpoint(eager=True)
+    return hashed.orderBy("media_id", "frame_ts_ms")
 
 
 def q_rolling_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
