@@ -430,6 +430,65 @@ def q_audio_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc_id as its deterministic AVI payload (doc_id % 64
+    keyed, the video_frames fixture) — same bounded fan-out policy."""
+    from pyspark.sql import types as T
+
+    from aggregator_spark.operators.media_fixture import (
+        N_VIDEO_KEYS,
+        build_video_payload,
+    )
+    from aggregator_spark.operators.util import scatter
+
+    docs = scatter(
+        load_testdata(spark, sf_dir, "documents").select("doc_id"),
+        partitions=8,
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": pd.Series(["video"] * len(ids), dtype="object"),
+                    "payload": pd.Series(
+                        [
+                            build_video_payload(i % N_VIDEO_KEYS)
+                            for i in ids
+                        ],
+                        dtype="object",
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(encode, media_schema)
+
+
+def q_video_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO dedup keep-list (doc_id, component, keep) —
+    the third modality: real AVI demux → sampled-frame dHash signature
+    SET per video (operators/multimodal.video_frame_dhash), shared-
+    frame evidence as STAR edges per frame-hash bucket (B−1 edges for
+    a frame shared by B videos, never B² — hub connectivity equals
+    the clique), components + min-id survivor."""
+    from aggregator_spark.operators.multimodal import video_near_dup_keep
+
+    return video_near_dup_keep(video_media(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def q_image_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup keep-list (doc_id, component, keep):
     exact contraction → banded Hamming edges → star components on the
@@ -454,4 +513,5 @@ ANALYTICS12_QUERIES = {
     "image_near_dup_keep": q_image_near_dup_keep,
     "audio_fingerprint": q_audio_fingerprint,
     "audio_near_dup_keep": q_audio_near_dup_keep,
+    "video_near_dup_keep": q_video_near_dup_keep,
 }

@@ -210,6 +210,35 @@ def expected_video_rows(k: int) -> tuple:
     return tuple(rows)
 
 
+@lru_cache(maxsize=N_VIDEO_KEYS)
+def expected_video_fhashes(k: int) -> tuple[str, ...]:
+    """Sorted distinct dHashes of the key's SAMPLED frames — the
+    video near-dup signature set, computed by the same demux/sample/
+    hash functions the Spark workers run (raw frame arrays: the PNG
+    round-trip is lossless, pinned in tests)."""
+    from aggregator_spark.operators.codecs import decode_avi, dhash64
+
+    us_per_frame, frames = decode_avi(build_video_payload(k))
+    duration_ms = len(frames) * us_per_frame // 1000
+    n = max(1, int(duration_ms // VIDEO_EVERY_MS))
+    hashes = set()
+    for i in range(n):
+        ts_ms = i * VIDEO_EVERY_MS
+        fidx = min(len(frames) - 1, ts_ms * 1000 // us_per_frame)
+        hashes.add(dhash64(frames[fidx]))
+    return tuple(sorted(hashes))
+
+
+def video_fhash_lookup_values_sql() -> str:
+    """(k, fhash) VALUES rows for the DuckDB oracle — one row per
+    distinct sampled-frame dHash per video key."""
+    rows = []
+    for k in range(N_VIDEO_KEYS):
+        for h in expected_video_fhashes(k):
+            rows.append(f"({k}, '{h}')")
+    return ",\n".join(rows)
+
+
 def video_lookup_values_sql() -> str:
     """(k, frame_index, frame_ts_ms, frame_md5) VALUES rows for the
     DuckDB oracle — one row per expected sampled frame per key."""

@@ -269,3 +269,43 @@ ANALYTICS12_ORACLES["audio_near_dup_keep"] = f"""
     SELECT s.doc_id, rc.component, (s.doc_id = rc.component) AS keep
     FROM sig s JOIN repc rc ON s.dhash = rc.dhash
 """
+
+
+# ---- round-12 third wave: perceptual VIDEO near-dup dedup -----------
+# Signature set per video key = the sorted distinct dHashes of its
+# SAMPLED frames (closed form — same demux/sample/hash functions,
+# media_fixture.expected_video_fhashes); shared-frame evidence as the
+# SAME hub-star edges the Spark side builds (one hub per frame hash,
+# B-1 edges for a frame shared by B videos; closure over the stars ==
+# closure over the clique).
+
+from aggregator_spark.operators.media_fixture import (  # noqa: E402
+    video_fhash_lookup_values_sql,
+)
+
+ANALYTICS12_ORACLES["video_near_dup_keep"] = f"""
+    WITH RECURSIVE lk(k, fhash) AS (VALUES
+{video_fhash_lookup_values_sql()}),
+    docs AS (SELECT doc_id, doc_id % 64 AS k FROM documents),
+    df AS (
+      SELECT d.doc_id, l.fhash
+      FROM docs d JOIN lk l ON d.k = l.k),
+    hubs AS (SELECT fhash, MIN(doc_id) AS hub FROM df GROUP BY fhash),
+    ver AS (
+      SELECT DISTINCT h.hub AS doc_a, d.doc_id AS doc_b
+      FROM df d JOIN hubs h ON d.fhash = h.fhash
+      WHERE d.doc_id <> h.hub),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION
+      SELECT doc_b, doc_a FROM ver),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+    SELECT v.doc_id, COALESCE(c.component, v.doc_id) AS component,
+           (v.doc_id = COALESCE(c.component, v.doc_id)) AS keep
+    FROM (SELECT DISTINCT doc_id FROM df) v
+    LEFT JOIN comp c ON c.node = v.doc_id
+"""

@@ -244,6 +244,7 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "tumbling_hourly": 2.0,
     "type_entropy": 2.0,
     "unigram_logprob": 2.0,
+    "video_near_dup_keep": 2.0,  # r12 third wave: hub-star edges, tiny
     "unpivot_daily": 2.0,
     "user_type_arrays": 2.0,
     "value_bands": 2.0,

@@ -257,7 +257,6 @@ DRIVER_WINDOW = [
     # alphabetically-first of the r8-age pool; r12 novelties displace
     # the alphabetically-last fills as they land (standing tie-break)
     "ann_ivf_index",
-    "ann_topk",
     # r12 first wave: perceptual image near-dup dedup (VERDICT r11
     # what's-missing #1) — slots from calendar_funcs / clean_text /
     # cohort_retention (the alphabetically-last fills, standing rule)
@@ -269,6 +268,9 @@ DRIVER_WINDOW = [
     # from bpe_dict_states / bm25_index_postings (same rule)
     "audio_fingerprint",
     "audio_near_dup_keep",
+    # r12 third wave: the video modality on the same machinery —
+    # slot from ann_topk (the alphabetically-last fill, same rule)
+    "video_near_dup_keep",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
