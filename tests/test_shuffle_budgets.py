@@ -253,6 +253,9 @@ EXCHANGE_PINS = {
     "image_near_dup_pairs": (2, 3),
     "image_near_dup_keep": (3, 2),
     "audio_near_dup_keep": (3, 2),
+    # video keep: fh/components checkpointed out; visible = hub agg +
+    # edge SMJ + final sort over the label join
+    "video_near_dup_keep": (3, 0),
 }
 
 
