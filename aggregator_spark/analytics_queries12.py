@@ -307,7 +307,12 @@ def q_shard_mixing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the encode→decode→hash→band→verify→components pipeline is
 # value-checked end to end, not rows-only.
 
-IMAGE_MAX_HAMMING = 3  # reuses the SimHash banding defaults exactly
+# single source of truth in operators/multimodal.py — the oracle
+# module interpolates the same constant into its banding SQL and
+# asserts the scheme's exactness bound at import (ADVICE r12)
+from aggregator_spark.operators.multimodal import (  # noqa: E402
+    MEDIA_MAX_HAMMING as IMAGE_MAX_HAMMING,
+)
 
 
 def _fixture_media(

@@ -31,6 +31,13 @@ from pyspark.sql import types as T
 
 FEATURE_DIM = 16
 
+# Perceptual near-dup radius shared by the image/audio signature paths
+# AND their DuckDB oracles (oracles_analytics12 interpolates it into
+# the banding SQL and asserts its scheme stays pigeonhole-exact for
+# this radius at import — ADVICE r12: a hardcoded copy silently
+# desynchronized engine and oracle when either changed).
+MEDIA_MAX_HAMMING = 3
+
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -302,7 +309,7 @@ def signature_nodes(sigs: DataFrame, sig_col: str) -> DataFrame:
 
 
 def image_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+    media: DataFrame, max_hamming: int = MEDIA_MAX_HAMMING, n_blocks: int = 6
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs (doc_a, doc_b, hamming)
     between signature-node representatives: dHash over the real PNG
@@ -321,7 +328,7 @@ def image_near_dup_pairs(
 def signature_near_dup_keep(
     sigs: DataFrame,
     sig_col: str,
-    max_hamming: int = 3,
+    max_hamming: int = MEDIA_MAX_HAMMING,
     n_blocks: int = 6,
 ) -> DataFrame:
     """Perceptual dedup keep-list over ANY (media_id, 64-bit-string
@@ -356,7 +363,7 @@ def signature_near_dup_keep(
 
 
 def image_near_dup_keep(
-    media: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+    media: DataFrame, max_hamming: int = MEDIA_MAX_HAMMING, n_blocks: int = 6
 ) -> DataFrame:
     """Perceptual image dedup keep-list: (doc_id, component, keep) for
     every image row — real PNG decode → dHash, then the shared
@@ -393,7 +400,7 @@ def audio_fp64(df: DataFrame) -> DataFrame:
 
 
 def audio_near_dup_keep(
-    media: DataFrame, max_hamming: int = 3, n_blocks: int = 6
+    media: DataFrame, max_hamming: int = MEDIA_MAX_HAMMING, n_blocks: int = 6
 ) -> DataFrame:
     """Perceptual audio dedup keep-list: (doc_id, component, keep) for
     every audio row — real WAV decode → spectral fingerprint, then the
@@ -446,25 +453,37 @@ def video_near_dup_keep(
     media: DataFrame, every_ms: int = 500
 ) -> DataFrame:
     """Perceptual VIDEO dedup keep-list (doc_id, component, keep) —
-    the third modality on the shared machinery: two videos are
-    near-dups when any sampled frame hashes identically (re-encoded
-    copies share every frame hash; partial edits still share the
-    untouched frames). Evidence edges are STAR edges per frame-hash
-    bucket — (min video of the bucket) → (each other video) — so a
-    frame shared by B videos contributes B-1 edges, never B², and a
-    ubiquitous frame (title card, black frame) cannot go quadratic;
-    connectivity through the hub is equivalent to the all-pairs
-    clique. Components + min-id survivor as in the image/audio keeps."""
-    from pyspark.sql import functions as F
-
-    from aggregator_spark.operators.components import dedup_clusters
-
+    the third modality on the shared machinery: real AVI demux →
+    sampled-frame dHash signature SET per video, then the shared
+    ``frame_signature_near_dup_keep`` tail (hub-star evidence edges +
+    components + min-id survivor)."""
     fh = (
         video_frame_dhash(media, every_ms)
         .select("media_id", "fhash")
         .distinct()
         .localCheckpoint(eager=True)
     )
+    return frame_signature_near_dup_keep(fh)
+
+
+def frame_signature_near_dup_keep(fh: DataFrame) -> DataFrame:
+    """The set-signature dedup tail over ANY (media_id, fhash)
+    relation — shared by the batch video path and the streaming served
+    view (which reads its frame hashes from the ingest store instead
+    of re-demuxing): two items are near-dups when they share any
+    signature (re-encoded copies share every frame hash; partial edits
+    still share the untouched frames). Evidence edges are STAR edges
+    per signature bucket — (min item of the bucket) → (each other
+    item) — so a signature shared by B items contributes B-1 edges,
+    never B², and a ubiquitous signature (title card, black frame)
+    cannot go quadratic; connectivity through the hub is equivalent to
+    the all-pairs clique. Components + min-id survivor as in the
+    image/audio keeps. ``fh`` should be distinct and materialized by
+    the caller (it is read by the hub build and the edge join)."""
+    from pyspark.sql import functions as F
+
+    from aggregator_spark.operators.components import dedup_clusters
+
     hubs = fh.groupBy("fhash").agg(F.min("media_id").alias("hub"))
     edges = (
         fh.join(hubs, "fhash")

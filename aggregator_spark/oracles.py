@@ -108,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
     from aggregator_spark.oracles_analytics10 import ANALYTICS10_ORACLES
     from aggregator_spark.oracles_analytics11 import ANALYTICS11_ORACLES
     from aggregator_spark.oracles_analytics12 import ANALYTICS12_ORACLES
+    from aggregator_spark.oracles_analytics13 import ANALYTICS13_ORACLES
     from aggregator_spark.oracles_graph import GRAPH_ORACLES
     from aggregator_spark.oracles_llm import LLM_ORACLES
     from aggregator_spark.oracles_index import INDEX_ORACLES
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
     oracles.update(ANALYTICS10_ORACLES)
     oracles.update(ANALYTICS11_ORACLES)
     oracles.update(ANALYTICS12_ORACLES)
+    oracles.update(ANALYTICS13_ORACLES)
     oracles.update(GRAPH_ORACLES)
     oracles.update(LLM_ORACLES)
     oracles.update(PIPELINE_ORACLES)

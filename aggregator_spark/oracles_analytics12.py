@@ -157,14 +157,30 @@ ANALYTICS12_ORACLES["shard_mixing_report"] = f"""
 # doc_id % 256 computed by the same codec functions the Spark workers
 # run (operators/media_fixture.expected_dhash — the media_features
 # oracle precedent), embedded as a VALUES lookup. Banding in SQL uses
-# the 4x16-bit single-block tables (pigeonhole-exact for hamming <= 3,
-# same recall as the Spark side's 6-choose-3 Manku tables — both are
+# the single-block tables (_ORACLE_BANDS equal-width bands over the 64
+# bits — pigeonhole-exact for hamming <= _ORACLE_BANDS - 1, same
+# recall as the Spark side's 6-choose-3 Manku tables — both are
 # candidate schemes verified by the same exact Hamming, so the PAIR
 # sets are identical); components are the standard recursive closure.
+# The radius is INTERPOLATED from the engine's constant and the
+# exactness bound asserted here, so changing either side alone fails
+# loudly at import instead of silently desynchronizing (ADVICE r12).
 
 from aggregator_spark.operators.media_fixture import (  # noqa: E402
     dhash_lookup_values_sql,
 )
+from aggregator_spark.operators.multimodal import (  # noqa: E402
+    MEDIA_MAX_HAMMING,
+)
+
+_ORACLE_BANDS = 4
+assert 64 % _ORACLE_BANDS == 0, "bands must tile the 64-bit signature"
+assert _ORACLE_BANDS > MEDIA_MAX_HAMMING, (
+    f"the {_ORACLE_BANDS}-band single-block scheme is only "
+    f"pigeonhole-exact for hamming <= {_ORACLE_BANDS - 1}; "
+    f"MEDIA_MAX_HAMMING={MEDIA_MAX_HAMMING} needs more bands"
+)
+_BAND_W = 64 // _ORACLE_BANDS
 
 _DHASH_SIG = f"""
     lk(k, dhash) AS (VALUES
@@ -175,11 +191,14 @@ _DHASH_SIG = f"""
       WHERE d.doc_id % 2 = 0)
 """
 
-_DHASH_EDGES = """
+_DHASH_EDGES = f"""
     rep AS (SELECT dhash, MIN(doc_id) AS rid FROM sig GROUP BY dhash),
     bands AS (
-      SELECT rid, b.band, substr(dhash, 1 + 16 * b.band, 16) AS bucket
-      FROM rep, (SELECT unnest(generate_series(0, 3)) AS band) b),
+      SELECT rid, b.band,
+             substr(dhash, 1 + {_BAND_W} * b.band, {_BAND_W}) AS bucket
+      FROM rep,
+           (SELECT unnest(generate_series(0, {_ORACLE_BANDS - 1}))
+              AS band) b),
     cand AS (
       SELECT DISTINCT a.rid AS doc_a, b.rid AS doc_b
       FROM bands a
@@ -191,7 +210,7 @@ _DHASH_EDGES = """
       FROM cand c
       JOIN rep x ON x.rid = c.doc_a
       JOIN rep y ON y.rid = c.doc_b
-      WHERE hamming(x.dhash, y.dhash) <= 3)
+      WHERE hamming(x.dhash, y.dhash) <= {MEDIA_MAX_HAMMING})
 """
 
 ANALYTICS12_ORACLES["image_dhash"] = f"""

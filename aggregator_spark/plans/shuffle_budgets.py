@@ -110,6 +110,10 @@ SHUFFLE_WRITE_BUDGET_MB: dict[str, float] = {
     "decontaminate_docs": 2.0,
     "dedup_batch_sign": 2.0,
     "dedup_bloom_ingest": 2.0,  # r10 fifth wave: floor
+    # r13: streaming media store — per-wave folds of tiny signature
+    # relations (provisional caps, tightened after the r13 measure)
+    "media_store_build": 8.0,
+    "served_media_near_dup": 4.0,
     "dedup_bucket_index": 2.0,
     "dedup_bucket_index_build": 3.4,
     "dedup_cluster_sizes": 8.0,

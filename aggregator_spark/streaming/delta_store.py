@@ -116,13 +116,31 @@ def served_counts(
 ) -> DataFrame:
     """The running summed relation: additive merge of the newest
     committed base generation plus every delta it does NOT already
-    contain (batch_id > the generation's folded frontier)."""
-    gen = _base_generation(root)
-    after = gen[0] if gen is not None else -(1 << 62)
-    try:
-        return _merge(spark, gen, _delta_dirs(root, after), key_cols, cnt_col)
-    except FileNotFoundError:
-        raise FileNotFoundError(f"no delta-store state under {root}")
+    contain (batch_id > the generation's folded frontier).
+
+    Concurrent-compaction safety (ADVICE r12): a compact() committing
+    ``base_upto=N`` between our generation resolve and our delta
+    listing would leave us the OLD generation M plus only deltas > N —
+    the folded (M, N] deltas in neither — so after listing deltas we
+    re-resolve the generation and retry if it moved. The residual
+    caveat: the returned DataFrame lists parquet FILES at execution
+    time, so running it concurrently with a compaction's cleanup can
+    still fail loudly (deleted delta files) — it cannot silently
+    under-count, which is the failure this guard closes."""
+    for _ in range(5):
+        gen = _base_generation(root)
+        after = gen[0] if gen is not None else -(1 << 62)
+        delta_paths = _delta_dirs(root, after)
+        if _base_generation(root) != gen:
+            continue  # a compaction committed mid-snapshot; re-read
+        try:
+            return _merge(spark, gen, delta_paths, key_cols, cnt_col)
+        except FileNotFoundError:
+            raise FileNotFoundError(f"no delta-store state under {root}")
+    raise RuntimeError(
+        f"delta store under {root} is compacting faster than it can be "
+        "snapshotted (5 generation moves mid-read)"
+    )
 
 
 def _is_legacy(gen: tuple[int, str] | None) -> bool:

@@ -7,9 +7,9 @@ payload dedup, and ONLY first-seen payloads pay the decode.
 
 Shape::
 
-    warcland source (landing-dir watcher; offset = consumed-frontier
-                     NAME — replay reads the (start, end] name range,
-                     exact regardless of later landings)
+    warcland source (landing-dir watcher; offset = consumed-name SET —
+                     replay reads end-set minus start-set, exact
+                     regardless of later landings or prunes)
       → foreachBatch (batch N):
           fp      = md5(payload)                     (JVM-side)
           verdict = bloom fast path + exact verify vs batches < N
@@ -19,9 +19,10 @@ Shape::
                     first-seen fp (real PNG/WAV codecs), features
                     copied to every new doc of that fp
           writes verdicts/batch_id=N, fps/batch_id=N, bloom/batch_id=N,
-                 features/batch_id=N, dhash/batch_id=N (all overwrite-keyed;
-                 dhash = perceptual signature per first-seen image
-                 payload, feeding the served near-dup view)
+                 features/batch_id=N, dhash/afp/vfh/batch_id=N (all
+                 overwrite-keyed; dhash/afp/vfh = one perceptual
+                 signature relation per first-seen image/audio/video
+                 payload, feeding the served near-dup views)
 
 Exactly-once: same argument as ingest_dedup_stream — every read is
 self-excluding (batch_id < N), every write overwrites its own
@@ -67,19 +68,35 @@ from aggregator_spark.streaming.ingest_dedup_stream import (
 
 
 class WarcLandStreamReader(SimpleDataSourceStreamReader):
-    """Landing-dir watcher: offset = the NAME of the last consumed
-    container (the consumed frontier) plus how many files sorted at or
-    below it when the frontier committed. A container is immutable
+    """Landing-dir watcher: offset = the SET of consumed container
+    names (sorted list in the offset JSON). A container is immutable
     once landed (the write_warclite temp+rename discipline) and names
     must land sort-monotone (the writers' timestamp/part naming does),
-    so the name range (start, end] is a pure function of the offsets —
-    the replay contract ``readBetweenOffsets`` answers checkpoint
-    recovery with, IMMUNE to files that land after the frontier (an
-    offset that merely counted files would shift the replayed slice —
-    the ADVICE r11 bug). A straggler that lands sorting BELOW the
-    already-committed frontier can never be consumed by a frontier
-    offset; the ``n_upto`` count detects exactly that state and the
-    reader refuses loudly instead of silently skipping it."""
+    so the new slice at any poll is exactly "present files above the
+    consumed frontier" and the replay contract ``readBetweenOffsets``
+    answers checkpoint recovery with end-set minus start-set — IMMUNE
+    to files that land after the frontier (an offset that merely
+    counted files would shift the replayed slice — the ADVICE r11
+    bug). A straggler that lands sorting BELOW the already-committed
+    frontier can never be consumed by a frontier-based scan; the name
+    SET detects exactly that file (it sorts at/below the frontier but
+    is not in the consumed set) even when a prune of a consumed
+    container lands in the same polling interval — the count-based
+    r12 detector cancelled out in that case (ADVICE r12) — and the
+    reader refuses loudly, naming the straggler, instead of silently
+    skipping it.
+
+    Offset size grows with the consumed-container count (~container
+    name length per file). At landing-watcher test scale that is
+    noise; a production deployment at millions of containers pairs the
+    same discipline with the batch warclite reader's offset-indexed
+    splits (module docstring) or folds a compacted name floor into
+    the offset.
+
+    Legacy offsets from older checkpoints normalize on first read
+    (``_norm``); see its docstring for the one undetectable migration
+    hazard (pruning consumed containers before the first post-upgrade
+    batch commits)."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -112,52 +129,95 @@ class WarcLandStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
-        return {"upto": "", "n_upto": 0}
+        return {"names": []}
 
     def _norm(self, off: dict, files: list[str]) -> dict:
-        """Accept a legacy count offset ({'n': N}) from an old
-        checkpoint: its meaning was 'the first N name-sorted files'.
-        N is clamped to the present list — consumed files may have
-        been pruned from the landing dir since the checkpoint."""
-        if "upto" in off:
+        """Normalize older checkpoint formats to the name-set offset.
+
+        - r12 frontier offset ({'upto': name, 'n_upto': N}): consumed =
+          present files at or below the frontier. The count still
+          detects the straggler-only case (more files below the
+          frontier than were consumed); a straggler masked by a
+          same-interval prune of a consumed container (count cancels)
+          is undetectable HERE — it enters the consumed set as if
+          ingested — but only during this one migration read; from the
+          next offset on the name set makes it detectable.
+        - pre-r12 count offset ({'n': N}): 'the first N name-sorted
+          files'. If fewer than N files are present, consumed
+          containers were pruned before the migration could name them
+          — the real frontier is unknowable (mapping N to the present
+          listing would overshoot and silently skip never-consumed
+          containers — ADVICE r12), so REFUSE rather than guess.
+          Operational rule for both migrations: do not prune the
+          landing dir between the checkpoint-format upgrade and the
+          first post-upgrade batch commit.
+        """
+        if "names" in off:
             return off
+        if "upto" in off:
+            consumed = [f for f in files if f <= off["upto"]]
+            if len(consumed) > off["n_upto"]:
+                raise ValueError(
+                    f"out-of-order landing under {self.path}: "
+                    f"{len(consumed)} files sort at or below the "
+                    f"consumed frontier {off['upto']!r} but only "
+                    f"{off['n_upto']} were consumed — a container "
+                    "landed with a name below the frontier and can "
+                    "never be ingested; landing names must be "
+                    "sort-monotone"
+                )
+            return {"names": consumed}
         n = off["n"]
-        k = min(n, len(files))
-        return {"upto": files[k - 1] if k else "", "n_upto": n}
+        if n > len(files):
+            raise ValueError(
+                f"cannot migrate legacy count offset under {self.path}: "
+                f"the checkpoint consumed {n} containers but only "
+                f"{len(files)} are present — consumed containers were "
+                "pruned before the offset-format migration, so the "
+                "consumed frontier is unknowable (guessing from the "
+                "present listing would silently skip never-consumed "
+                "containers). Restore the pruned containers (their "
+                "names, not their content, are what is needed) or "
+                "rebuild the store from the full landing history"
+            )
+        return {"names": files[:n]}
 
     def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
         files = self._files()
         start = self._norm(start, files)
-        consumed = [f for f in files if f <= start["upto"]]
-        # MORE files below the frontier than were consumed = a NEW
-        # container landed with a name the frontier already passed —
-        # it can never be ingested, refuse loudly. FEWER is benign:
-        # the operator pruned already-consumed containers to reclaim
-        # space (their content lives in the store).
-        if len(consumed) > start["n_upto"]:
+        consumed = set(start["names"])
+        upto = start["names"][-1] if start["names"] else ""
+        # a present file at/below the frontier that is NOT in the
+        # consumed set is a straggler: it landed with a name the
+        # frontier already passed and can never be consumed by a
+        # frontier scan — refuse loudly, naming it. Exact even when a
+        # consumed container was pruned in the same interval (the r12
+        # count-based detector cancelled out there — ADVICE r12);
+        # pruning itself is benign (consumed content lives in the
+        # store) and simply leaves the set a superset of the listing.
+        stragglers = [
+            f for f in files if f <= upto and f not in consumed
+        ]
+        if stragglers:
             raise ValueError(
                 f"out-of-order landing under {self.path}: "
-                f"{len(consumed)} files sort at or below the consumed "
-                f"frontier {start['upto']!r} but only {start['n_upto']} "
-                "were consumed — a container landed with a name below "
-                "the frontier and can never be ingested; landing names "
-                "must be sort-monotone"
+                f"{stragglers} sort at or below the consumed frontier "
+                f"{upto!r} but were never consumed — a container "
+                "landed with a name below the frontier and can never "
+                "be ingested; landing names must be sort-monotone"
             )
-        new = [f for f in files if f > start["upto"]]
+        new = [f for f in files if f > upto]
         if not new:
             return iter([]), start
-        end = {"upto": new[-1], "n_upto": len(consumed) + len(new)}
+        end = {"names": sorted(consumed | set(new))}
         return iter(self._rows(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         files = self._files()
         start = self._norm(start, files)
         end = self._norm(end, files)
-        return iter(
-            self._rows(
-                [f for f in files if start["upto"] < f <= end["upto"]]
-            )
-        )
+        replay = set(end["names"]) - set(start["names"])
+        return iter(self._rows([f for f in files if f in replay]))
 
 
 class WarcLandDataSource(DataSource):
@@ -249,19 +309,36 @@ def ingest_media_batch(
         _p(root, "features", f"batch_id={batch_id}")
     )
 
-    # perceptual signature per FIRST-SEEN image payload (r12: the
-    # streaming side of image near-dup dedup — exact md5 dedup above
-    # catches byte-identical arrivals; the dHash store lets the served
-    # view catch re-encoded/edited ones): hashed once per distinct
+    # perceptual signature per FIRST-SEEN payload, one relation per
+    # modality (r12 image dHash; r13 audio fingerprint + video frame-
+    # hash set — VERDICT r12 item 2): exact md5 dedup above catches
+    # byte-identical arrivals; the signature stores let the served
+    # views catch re-encoded/edited ones. Hashed once per distinct
     # payload on the same representative rows the decode already
-    # touches, keyed by fp so verdict-level fan-out stays serve-time
-    from aggregator_spark.operators.multimodal import image_dhash
-
-    dh = image_dhash(rep.select("media_id", "kind", "payload")).join(
-        rep_ids, "media_id"
+    # touches, keyed by fp so verdict-level fan-out stays serve-time.
+    from aggregator_spark.operators.multimodal import (
+        audio_fp64,
+        image_dhash,
+        video_frame_dhash,
     )
+
+    rep_media = rep.select("media_id", "kind", "payload")
+    dh = image_dhash(rep_media).join(rep_ids, "media_id")
     dh.select("fp", "dhash").write.mode("overwrite").parquet(
         _p(root, "dhash", f"batch_id={batch_id}")
+    )
+    af = audio_fp64(rep_media).join(rep_ids, "media_id")
+    af.select("fp", "afp").write.mode("overwrite").parquet(
+        _p(root, "afp", f"batch_id={batch_id}")
+    )
+    vf = (
+        video_frame_dhash(rep_media)
+        .select("media_id", "fhash")
+        .distinct()
+        .join(rep_ids, "media_id")
+    )
+    vf.select("fp", "fhash").write.mode("overwrite").parquet(
+        _p(root, "vfh", f"batch_id={batch_id}")
     )
 
     # this batch's state deltas (same layout as ingest_dedup_stream,
@@ -315,23 +392,35 @@ def served_media_features(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(_p(root, "features"))
 
 
-def _served_dhash(spark: SparkSession, root: str) -> DataFrame:
-    """Distinct (fp, dhash) over every batch's delta plus any
+# the per-modality signature relations the store maintains beyond
+# fps/bloom/verdicts/features: rel dir name → signature column
+_SIG_RELS = {"dhash": "dhash", "afp": "afp", "vfh": "fhash"}
+
+
+def _served_sig(spark: SparkSession, root: str, rel: str) -> DataFrame:
+    """Distinct (fp, <sig>) over every batch's delta plus any
     compacted base — the exact-fold semantics of the fps relation
-    (identical payload ⇒ identical hash, so distinct IS the merge)."""
+    (identical payload ⇒ identical signature, so distinct IS the
+    merge; for the video relation the signature is a SET carried as
+    one row per member, which distinct folds just the same)."""
     from aggregator_spark.streaming.ingest_dedup_stream import _base_dir
 
-    paths = _prior_dhash_batches(root)
-    base = _base_dir(root, "dhash")
+    sig_col = _SIG_RELS[rel]
+    paths = _prior_sig_batches(root, rel)
+    base = _base_dir(root, rel)
     if base is not None:
         paths.append(base)
     if not paths:
-        raise FileNotFoundError(f"no dhash state under {root}")
-    return spark.read.parquet(*paths).select("fp", "dhash").distinct()
+        raise FileNotFoundError(f"no {rel} state under {root}")
+    return spark.read.parquet(*paths).select("fp", sig_col).distinct()
 
 
-def _prior_dhash_batches(root: str) -> list[str]:
-    d = _p(root, "dhash")
+def _served_dhash(spark: SparkSession, root: str) -> DataFrame:
+    return _served_sig(spark, root, "dhash")
+
+
+def _prior_sig_batches(root: str, rel: str) -> list[str]:
+    d = _p(root, rel)
     if not os.path.isdir(d):
         return []
     return sorted(
@@ -341,11 +430,24 @@ def _prior_dhash_batches(root: str) -> list[str]:
     )
 
 
+def _landed_sigs(
+    spark: SparkSession, root: str, rel: str
+) -> DataFrame:
+    """(media_id, <sig>) for every landed doc whose payload carries a
+    signature of this modality: verdict log ⋈ the fp-keyed signature
+    store (the inner join filters to the modality, since only its
+    payloads carry the relation's signature)."""
+    return (
+        served_media_verdicts(spark, root)
+        .select("doc_id", "fp")
+        .join(_served_sig(spark, root, rel), "fp")
+        .select(F.col("doc_id").alias("media_id"), _SIG_RELS[rel])
+    )
+
+
 def served_image_near_dup(spark: SparkSession, root: str) -> DataFrame:
     """The streaming perceptual image dedup view: every landed image
-    doc (verdict log ⋈ its payload fingerprint's dHash — the inner
-    join filters to images, since only image payloads carry a dHash)
-    through the SAME contraction → banded-Hamming → components
+    doc through the SAME contraction → banded-Hamming → components
     composition as the batch operator. Parity with batch
     ``image_near_dup_keep`` over the landed corpus is pinned in the
     tests — the store pays one decode+hash per DISTINCT payload ever
@@ -354,33 +456,67 @@ def served_image_near_dup(spark: SparkSession, root: str) -> DataFrame:
         signature_near_dup_keep,
     )
 
-    sigs = (
-        served_media_verdicts(spark, root)
-        .select("doc_id", "fp")
-        .join(_served_dhash(spark, root), "fp")
-        .select(F.col("doc_id").alias("media_id"), "dhash")
+    return signature_near_dup_keep(
+        _landed_sigs(spark, root, "dhash"), "dhash"
     )
-    return signature_near_dup_keep(sigs, "dhash")
+
+
+def served_audio_near_dup(spark: SparkSession, root: str) -> DataFrame:
+    """The audio twin (r13): every landed audio doc's spectral
+    fingerprint from the store, through the shared composition —
+    parity with batch ``audio_near_dup_keep`` over the landed corpus
+    is pinned in the tests."""
+    from aggregator_spark.operators.multimodal import (
+        signature_near_dup_keep,
+    )
+
+    return signature_near_dup_keep(
+        _landed_sigs(spark, root, "afp"), "afp"
+    )
+
+
+def served_video_near_dup(spark: SparkSession, root: str) -> DataFrame:
+    """The video modality (r13): every landed video doc's sampled-
+    frame-hash SET from the store, through the shared hub-star tail —
+    parity with batch ``video_near_dup_keep`` over the landed corpus
+    is pinned in the tests. The store pays one demux per DISTINCT
+    payload ever landed (the decode-once economics the whole ingest
+    store exists for — frame demux is the costliest decode of the
+    three modalities)."""
+    from aggregator_spark.operators.multimodal import (
+        frame_signature_near_dup_keep,
+    )
+
+    fh = (
+        _landed_sigs(spark, root, "vfh")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return frame_signature_near_dup_keep(fh)
 
 
 def compact_media(spark: SparkSession, root: str) -> None:
-    """The shared fps+bloom compaction plus the dHash fold: distinct
-    (fp, dhash) to a temp dir, old base parked aside, atomic rename,
-    delta dirs dropped, ``.old`` dropped LAST — the
-    ingest_dedup_stream.compact discipline applied to the third
-    relation this store maintains."""
+    """The shared fps+bloom compaction plus the signature folds:
+    distinct (fp, <sig>) per modality relation to a temp dir, old base
+    parked aside, atomic rename, delta dirs dropped, ``.old`` dropped
+    LAST — the ingest_dedup_stream.compact discipline applied to each
+    signature relation this store maintains (dhash r12; afp + vfh
+    r13). The park-aside is correct here for the same reason as the
+    fps store: distinct-fold is idempotent, unlike SUM."""
     import shutil
 
     from aggregator_spark.streaming.ingest_dedup_stream import compact
 
     compact(spark, root)
-    dh = _served_dhash(spark, root)
-    dh.write.mode("overwrite").parquet(_p(root, "base", "_dhash_tmp"))
-    final = _p(root, "base", "dhash")
-    old = final + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.isdir(final):
-        os.rename(final, old)
-    os.rename(_p(root, "base", "_dhash_tmp"), final)
-    shutil.rmtree(_p(root, "dhash"), ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    for rel in _SIG_RELS:
+        sig = _served_sig(spark, root, rel)
+        tmp = _p(root, "base", f"_{rel}_tmp")
+        sig.write.mode("overwrite").parquet(tmp)
+        final = _p(root, "base", rel)
+        old = final + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(_p(root, rel), ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)

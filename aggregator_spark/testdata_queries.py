@@ -193,18 +193,17 @@ def q_repaired_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness gate checks the FIRST 50 queries() entries
 # (dict insertion order), so the window is an explicit, tested artifact
 # rotated per round to convert local green into driver CORRECTNESS rows.
-# Round-12 window (VERDICT r11 item 1): the §2-parity block first (fresh
-# §2 rows every round), then the WHOLE 32-entry r7-age pool — derived
+# Round-13 window (VERDICT r12 item 1): the §2-parity block first (fresh
+# §2 rows every round), then the WHOLE 38-entry r8-age pool — derived
 # from the CORRECTNESS_r*.json files by the age-ledger test, NOT from
-# HANDOFF arithmetic (VERDICT r11 what's-wrong #2: the hand-copied pool
-# omitted median_value) — then 7 free slots: this round's novelties
-# displace (alphabetically-last first, the standing tie-break) fill
-# entries pre-rotated from the alphabetically-FIRST of the 39-entry
-# r8-age pool (each pre-rotation buys r13 one novelty slot: the r13
-# boundary pool would otherwise be 39 + 11 parity = exactly 50). Every
-# displaced entry stays covered by the local full sweep
+# HANDOFF arithmetic (the r11 lesson) — which leaves exactly ONE free
+# slot, spent on this round's single novelty (the streaming perceptual
+# serve, VERDICT r12 item 2's "if a catalog slot is spent, spend it
+# here"). Every displaced entry stays covered by the local full sweep
 # (test_entry_oracle runs EVERY oracle at both SFs); displacement only
-# defers driver rows.
+# defers driver rows. NOTE for r14: the r9-age pool is 39 entries, so
+# r14 has ZERO free slots (39 + 11 parity = 50) — a pure-rotation
+# round; see HANDOFF.md's window-policy proposal.
 DRIVER_WINDOW = [
     # reference §2 parity (the core aggregation pipeline) — stays
     # first every round so each §2 operator always has a fresh row
@@ -219,58 +218,50 @@ DRIVER_WINDOW = [
     "cube_month",
     "cube_quarter",
     "cube_year",
-    # the WHOLE 32-entry r7-age pool rotates this round (every entry
-    # sits exactly at the r7 = cur-5 boundary, so none may wait)
-    "median_value",
-    "mix_waterfill",
-    "pack_efficiency",
-    "pivot_daily",
-    "rollup_orders",
-    "salted_type_counts",
-    "set_ops_users",
-    "sliding_halfhour",
-    "string_funcs",
-    "top_events_per_type",
-    "tpch_q1",
-    "tpch_q10_returns",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q20_nested_in",
-    "tpch_q21_waiting",
-    "tpch_q22_idle",
-    "tpch_q2_min_supp",
-    "tpch_q4_semi",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7_nation_pairs",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "unpivot_daily",
-    "value_bands",
-    # remaining 7 slots: fill entries pre-rotated from the
-    # alphabetically-first of the r8-age pool; r12 novelties displace
-    # the alphabetically-last fills as they land (standing tie-break)
-    "ann_ivf_index",
-    # r12 first wave: perceptual image near-dup dedup (VERDICT r11
-    # what's-missing #1) — slots from calendar_funcs / clean_text /
-    # cohort_retention (the alphabetically-last fills, standing rule)
-    "image_dhash",
-    "image_near_dup_pairs",
-    "image_near_dup_keep",
-    # r12 second wave: the audio twin (spectral fingerprint through
-    # the shared contraction/banding/components composition) — slots
-    # from bpe_dict_states / bm25_index_postings (same rule)
-    "audio_fingerprint",
-    "audio_near_dup_keep",
-    # r12 third wave: the video modality on the same machinery —
-    # slot from ann_topk (the alphabetically-last fill, same rule)
-    "video_near_dup_keep",
+    # the WHOLE 38-entry r8-age pool rotates this round (every entry
+    # sits exactly at the r8 = cur-5 boundary, so none may wait)
+    "ann_topk",
+    "bm25_index_postings",
+    "bpe_dict_states",
+    "calendar_funcs",
+    "clean_text",
+    "cohort_retention",
+    "cooccur_triangles",
+    "corpus_prepare_incremental",
+    "corpus_train_split_e2e",
+    "cube_grouping_id",
+    "curriculum_bins",
+    "dedup_bucket_index",
+    "dedup_components",
+    "dedup_components_star",
+    "doc_chunks",
+    "doc_fingerprint",
+    "gopher_quality",
+    "kmeans_assign",
+    "kmeans_fit",
+    "label_centroids",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "pack_sequences",
+    "pii_redact",
+    "prepared_probes",
+    "semantic_dedup_capped",
+    "simhash64",
+    "span_rewrite_incremental",
+    "stratified_sample",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_stats",
+    "top_bigrams",
+    "unigram_logprob",
+    "vocab_edit_pairs",
+    # r13 novelty (the one free slot): the streaming perceptual serve
+    # — image + audio + video near-dup views off the warclite ingest
+    # store, landed/drained/compacted as a real container stream
+    "served_media_near_dup",
 ]
 
 # Window entries whose driver check is rows-only by design (no ANSI-SQL
@@ -301,6 +292,7 @@ def queries():
     from aggregator_spark.analytics_queries10 import ANALYTICS10_QUERIES
     from aggregator_spark.analytics_queries11 import ANALYTICS11_QUERIES
     from aggregator_spark.analytics_queries12 import ANALYTICS12_QUERIES
+    from aggregator_spark.analytics_queries13 import ANALYTICS13_QUERIES
     from aggregator_spark.graph_queries import GRAPH_QUERIES
     from aggregator_spark.index_queries import INDEX_QUERIES
     from aggregator_spark.llm_queries import LLM_QUERIES
@@ -328,6 +320,7 @@ def queries():
     qs.update(ANALYTICS10_QUERIES)
     qs.update(ANALYTICS11_QUERIES)
     qs.update(ANALYTICS12_QUERIES)
+    qs.update(ANALYTICS13_QUERIES)
     qs.update(GRAPH_QUERIES)
     qs.update(LLM_QUERIES)
     qs.update(INDEX_QUERIES)

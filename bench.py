@@ -451,6 +451,26 @@ def main() -> None:
             total += dt
             print(f"# dedup_incremental_serve: {dt:.3f}s", file=sys.stderr)
 
+    # streaming media store build split (r13, the *_index_build
+    # precedent): `media_store_build` = the one-off land+drain+compact
+    # of the container stream (every decode the store will ever pay);
+    # the `served_media_near_dup` catalog key below then times the
+    # steady-state decode-free serve off the warm store.
+    if wanted("media_store_build"):
+        from aggregator_spark.sources.media_store import (
+            cached_media_store,
+            media_store_cache_dir,
+        )
+
+        shutil.rmtree(media_store_cache_dir(sf_dir), ignore_errors=True)
+        t0 = time.perf_counter()
+        cached_media_store(spark, sf_dir)
+        dt = time.perf_counter() - t0
+        timings["media_store_build"] = round(dt, 3)
+        shuffle["media_store_build"] = list(probe.delta_mb())
+        total += dt
+        print(f"# media_store_build: {dt:.3f}s", file=sys.stderr)
+
     for name in sorted(k for k in qs if wanted(k)):
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)

@@ -218,3 +218,32 @@ def test_recompact_after_legacy_migration_is_noop(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "base_upto=0"))
     assert not os.path.isdir(gen)
     assert _got(spark, root) == [("a", 8)]
+
+
+def test_concurrent_compaction_mid_read_retries(spark, tmp_path, monkeypatch):
+    """ADVICE r12: a compact() committing between the reader's
+    generation resolve and its delta listing used to leave the OLD
+    generation plus only post-compaction deltas — the folded window in
+    neither. served_counts now re-resolves the generation after
+    listing deltas and retries the snapshot, so the interleaving
+    serves the exact totals."""
+    from aggregator_spark.streaming import delta_store
+
+    root = str(tmp_path / "ds")
+    expected = _seed(spark, root)
+
+    real_delta_dirs = delta_store._delta_dirs
+    fired = {"done": False}
+
+    def racy_delta_dirs(r, after):
+        paths = real_delta_dirs(r, after)
+        if not fired["done"]:
+            fired["done"] = True
+            # a concurrent compact commits base_upto=2 and cleans the
+            # folded deltas AFTER this listing was taken
+            compact(spark, r, KEYS)
+        return paths
+
+    monkeypatch.setattr(delta_store, "_delta_dirs", racy_delta_dirs)
+    assert _got(spark, root) == expected
+    assert fired["done"]

@@ -74,7 +74,7 @@ def test_every_bench_key_budgeted():
         # ingest keys timed by bench.py's pre-loop (cold cache builds)
         "variant_ingest", "ann_ivf_index_build", "ann_lsh_index_build",
         "dedup_bucket_index_build", "corpus_prepared_index_build",
-        "bm25_index_build", "bpe_dict_build",
+        "bm25_index_build", "bpe_dict_build", "media_store_build",
         # incremental-dedup accounting split
         "dedup_batch_sign", "dedup_incremental_serve",
     }

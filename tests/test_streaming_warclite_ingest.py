@@ -238,10 +238,68 @@ def test_below_frontier_landing_raises(tmp_path):
     _land(landing, "c5.wlc", [0, 2])
     reader = WarcLandStreamReader({"path": landing})
     rows, end = reader.read(reader.initialOffset())
-    assert list(rows) and end["upto"] == "c5.wlc"
+    assert list(rows) and end["names"] == ["c5.wlc"]
     _land(landing, "c3.wlc", [4])  # sorts BELOW the frontier
     with pytest.raises(ValueError, match="out-of-order landing"):
         reader.read(end)
+
+
+def test_straggler_masked_by_prune_still_raises(tmp_path):
+    """ADVICE r12: a below-frontier straggler landing in the same
+    polling interval as a prune of a consumed container cancelled out
+    under the r12 count-based detector. The name-SET offset catches
+    it: the straggler is below the frontier and not in the set, no
+    matter how many consumed containers were pruned."""
+    import pytest
+
+    from aggregator_spark.streaming.warclite_ingest_stream import (
+        WarcLandStreamReader,
+    )
+
+    landing = str(tmp_path / "landing")
+    _land(landing, "c2.wlc", [0])
+    _land(landing, "c5.wlc", [2])
+    reader = WarcLandStreamReader({"path": landing})
+    rows, end = reader.read(reader.initialOffset())
+    assert len(list(rows)) == 2 and end["names"] == ["c2.wlc", "c5.wlc"]
+    # prune one consumed container AND land a straggler — counts cancel
+    os.remove(os.path.join(landing, "c2.wlc"))
+    _land(landing, "c3.wlc", [4])
+    with pytest.raises(ValueError, match="c3.wlc"):
+        reader.read(end)
+
+
+def test_legacy_offset_formats_migrate_or_refuse(tmp_path):
+    """Offset-format migrations: an r12 frontier offset normalizes to
+    the present consumed names; a pre-r12 count offset refuses when
+    consumed containers were pruned before migration (the frontier is
+    unknowable — mapping the count onto the present listing would
+    silently skip never-consumed containers; ADVICE r12 medium)."""
+    import pytest
+
+    from aggregator_spark.streaming.warclite_ingest_stream import (
+        WarcLandStreamReader,
+    )
+
+    landing = str(tmp_path / "landing")
+    _land(landing, "c0.wlc", [0])
+    _land(landing, "c1.wlc", [2])
+    reader = WarcLandStreamReader({"path": landing})
+
+    # r12 frontier offset: consumed = present files <= upto
+    rows, end = reader.read({"upto": "c0.wlc", "n_upto": 1})
+    assert [r[0] for r in rows] == [2]
+    assert end["names"] == ["c0.wlc", "c1.wlc"]
+
+    # pre-r12 count offset, intact listing: first n names
+    rows, end = reader.read({"n": 1})
+    assert [r[0] for r in rows] == [2]
+    assert end["names"] == ["c0.wlc", "c1.wlc"]
+
+    # pre-r12 count offset after pruning: refuse, don't guess
+    os.remove(os.path.join(landing, "c0.wlc"))
+    with pytest.raises(ValueError, match="cannot migrate"):
+        reader.read({"n": 2})
 
 
 def test_compaction_heals_bloom_fps_divergence(spark, tmp_path):
@@ -276,3 +334,123 @@ def test_compaction_heals_bloom_fps_divergence(spark, tmp_path):
         fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
     )
     assert _served_bloom_words(spark, root, big) == want
+
+
+# ---- r13: the audio + video perceptual serve (VERDICT r12 item 2) ----
+
+VIDEO_BASE = 1000  # ids >= VIDEO_BASE land as videos in the mixed waves
+
+
+def _mixed_row(d: int) -> tuple[int, str, bytes]:
+    from aggregator_spark.operators.media_fixture import (
+        N_VIDEO_KEYS,
+        build_video_payload,
+    )
+
+    if d >= VIDEO_BASE:
+        return (d, "video", build_video_payload(d % N_VIDEO_KEYS))
+    return (d, media_kind(d), build_payload(d % N_KEYS))
+
+
+def _land_mixed(landing: str, name: str, ids: list[int]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    write_warclite(
+        os.path.join(landing, name), (_mixed_row(d) for d in ids)
+    )
+
+
+# wave 1 mixes all three kinds incl. a video payload-dup pair
+# (1003 and 1003+64 share a payload); wave 2 adds cross-wave dups of
+# every kind plus fresh keys
+MWAVE1 = list(range(0, 12)) + [1000, 1001, 1002, 1003, 1003 + 64]
+MWAVE2 = (
+    list(range(256, 264))  # audio/image cross-wave payload dups
+    + [1064, 1065, 1130]   # 1064/1065 dup 1000/1001's payloads
+    + [40, 41, 1010]       # fresh keys of each kind
+)
+
+
+def _batch_keep(spark, op, rows):
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    return sorted(tuple(r) for r in op(df).collect())
+
+
+def test_streaming_audio_video_near_dup_match_batch(spark, tmp_path):
+    """r13: the served audio and video perceptual views == the batch
+    operators over the same landed corpus, through waves, compaction,
+    and a post-compaction wave; one signature row per DISTINCT payload
+    (decode-once)."""
+    from aggregator_spark.operators.multimodal import (
+        audio_near_dup_keep,
+        image_near_dup_keep,
+        video_near_dup_keep,
+    )
+    from aggregator_spark.streaming.warclite_ingest_stream import (
+        _served_sig,
+        compact_media,
+        served_audio_near_dup,
+        served_image_near_dup,
+        served_video_near_dup,
+    )
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "store")
+    _land_mixed(landing, "c0.wlc", MWAVE1)
+    run_warclite_ingest_stream(spark, landing, root)
+    _land_mixed(landing, "c1.wlc", MWAVE2)
+    run_warclite_ingest_stream(spark, landing, root)
+
+    def check_views(all_ids):
+        rows = [_mixed_row(d) for d in all_ids]
+        by_kind = {
+            k: [r for r in rows if r[1] == k]
+            for k in ("image", "audio", "video")
+        }
+        assert sorted(
+            tuple(r) for r in served_audio_near_dup(spark, root).collect()
+        ) == _batch_keep(spark, audio_near_dup_keep, by_kind["audio"])
+        assert sorted(
+            tuple(r) for r in served_video_near_dup(spark, root).collect()
+        ) == _batch_keep(spark, video_near_dup_keep, by_kind["video"])
+        assert sorted(
+            tuple(r) for r in served_image_near_dup(spark, root).collect()
+        ) == _batch_keep(spark, image_near_dup_keep, by_kind["image"])
+
+    all_ids = MWAVE1 + MWAVE2
+    check_views(all_ids)
+
+    # the fixture is alive: the video payload-dup pairs really merged
+    vkeep = {
+        r["doc_id"]: r["keep"]
+        for r in served_video_near_dup(spark, root).collect()
+    }
+    assert vkeep[1003] and not vkeep[1003 + 64]
+    assert not vkeep[1064] and not vkeep[1065]
+
+    # decode-once: one signature row set per DISTINCT payload
+    n_aud = len({d % N_KEYS for d in all_ids
+                 if d < VIDEO_BASE and media_kind(d) == "audio"})
+    assert _served_sig(spark, root, "afp").count() == n_aud
+    from aggregator_spark.operators.media_fixture import N_VIDEO_KEYS
+
+    n_vid = len({d % N_VIDEO_KEYS for d in all_ids if d >= VIDEO_BASE})
+    assert (
+        _served_sig(spark, root, "vfh")
+        .select("fp").distinct().count() == n_vid
+    )
+
+    # full-store compaction folds all three signature relations and
+    # preserves every served view
+    compact_media(spark, root)
+    for rel in ("dhash", "afp", "vfh"):
+        assert not os.path.isdir(os.path.join(root, rel))
+    check_views(all_ids)
+
+    # a post-compaction wave ingests against the folded bases and the
+    # served views still equal the batch operators over the union
+    wave3 = [70, 71, 1003 + 128, 1190]  # 1003+128 dups 1003's payload
+    _land_mixed(landing, "c2.wlc", wave3)
+    run_warclite_ingest_stream(spark, landing, root)
+    check_views(all_ids + wave3)
