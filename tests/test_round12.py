@@ -159,13 +159,22 @@ def test_image_near_dup_pipeline_liveness(spark):
     }
 
 
-def test_image_entries_in_driver_window():
-    from aggregator_spark.testdata_queries import DRIVER_WINDOW
+def test_image_entries_stay_driver_checkable():
+    """The r12 media novelties took their driver rows in the r12 window
+    (CORRECTNESS_r12.json); from r13 on they rotate with the age ledger
+    like every other entry. The durable invariant is that each stays a
+    catalog entry WITH a DuckDB oracle — membership in the current
+    round's window is the ledger test's job (test_driver_window.py)."""
+    from aggregator_spark.oracles import oracle_sql
+    from aggregator_spark.testdata_queries import queries
 
+    qs = queries()
+    osql = oracle_sql()
     for name in ("image_dhash", "image_near_dup_pairs",
                  "image_near_dup_keep", "audio_fingerprint",
                  "audio_near_dup_keep"):
-        assert name in DRIVER_WINDOW
+        assert name in qs
+        assert name in osql
 
 
 # ---- audio twin -------------------------------------------------------
