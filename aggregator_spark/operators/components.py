@@ -142,58 +142,66 @@ def connected_components_star(
     xxhash64 checksum computed in one tiny aggregate (labels only ever
     decrease, so a stable signature means a stable star forest).
     """
+    from pyspark.sql import Window
+
     spark = pairs.sparkSession
     src, dst = F.col("src"), F.col("dst")
 
     before = _persistent_ids(spark)
-    edges = (
+    edges0 = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .where(src != dst)
         .select(F.least(src, dst).alias("src"), F.greatest(src, dst).alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_ckpt_ids = _persistent_ids(spark) - before
+    edge0_ckpt_ids = _persistent_ids(spark) - before
+    edges = edges0
     # nodes of the original graph: the output contract (every input
     # node labeled) must survive star rewiring, which can drop a
-    # node's own edges once its whole neighborhood points past it
-    before = _persistent_ids(spark)
+    # node's own edges once its whole neighborhood points past it.
+    # Derived LAZILY from the checkpointed edge table (r13: the eager
+    # node materialization was one more full barrier per invocation;
+    # the union+distinct now runs inside the final labels job instead,
+    # reading the already-materialized edges0 blocks — edges0 is kept
+    # persisted until the labels are checkpointed below).
     nodes = (
-        edges.select(src.alias("node"))
-        .union(edges.select(dst.alias("node")))
+        edges0.select(src.alias("node"))
+        .union(edges0.select(dst.alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    node_ckpt_ids = _persistent_ids(spark) - before
 
     prev_sig = None
+    prev_ckpt_ids: set[int] = set()
     for _ in range(max_iterations):
         # ---- large-star: for each node u, m = min(N(u) ∪ {u});
-        # emit (v, m) for every neighbor v > u
+        # emit (v, m) for every neighbor v > u. The neighborhood min
+        # attaches via a WINDOW over the src partition (r13, guide
+        # §2.4: one exchange of the edge stream) instead of the
+        # groupBy+self-join form (two exchanges + a join of the same
+        # stream) — identical rows, one fewer shuffle and join per
+        # half-round at every scale.
         nbrs = edges.union(edges.select(dst.alias("src"), src.alias("dst")))
-        mins = (
-            nbrs.groupBy("src")
-            .agg(F.min("dst").alias("mn"))
-            .select("src", F.least(src, F.col("mn")).alias("m"))
-        )
+        w = Window.partitionBy("src")
         large = (
-            nbrs.join(mins, "src")
+            nbrs.withColumn("m", F.least(src, F.min("dst").over(w)))
             .where(dst > src)
             .select(dst.alias("src"), F.col("m").alias("dst"))
             .distinct()
         )
         # ---- small-star: orient u > v; for each u, m = min(smaller
         # neighborhood); emit (v, m) for each smaller neighbor v plus
-        # (u, m); drop the (m, m) self loop
-        oriented = large.select(
+        # (u, m); drop the (m, m) self loop. Same window form; the
+        # (u, m) rows arrive once per edge instead of once per u —
+        # collapsed by the trailing distinct, so the edge SET is
+        # unchanged.
+        om = large.select(
             F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
-        )
-        mins2 = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        ).withColumn("m", F.min("dst").over(w))
         before = _persistent_ids(spark)
         stepped = (
-            oriented.join(mins2, "src")
-            .select(dst.alias("src"), F.col("m").alias("dst"))
-            .union(mins2.select(src, F.col("m").alias("dst")))
+            om.select(dst.alias("src"), F.col("m").alias("dst"))
+            .union(om.select("src", F.col("m").alias("dst")))
             .where(src != dst)
             .select(F.least(src, dst).alias("src"), F.greatest(src, dst).alias("dst"))
             .distinct()
@@ -224,7 +232,7 @@ def connected_components_star(
     )
     out = labels.localCheckpoint(eager=True)
     _unpersist_ids(spark, prev_ckpt_ids)
-    _unpersist_ids(spark, node_ckpt_ids)
+    _unpersist_ids(spark, edge0_ckpt_ids)
     return out
 
 
