@@ -309,6 +309,44 @@ def features_from_media(media: DataFrame) -> DataFrame:
     return img.unionByName(aud)
 
 
+def features_from_decoded(dec: DataFrame) -> DataFrame:
+    """``features_from_media``'s output shape from an already-decoded
+    relation (``multimodal.media_decode_all`` — r13: the ingest store
+    decodes each payload exactly once; this projection replaces the
+    second decode pass). Same column set, same HALF_UP micro-unit
+    serialization expressions, image+audio rows only — row-equal to
+    ``features_from_media`` over the same payloads (pinned in
+    tests/test_multimodal_fused.py)."""
+
+    def ser(col):  # float32 array → HALF_UP micro-unit csv
+        return F.concat_ws(
+            ",",
+            F.transform(
+                col, lambda x: F.round(x * 1e6).cast("bigint").cast("string")
+            ),
+        )
+
+    img = dec.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("rms_micro"),
+        ser("features").alias("feat_str"),
+    )
+    aud = dec.filter(F.col("kind") == "audio").select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        "duration_ms",
+        F.round(F.col("rms") * 1e6).cast("bigint").alias("rms_micro"),
+        ser("features").alias("feat_str"),
+    )
+    return img.unionByName(aud)
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling, REAL demux, hash-matched: each document
     becomes a deterministic uncompressed-AVI payload (2–5 moving

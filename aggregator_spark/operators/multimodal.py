@@ -504,6 +504,89 @@ def frame_signature_near_dup_keep(fh: DataFrame) -> DataFrame:
     )
 
 
+MEDIA_DECODE_ALL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("dhash", T.StringType()),
+        T.StructField("afp", T.StringType()),
+        T.StructField("fhashes", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def media_decode_all(df: DataFrame, every_ms: int = 500) -> DataFrame:
+    """ONE decode per payload, every derived value in the same pass
+    (r13, guide §1.2/§4: the ingest store's fold previously ran
+    ``decode_image_features`` + ``image_dhash`` (PNG decoded twice),
+    ``extract_audio_features`` + ``audio_fp64`` (WAV decoded twice) and
+    ``video_frame_dhash`` as FIVE separate Arrow passes over the same
+    representative payloads). Output: one row per payload —
+    features + dhash for images, features + spectral fingerprint for
+    audio, sampled-frame dHash SET (``fhashes``) for video; columns of
+    the other modalities are null. Values are produced by the
+    IDENTICAL codec calls as the single-purpose operators (pinned by
+    ``tests/test_multimodal_fused.py``), so downstream relations are
+    bit-equal to the unfused composition."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from aggregator_spark.operators.codecs import (
+            audio_features,
+            audio_fingerprint64,
+            decode_avi,
+            decode_png,
+            decode_wav,
+            dhash64,
+            image_features,
+        )
+
+        cols = (
+            "media_id", "kind", "width", "height", "duration_ms",
+            "rms", "features", "dhash", "afp", "fhashes",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                w = h = dur = rms = feats = dh = afp = fhashes = None
+                if kind == "image":
+                    px = decode_png(payload)
+                    h, w = int(px.shape[0]), int(px.shape[1])
+                    feats = image_features(px, FEATURE_DIM)
+                    dh = dhash64(px)
+                elif kind == "audio":
+                    rate, _, samples = decode_wav(payload)
+                    dur, rms, feats = audio_features(
+                        samples, rate, FEATURE_DIM
+                    )
+                    afp = audio_fingerprint64(samples, rate)
+                elif kind == "video":
+                    us_per_frame, frames = decode_avi(payload)
+                    duration_ms = len(frames) * us_per_frame // 1000
+                    n = max(1, int(duration_ms // every_ms))
+                    fhashes = []
+                    for i in range(n):
+                        ts_ms = i * every_ms
+                        fidx = min(
+                            len(frames) - 1, ts_ms * 1000 // us_per_frame
+                        )
+                        fhashes.append(dhash64(frames[fidx]))
+                row = (mid, kind, w, h, dur, rms, feats, dh, afp, fhashes)
+                for c, v in zip(cols, row):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(fn, MEDIA_DECODE_ALL_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, width: int = 224, height: int = 224, fake: bool = False
 ) -> DataFrame:

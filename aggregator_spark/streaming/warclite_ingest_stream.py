@@ -244,7 +244,6 @@ def ingest_media_batch(
     """Fold one landed wave: payload-fingerprint verdicts from the
     PRE-wave state, decode features for one representative per
     first-seen fingerprint, append this batch's deltas."""
-    from aggregator_spark.analytics_queries4 import features_from_media
     from aggregator_spark.operators.runtime_filter import (
         build_bloom_words,
         membership_col,
@@ -287,10 +286,27 @@ def ingest_media_batch(
 
     # decode once per FIRST-SEEN fingerprint: representative = min
     # doc_id of the fp within the batch; features copied back to every
-    # new doc of that fp (identical bytes ⇒ identical features)
+    # new doc of that fp (identical bytes ⇒ identical features).
+    # r13 (guide §1.2/§4): ONE fused Arrow pass
+    # (multimodal.media_decode_all) produces features AND the
+    # perceptual signature per payload — previously features_from_media
+    # + image_dhash + audio_fp64 + video_frame_dhash ran FIVE separate
+    # decode subtrees over the same representatives (PNG and WAV each
+    # decoded twice). The fused result is tiny (signatures + features,
+    # no payloads) and checkpointed once; the per-relation writes below
+    # are projections of it. A wave with no new payloads skips the
+    # decode job entirely and writes statically-typed empty relations.
+    from aggregator_spark.analytics_queries4 import features_from_decoded
+    from aggregator_spark.operators.multimodal import (
+        MEDIA_DECODE_ALL_SCHEMA,
+        media_decode_all,
+    )
+
     new = verdicts.filter("is_new")
-    rep_ids = new.groupBy("fp").agg(F.min("doc_id").alias("media_id"))
-    rep = rep_ids.join(
+    rep_ids = new.groupBy("fp").agg(
+        F.min("doc_id").alias("media_id")
+    ).localCheckpoint(eager=True)
+    rep_media = rep_ids.join(
         recs.select(
             F.col("doc_id").alias("media_id"),
             F.col("mime").alias("kind"),
@@ -298,7 +314,17 @@ def ingest_media_batch(
         ),
         "media_id",
     )
-    feats = features_from_media(rep.select("media_id", "kind", "payload"))
+    if rep_ids.take(1):
+        dec = (
+            media_decode_all(rep_media)
+            .join(rep_ids, "media_id")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        dec = spark.createDataFrame(
+            [], MEDIA_DECODE_ALL_SCHEMA
+        ).withColumn("fp", F.lit(None).cast("string"))
+    feats = features_from_decoded(dec)
     out = (
         new.select("doc_id", "fp")
         .join(rep_ids, "fp")
@@ -314,31 +340,25 @@ def ingest_media_batch(
     # hash set — VERDICT r12 item 2): exact md5 dedup above catches
     # byte-identical arrivals; the signature stores let the served
     # views catch re-encoded/edited ones. Hashed once per distinct
-    # payload on the same representative rows the decode already
-    # touches, keyed by fp so verdict-level fan-out stays serve-time.
-    from aggregator_spark.operators.multimodal import (
-        audio_fp64,
-        image_dhash,
-        video_frame_dhash,
-    )
-
-    rep_media = rep.select("media_id", "kind", "payload")
-    dh = image_dhash(rep_media).join(rep_ids, "media_id")
-    dh.select("fp", "dhash").write.mode("overwrite").parquet(
+    # payload (the fused pass above), keyed by fp so verdict-level
+    # fan-out stays serve-time.
+    dec.filter(F.col("kind") == "image").select(
+        "fp", "dhash"
+    ).write.mode("overwrite").parquet(
         _p(root, "dhash", f"batch_id={batch_id}")
     )
-    af = audio_fp64(rep_media).join(rep_ids, "media_id")
-    af.select("fp", "afp").write.mode("overwrite").parquet(
+    dec.filter(F.col("kind") == "audio").select(
+        "fp", "afp"
+    ).write.mode("overwrite").parquet(
         _p(root, "afp", f"batch_id={batch_id}")
     )
-    vf = (
-        video_frame_dhash(rep_media)
-        .select("media_id", "fhash")
+    (
+        dec.filter(F.col("kind") == "video")
+        .select("fp", F.explode("fhashes").alias("fhash"))
         .distinct()
-        .join(rep_ids, "media_id")
-    )
-    vf.select("fp", "fhash").write.mode("overwrite").parquet(
-        _p(root, "vfh", f"batch_id={batch_id}")
+        .select("fp", "fhash")
+        .write.mode("overwrite")
+        .parquet(_p(root, "vfh", f"batch_id={batch_id}"))
     )
 
     # this batch's state deltas (same layout as ingest_dedup_stream,
