@@ -133,7 +133,7 @@ def ingest_micro_batch(
     the wave's fingerprints and bloom words as this batch's deltas."""
     from aggregator_spark.analytics_queries11 import _prefix_fp
     from aggregator_spark.operators.runtime_filter import (
-        build_bloom_words,
+        bloom_words_relation,
         membership_col,
     )
 
@@ -172,12 +172,13 @@ def ingest_micro_batch(
     fps.select("fp").distinct().write.mode("overwrite").parquet(
         _p(root, "fps", f"batch_id={batch_id}")
     )
-    wave_words = build_bloom_words(
+    # r13 (guide §4.1): keep the word deltas in the JVM — the old
+    # build_bloom_words→createDataFrame round-trip collected the bitset
+    # to the driver only to re-upload it, and the coalesce(1) re-upload
+    # of a 32-slice Python-parallelized RDD paid one Python-runner
+    # round trip per slice (~6 s). Same nonzero-words (w, word) layout.
+    bloom_words_relation(
         fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
-    )
-    spark.createDataFrame(
-        [(w, word) for w, word in enumerate(wave_words) if word != 0],
-        "w INT, word BIGINT",
     ).coalesce(1).write.mode("overwrite").parquet(
         _p(root, "bloom", f"batch_id={batch_id}")
     )
@@ -251,7 +252,7 @@ def compact(spark: SparkSession, root: str) -> None:
     import shutil
 
     from aggregator_spark.operators.runtime_filter import (
-        build_bloom_words,
+        bloom_words_relation,
     )
 
     # build both new generations BEFORE touching the old state
@@ -261,13 +262,11 @@ def compact(spark: SparkSession, root: str) -> None:
             f"nothing to compact under {root}: no fp deltas or base"
         )
     fps = fps.localCheckpoint(eager=True)
-    words = build_bloom_words(
-        fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
-    )
     fps.write.mode("overwrite").parquet(_p(root, "base", "_fps_tmp"))
-    spark.createDataFrame(
-        [(w, word) for w, word in enumerate(words) if word != 0],
-        "w INT, word BIGINT",
+    # JVM-side rebuild (r13, guide §4.1) — same (w, word) nonzero-words
+    # layout the delta writer emits; see ingest_micro_batch.
+    bloom_words_relation(
+        fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
     ).coalesce(1).write.mode("overwrite").parquet(
         _p(root, "base", "_bloom_tmp")
     )

@@ -245,7 +245,7 @@ def ingest_media_batch(
     PRE-wave state, decode features for one representative per
     first-seen fingerprint, append this batch's deltas."""
     from aggregator_spark.operators.runtime_filter import (
-        build_bloom_words,
+        bloom_words_relation,
         membership_col,
     )
 
@@ -315,6 +315,12 @@ def ingest_media_batch(
         "media_id",
     )
     if rep_ids.take(1):
+        # decode parallelism rides AQE's byte-based coalescing of the
+        # rep join: the shuffled bytes ARE the payloads, so partition
+        # count tracks wave size (measured r13: a forced
+        # repartition(cores) LOST time at fixture scale — warm decode
+        # of a small wave is sub-second on one partition, and the
+        # extra exchange + 32-task overhead dominates).
         dec = (
             media_decode_all(rep_media)
             .join(rep_ids, "media_id")
@@ -366,12 +372,14 @@ def ingest_media_batch(
     fps.select("fp").distinct().write.mode("overwrite").parquet(
         _p(root, "fps", f"batch_id={batch_id}")
     )
-    wave_words = build_bloom_words(
+    # r13 (guide §4.1): the word deltas stay a JVM relation end-to-end —
+    # the old build_bloom_words→createDataFrame round-trip collected the
+    # bitset to the driver only to re-upload it, and the re-upload paid
+    # ~6 s alone (coalesce(1) over a 32-slice Python-parallelized RDD
+    # runs one Python-runner round trip PER SLICE inside the single
+    # task). Nonzero-words-only layout and (w, word) schema unchanged.
+    bloom_words_relation(
         fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
-    )
-    spark.createDataFrame(
-        [(w, word) for w, word in enumerate(wave_words) if word != 0],
-        "w INT, word BIGINT",
     ).coalesce(1).write.mode("overwrite").parquet(
         _p(root, "bloom", f"batch_id={batch_id}")
     )
