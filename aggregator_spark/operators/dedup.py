@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from aggregator_spark.operators.text import fingerprint, normalized_text, tokens
 from aggregator_spark.operators.util import scatter
@@ -921,14 +921,15 @@ def dup_span_stats(
         .groupBy("doc_id", "gh")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
-    dup = (
-        occ.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))  # rows = distinct docs
-        .filter(F.col("df") >= 2)
-        .select("gh")
-    )
+    # df attaches IN PLACE via a window over gh (r13, guide §2.4): the
+    # previous groupBy("gh")+join-back shuffled the occ stream a second
+    # time for the join probe side; rows per gh partition == distinct
+    # docs (occ is grouped by (doc_id, gh)), so the count IS df.
     n_dup = (
-        occ.join(dup, "gh")
+        occ.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+        )
+        .filter(F.col("df") >= 2)
         .groupBy("doc_id")
         .agg(F.sum("occ").alias("n_dup_spans"))
     )
@@ -1039,15 +1040,21 @@ def dedup_span_rewrite(
             F.xxhash64("gram").alias("gh"),
         )
     )
-    stats = grams.groupBy("gh").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.min(F.struct("doc_id", "pos")).alias("first"),
-    )
-    flagged = grams.join(stats, "gh").filter(
-        (F.col("df") >= 2)
-        & ~(
-            (F.col("doc_id") == F.col("first.doc_id"))
-            & (F.col("pos") == F.col("first.pos"))
+    # df + global-first attach IN PLACE via a window over the gram
+    # hash (r13, guide §2.4): the previous groupBy("gh")+join-back
+    # re-shuffled the full gram stream a second time for the join AND
+    # re-ran the toks→grams subtree for the probe side; one window
+    # needs one exchange of one gram stream.
+    wgh = Window.partitionBy("gh")
+    flagged = (
+        grams.withColumn("df", F.count(F.lit(1)).over(wgh))
+        .withColumn("first", F.min(F.struct("doc_id", "pos")).over(wgh))
+        .filter(
+            (F.col("df") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
         )
     )
     starts = flagged.select("doc_id", "pos")
@@ -1073,27 +1080,46 @@ def dedup_span_rewrite(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
         ).alias("pos"),
     ).distinct()
+    # ONE pass over the token stream (r13, guide §1.2): mark covered
+    # positions with a left join instead of anti-joining, so the same
+    # aggregation yields BOTH the per-doc total (rows per doc ==
+    # size(ts)) and the kept rebuild — the old plan anti-joined, then
+    # re-scanned + re-tokenized the whole corpus a third time just to
+    # recover n_tokens. collect_list skips the NULL structs of covered
+    # positions, so shuffled agg buffers still carry kept tokens only.
+    # The doc universe comes from an ids-only scan of ``docs`` (column
+    # pruning — no text read, no tokenize) to keep the every-input-doc
+    # contract for zero-token documents.
     tokpos = toks.select(
         "doc_id", F.posexplode("ts").alias("p0", "token")
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
-    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    marked = tokpos.join(
+        covered.withColumn("cov", F.lit(True)), ["doc_id", "pos"], "left"
+    )
+    keep_struct = F.when(
+        F.col("cov").isNull(), F.struct("pos", "token")
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(keep_struct).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                F.array_sort(F.collect_list(keep_struct)),
                 lambda s: s["token"],
             ),
         ).alias("clean_text"),
     )
     return (
-        toks.select("doc_id", F.size("ts").cast("long").alias("n_tokens"))
+        docs.select(F.col(id_col).alias("doc_id"))
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            )
             .cast("long")
             .alias("n_removed"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -397,14 +397,19 @@ def test_zscore_single_window_exchange(plans):
 
 
 def test_span_rewrite_hash_joins_only(plans):
-    """Span removal: gram-hash equi joins + a LeftAnti position join +
-    the per-doc rebuild aggregate (ObjectHashAggregate carries the
-    collect_list) — no cartesian anywhere, raw text shuffles only for
-    the rebuild."""
+    """Span removal: gram-hash stats attach via ONE window over gh
+    (r13 — the groupBy+join-back re-shuffled the gram stream), covered
+    positions mark the token stream with a LeftOuter flag join (the
+    same aggregation then yields n_tokens AND the kept rebuild — the
+    old LeftAnti form re-tokenized the corpus a third time for
+    n_tokens), and the rebuild aggregate (ObjectHashAggregate carries
+    the collect_list) — no cartesian anywhere, raw text shuffles only
+    for the rebuild."""
     p = plans("dedup_span_rewrite")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
-    assert "LeftAnti" in p
+    assert "LeftOuter" in p
+    assert "Window" in p
     assert "ObjectHashAggregate" in p
 
 

@@ -129,7 +129,10 @@ EXCHANGE_PINS = {
     # bounded-rank core — +local-rank/summary exchanges + the carry
     # broadcast (summary-sized; threshold-governed)
     "curriculum_bins": (3, 1),
-    "span_rewrite_incremental": (5, 5),
+    # r13: the span-rewrite single-pass rebuild dropped one broadcast
+    # (n_tokens now comes from the rebuild aggregation itself; the old
+    # final join broadcast a second per-doc relation)
+    "span_rewrite_incremental": (5, 4),
     # r9 late novelties. ngram_novelty: gram-df agg + per-doc residue
     # joins (the corpus-wide gram relation is never joined back).
     # minhash_est_accuracy: candidate/sig pipelines are checkpointed
@@ -200,7 +203,7 @@ EXCHANGE_PINS = {
     # summary carry (single-level — lengths are discrete) + the carry
     # join broadcast at sf0.001 (threshold-governed). warclite: the
     # custom-source scan -> two-phase agg (countDistinct).
-    "corpus_prepare_ppl_e2e": (19, 8),
+    "corpus_prepare_ppl_e2e": (15, 6),  # r13 span-rewrite window+single-pass
     "priority_sample_per_source": (4, 1),
     "lang_id_confusion": (2, 1),
     "length_percentiles_exact": (4, 1),
@@ -217,7 +220,7 @@ EXCHANGE_PINS = {
     # plus the SimHash candidate family (banded self-join + verify)
     # over the same survivors; broadcasts are the survivor-id/carry
     # joins (threshold-governed at sf0.001)
-    "corpus_prepare_union_e2e": (19, 8),
+    "corpus_prepare_union_e2e": (15, 6),  # r13 span-rewrite window+single-pass
     # r11 third wave: cell assignment + codebook/code aggs + routing
     # windows; the BroadcastNestedLoopJoin is the deliberate 10-row
     # centroid fan-out (kmeans_assign's shape), never a shuffled
@@ -231,7 +234,7 @@ EXCHANGE_PINS = {
     # exchanges — the ppl lesson again); the e2e matches the other
     # keep_ids-seam pipelines' shape
     "dsir_gate": (10, 0),
-    "corpus_prepare_dsir_e2e": (19, 8),
+    "corpus_prepare_dsir_e2e": (15, 6),  # r13 span-rewrite window+single-pass
     # r11 sixth wave: token agg + first-occurrence agg + 20-row spine
     # windows (heaps); two bounded-rank NTILE branches + the interleave
     # join (zorder) — broadcasts are the max/carry relations
@@ -254,8 +257,10 @@ EXCHANGE_PINS = {
     "image_near_dup_keep": (3, 2),
     "audio_near_dup_keep": (3, 2),
     # video keep: fh/components checkpointed out; visible = hub agg +
-    # edge SMJ + final sort over the label join
-    "video_near_dup_keep": (3, 0),
+    # edge SMJ + final sort over the label join. r13 window-min CC:
+    # one fewer exchange; the tiny label relation now broadcasts
+    # (threshold-governed, degrades to SMJ at scale)
+    "video_near_dup_keep": (2, 1),
 }
 
 
