@@ -244,10 +244,7 @@ def ingest_media_batch(
     """Fold one landed wave: payload-fingerprint verdicts from the
     PRE-wave state, decode features for one representative per
     first-seen fingerprint, append this batch's deltas."""
-    from aggregator_spark.operators.runtime_filter import (
-        bloom_words_relation,
-        membership_col,
-    )
+    from concurrent.futures import ThreadPoolExecutor
 
     spark = batch_df.sparkSession
     if not batch_df.take(1):
@@ -256,8 +253,54 @@ def ingest_media_batch(
         "doc_id", "mime", "payload", F.md5("payload").alias("fp")
     ).localCheckpoint(eager=True)
 
+    # r13 (guide §2.6): the fold's relation writes are INDEPENDENT
+    # jobs — each reads only driver-side-checkpointed inputs (recs /
+    # verdicts / dec) and writes its own directory — so they are
+    # submitted from a thread pool instead of serially: the fps+bloom
+    # state deltas (functions of recs alone) overlap the verdict and
+    # decode chain, and the per-relation projection writes overlap
+    # each other. Crash semantics are unchanged: every write still
+    # overwrites its own batch_id dir and a retried fold reproduces
+    # the full set, so a partial subset from a crash (possible before,
+    # as a prefix) is re-overwritten identically on retry.
+    pool = ThreadPoolExecutor(max_workers=8)
+    try:
+        for f in _fold_media_batch(spark, recs, batch_id, root, pool):
+            f.result()
+    finally:
+        pool.shutdown(wait=True)
+
+
+def _fold_media_batch(spark, recs, batch_id, root, pool) -> list:
+    """The fold body: compute verdicts and the fused decode, submit
+    every relation write to ``pool``; returns the submitted futures
+    (joined by the caller, which owns the pool)."""
+    from aggregator_spark.operators.runtime_filter import (
+        bloom_words_relation,
+        membership_col,
+    )
+
+    pending = []
     prior = _served_fps(spark, root, batch_id)
     fps = recs.select("doc_id", "fp")
+    # state deltas (same layout as ingest_dedup_stream, so its
+    # compact() applies to this store unchanged): functions of recs
+    # only — submitted now so they overlap the verdict+decode chain.
+    # The word deltas stay a JVM relation end-to-end (r13, guide §4.1):
+    # the old build_bloom_words→createDataFrame round-trip collected
+    # the bitset to the driver only to re-upload it, and the re-upload
+    # paid ~6 s alone. Nonzero-words-only (w, word) layout unchanged.
+    pending.append(pool.submit(
+        lambda: fps.select("fp").distinct().write.mode("overwrite")
+        .parquet(_p(root, "fps", f"batch_id={batch_id}"))
+    ))
+    pending.append(pool.submit(
+        lambda: bloom_words_relation(
+            fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _p(root, "bloom", f"batch_id={batch_id}")
+        )
+    ))
     if prior is None:
         verdicts = fps.select("doc_id", "fp", F.lit(True).alias("is_new"))
     else:
@@ -280,9 +323,11 @@ def ingest_media_batch(
         )
         verdicts = verified.unionByName(misses)
     verdicts = verdicts.localCheckpoint(eager=True)
-    verdicts.write.mode("overwrite").parquet(
-        _p(root, "verdicts", f"batch_id={batch_id}")
-    )
+    pending.append(pool.submit(
+        lambda: verdicts.write.mode("overwrite").parquet(
+            _p(root, "verdicts", f"batch_id={batch_id}")
+        )
+    ))
 
     # decode once per FIRST-SEEN fingerprint: representative = min
     # doc_id of the fp within the batch; features copied back to every
@@ -337,52 +382,43 @@ def ingest_media_batch(
         .join(feats, "media_id")
         .drop("media_id")
     )
-    out.write.mode("overwrite").parquet(
-        _p(root, "features", f"batch_id={batch_id}")
-    )
-
     # perceptual signature per FIRST-SEEN payload, one relation per
     # modality (r12 image dHash; r13 audio fingerprint + video frame-
     # hash set — VERDICT r12 item 2): exact md5 dedup above catches
     # byte-identical arrivals; the signature stores let the served
     # views catch re-encoded/edited ones. Hashed once per distinct
     # payload (the fused pass above), keyed by fp so verdict-level
-    # fan-out stays serve-time.
-    dec.filter(F.col("kind") == "image").select(
-        "fp", "dhash"
-    ).write.mode("overwrite").parquet(
-        _p(root, "dhash", f"batch_id={batch_id}")
-    )
-    dec.filter(F.col("kind") == "audio").select(
-        "fp", "afp"
-    ).write.mode("overwrite").parquet(
-        _p(root, "afp", f"batch_id={batch_id}")
-    )
-    (
-        dec.filter(F.col("kind") == "video")
+    # fan-out stays serve-time. All four are projections of the
+    # checkpointed dec/verdict relations — independent writes, run
+    # concurrently with each other and the state deltas above.
+    pending.append(pool.submit(
+        lambda: out.write.mode("overwrite").parquet(
+            _p(root, "features", f"batch_id={batch_id}")
+        )
+    ))
+    pending.append(pool.submit(
+        lambda: dec.filter(F.col("kind") == "image").select(
+            "fp", "dhash"
+        ).write.mode("overwrite").parquet(
+            _p(root, "dhash", f"batch_id={batch_id}")
+        )
+    ))
+    pending.append(pool.submit(
+        lambda: dec.filter(F.col("kind") == "audio").select(
+            "fp", "afp"
+        ).write.mode("overwrite").parquet(
+            _p(root, "afp", f"batch_id={batch_id}")
+        )
+    ))
+    pending.append(pool.submit(
+        lambda: dec.filter(F.col("kind") == "video")
         .select("fp", F.explode("fhashes").alias("fhash"))
         .distinct()
         .select("fp", "fhash")
         .write.mode("overwrite")
         .parquet(_p(root, "vfh", f"batch_id={batch_id}"))
-    )
-
-    # this batch's state deltas (same layout as ingest_dedup_stream,
-    # so its compact() applies to this store unchanged)
-    fps.select("fp").distinct().write.mode("overwrite").parquet(
-        _p(root, "fps", f"batch_id={batch_id}")
-    )
-    # r13 (guide §4.1): the word deltas stay a JVM relation end-to-end —
-    # the old build_bloom_words→createDataFrame round-trip collected the
-    # bitset to the driver only to re-upload it, and the re-upload paid
-    # ~6 s alone (coalesce(1) over a 32-slice Python-parallelized RDD
-    # runs one Python-runner round trip PER SLICE inside the single
-    # task). Nonzero-words-only layout and (w, word) schema unchanged.
-    bloom_words_relation(
-        fps, "fp", m_bits=STREAM_BLOOM_M, k_hashes=STREAM_BLOOM_K
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _p(root, "bloom", f"batch_id={batch_id}")
-    )
+    ))
+    return pending
 
 
 def run_warclite_ingest_stream(
@@ -533,10 +569,10 @@ def compact_media(spark: SparkSession, root: str) -> None:
     fps store: distinct-fold is idempotent, unlike SUM."""
     import shutil
 
+    from aggregator_spark.parallel import run_jobs
     from aggregator_spark.streaming.ingest_dedup_stream import compact
 
-    compact(spark, root)
-    for rel in _SIG_RELS:
+    def fold_rel(rel: str) -> None:
         sig = _served_sig(spark, root, rel)
         tmp = _p(root, "base", f"_{rel}_tmp")
         sig.write.mode("overwrite").parquet(tmp)
@@ -548,3 +584,10 @@ def compact_media(spark: SparkSession, root: str) -> None:
         os.rename(tmp, final)
         shutil.rmtree(_p(root, rel), ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
+
+    compact(spark, root)
+    # each relation's fold touches only its own dirs (guide §2.6:
+    # independent jobs overlap instead of queueing behind each other's
+    # stage tails); the rename discipline within a relation is ordered
+    # inside its thunk, so crash semantics per relation are unchanged
+    run_jobs([lambda r=rel: fold_rel(r) for rel in _SIG_RELS])
