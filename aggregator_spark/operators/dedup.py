@@ -904,19 +904,21 @@ def dup_span_stats(
     and the dup-gram set joins back on its natural key (deliberately
     NOT broadcast — real corpora have huge duplicated-gram sets). Raw
     text never shuffles; per-doc tallies are cardinality ≤ docs."""
-    from aggregator_spark.operators.text import word_ngrams, word_tokens
+    from aggregator_spark.operators.text import (
+        gram_stream,
+        word_tokens,
+    )
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
     )
-    # per-doc gram-position occurrence counts on hashed keys; one
+    # per-doc gram-position occurrence counts on hashed keys; the gram
+    # stream is one Arrow pass (text.gram_stream — the interpreted-HOF
+    # transform this replaced was ~5x slower, guide §4.2); one
     # exchange on (doc_id, gh) feeds both the doc-frequency filter and
-    # the per-doc dup tally (ReusedExchange — gram-gen runs once)
+    # the per-doc dup tally
     occ = (
-        toks.filter(F.size("ts") >= n)
-        .select(
-            "doc_id", F.explode(word_ngrams(F.col("ts"), n)).alias("gram")
-        )
+        gram_stream(docs, n, id_col, text_col)
         .select("doc_id", F.xxhash64("gram").alias("gh"))
         .groupBy("doc_id", "gh")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -973,12 +975,10 @@ def span_gram_hashes(
     already contains). One (gh) long per distinct gram; at 100 TB the
     table is stored bucketed by gh so a batch's gram probe co-locates
     and only the batch side shuffles."""
-    from aggregator_spark.operators.text import word_ngrams, word_tokens
+    from aggregator_spark.operators.text import gram_stream
 
-    toks = docs.select(word_tokens(F.col(text_col)).alias("ts"))
     return (
-        toks.filter(F.size("ts") >= n)
-        .select(F.explode(word_ngrams(F.col("ts"), n)).alias("gram"))
+        gram_stream(docs, n, id_col, text_col)
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
     )
@@ -1023,23 +1023,29 @@ def dedup_span_rewrite(
     so the arriving batch keeps none of it. The within-``docs``
     keep-first rule still applies among the batch's own duplicates.
     """
-    from aggregator_spark.operators.text import word_ngrams, word_tokens
+    from aggregator_spark.operators.text import (
+        gram_stream,
+        word_tokens,
+    )
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), word_tokens(F.col(text_col)).alias("ts")
     )
-    grams = (
-        toks.filter(F.size("ts") >= n)
-        .select(
-            "doc_id",
-            F.posexplode(word_ngrams(F.col("ts"), n)).alias("p0", "gram"),
-        )
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("pos"),
-            F.xxhash64("gram").alias("gh"),
-        )
+    # positions are 1-based gram starts; one Arrow pass generates the
+    # stream (text.gram_stream — replaces the interpreted HOF
+    # posexplode(word_ngrams(...)) subtree, ~5x, guide §4.2)
+    grams = gram_stream(docs, n, id_col, text_col, with_pos=True).select(
+        "doc_id", "pos", F.xxhash64("gram").alias("gh")
     )
+    if corpus_grams is not None:
+        # the cross-corpus branch reads ``grams`` three more times
+        # (batch gram set, hit-position probe) on top of the window
+        # pass — checkpoint the hashed stream so the Arrow gram
+        # generation runs once per batch, not once per reference
+        # (batch-proportional rows: (doc_id, pos, int64), no text).
+        # Lazy: the first consuming job (the hit-set broadcast build)
+        # materializes it, so no standalone blocking job is paid
+        grams = grams.localCheckpoint(eager=False)
     # df + global-first attach IN PLACE via a window over the gram
     # hash (r13, guide §2.4): the previous groupBy("gh")+join-back
     # re-shuffled the full gram stream a second time for the join AND

@@ -207,6 +207,78 @@ def word_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_batches(n: int, with_pos: bool):
+    """mapInPandas worker: (doc_id, text) batches → one row per word
+    n-gram OCCURRENCE (every position, duplicates kept — unlike
+    ``dedup._shingle_batches``, which emits per-doc DISTINCT shingles
+    of the whitespace tokenizer). Tokenizer parity with
+    ``word_tokens``: lower + split on [^a-z0-9]+ runs, empties
+    dropped (the ASCII regex is identical in Java and Python; the
+    same Python-side .lower() discipline as ``repetition_metrics``
+    and ``heavy_hitters.bigram_stream``). ``with_pos`` adds the
+    1-based gram start position — the contract of
+    ``posexplode(word_ngrams(...))``'s p0 + 1."""
+    import re as _re
+
+    pat = _re.compile(r"[^a-z0-9]+")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            grams: list = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in pat.split((text or "").lower()) if t]
+                if len(toks) < n:
+                    continue
+                for i in range(len(toks) - n + 1):
+                    ids.append(did)
+                    grams.append(" ".join(toks[i : i + n]))
+                    if with_pos:
+                        poss.append(i + 1)
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            if with_pos:
+                out["pos"] = pd.Series(poss, dtype="int64")
+            out["gram"] = pd.Series(grams, dtype="object")
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def gram_stream(
+    docs,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_pos: bool = False,
+):
+    """All word n-gram occurrences of a corpus as (doc_id[, pos],
+    gram) rows — the Arrow-batched equivalent of
+    ``explode(word_ngrams(word_tokens(text), n))`` (bit-identical
+    output, pinned in tests/test_text_ops.py). The HOF form evaluates
+    its transform lambda (slice + concat_ws per gram) INTERPRETED,
+    outside whole-stage codegen — the repo-wide trap that already
+    moved shingling (``dedup.doc_shingles``) and bigrams
+    (``heavy_hitters.bigram_stream``) to Python passes; this measured
+    2.9 s → 0.55 s for 196k 16-grams at sf0.1 before scatter
+    parallelism (guide §4.2). ``scatter`` is a no-op at real scale
+    where the scan already yields thousands of splits."""
+    from aggregator_spark.operators.util import scatter
+
+    schema = (
+        "doc_id long, pos long, gram string"
+        if with_pos
+        else "doc_id long, gram string"
+    )
+    return scatter(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    ).mapInPandas(_gram_batches(n, with_pos), schema)
+
+
 def contamination_flags(docs, probes, n: int = 8):
     """Benchmark decontamination: flag every document that contains any
     probe n-gram (the standard test-set-overlap filter for LLM training
@@ -225,10 +297,7 @@ def contamination_flags(docs, probes, n: int = 8):
     too large to broadcast, compose with the bloom runtime filter
     (operators/runtime_filter.py) on the gram column.
     """
-    toks = docs.select("doc_id", word_tokens(F.col("text")).alias("ts"))
-    grams = toks.filter(F.size("ts") >= n).select(
-        "doc_id", F.explode(word_ngrams(F.col("ts"), n)).alias("gram")
-    )
+    grams = gram_stream(docs, n)
     hits = (
         grams.join(F.broadcast(probes), grams.gram == probes.probe)
         .groupBy("doc_id")

@@ -131,8 +131,11 @@ EXCHANGE_PINS = {
     "curriculum_bins": (3, 1),
     # r13: the span-rewrite single-pass rebuild dropped one broadcast
     # (n_tokens now comes from the rebuild aggregation itself; the old
-    # final join broadcast a second per-doc relation)
-    "span_rewrite_incremental": (5, 4),
+    # final join broadcast a second per-doc relation). +1 Exchange:
+    # text.gram_stream scatters the doc scan before its Arrow pass
+    # (the doc_shingles discipline — a no-op at real scale where the
+    # scan already yields thousands of splits)
+    "span_rewrite_incremental": (6, 4),
     # r9 late novelties. ngram_novelty: gram-df agg + per-doc residue
     # joins (the corpus-wide gram relation is never joined back).
     # minhash_est_accuracy: candidate/sig pipelines are checkpointed
@@ -167,7 +170,9 @@ EXCHANGE_PINS = {
     # label join. contamination_by_source: the decontaminate fragment
     # (probe broadcast out / flags back) + doc join + |sources|-row agg.
     "dedup_fuzzy_keep_union": (3, 0),
-    "contamination_by_source": (5, 3),
+    # +1 Exchange r13: gram_stream's scatter before the Arrow gram
+    # pass (no-op at real scale, see span_rewrite_incremental)
+    "contamination_by_source": (6, 3),
     # family overlap: both families' full verify pipelines live in ONE
     # plan (nothing checkpointed out except the LSH candidates) — the
     # SMJ verify chain + simhash band join + the full-outer merge
