@@ -57,6 +57,8 @@ def cached_prepared_index(
     )
 
     def build(out: str) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from aggregator_spark.llm_queries import (
             JACCARD_THRESHOLD,
             NEW_BATCH_MOD,
@@ -71,41 +73,61 @@ def cached_prepared_index(
 
         docs = load_testdata(spark, sf_dir, "documents")
         existing = docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
-        # the previous full run, replayed over the existing corpus
-        # only: quality keep-list -> fuzzy dedup among the survivors
-        # (corpus_prepare stages 1-2, llm_queries.corpus_prepare)
-        keep_ids = (
-            corpus_keep_flags(existing)
-            .filter("keep")
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
-        ebuckets = cached_minhash_buckets(spark, sf_dir).filter(
-            F.col("doc_id") % NEW_BATCH_MOD != 0
-        )
-        fz = minhash_dedup_keep(
-            existing.join(keep_ids, "doc_id"),
-            threshold=JACCARD_THRESHOLD,
-            buckets=ebuckets.join(keep_ids, "doc_id", "semi"),
-        )
-        survivors = fz.filter("keep").select(
-            "doc_id"
-        ).localCheckpoint(eager=True)
-        ebuckets.join(survivors, "doc_id", "semi").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out, "survivor_buckets"))
-        benchmark_probes(existing).write.mode("overwrite").parquet(
-            os.path.join(out, "probes")
-        )
-        # the survivor corpus's word-16-gram hash index (r8): lets the
-        # batch job remove spans the ARCHIVE already holds, not just
-        # within-batch repeats — at 100 TB this table is the span
-        # analogue of the bucket index (store bucketed by gh)
-        from aggregator_spark.operators.dedup import span_gram_hashes
+        # the three index tables are INDEPENDENT writes (guide §2.6):
+        # probes is a function of the raw existing slice alone, so its
+        # job is submitted FIRST and overlaps the whole gate+dedup
+        # chain below; the bucket and gram tables are projections of
+        # the checkpointed survivor set and overlap each other at the
+        # end. Each write owns its table dir; failure semantics are
+        # unchanged (_ensure_built commits the generation only after
+        # every future resolves).
+        pool = ThreadPoolExecutor(max_workers=3)
+        try:
+            probes_f = pool.submit(
+                lambda: benchmark_probes(existing)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "probes"))
+            )
+            # the previous full run, replayed over the existing corpus
+            # only: quality keep-list -> fuzzy dedup among the
+            # survivors (corpus_prepare stages 1-2)
+            keep_ids = (
+                corpus_keep_flags(existing)
+                .filter("keep")
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            ebuckets = cached_minhash_buckets(spark, sf_dir).filter(
+                F.col("doc_id") % NEW_BATCH_MOD != 0
+            )
+            fz = minhash_dedup_keep(
+                existing.join(keep_ids, "doc_id"),
+                threshold=JACCARD_THRESHOLD,
+                buckets=ebuckets.join(keep_ids, "doc_id", "semi"),
+            )
+            survivors = fz.filter("keep").select(
+                "doc_id"
+            ).localCheckpoint(eager=True)
+            buckets_f = pool.submit(
+                lambda: ebuckets.join(survivors, "doc_id", "semi")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "survivor_buckets"))
+            )
+            # the survivor corpus's word-16-gram hash index (r8): lets
+            # the batch job remove spans the ARCHIVE already holds, not
+            # just within-batch repeats — at 100 TB this table is the
+            # span analogue of the bucket index (store bucketed by gh)
+            from aggregator_spark.operators.dedup import span_gram_hashes
 
-        span_gram_hashes(
-            docs.join(survivors, "doc_id")
-        ).write.mode("overwrite").parquet(os.path.join(out, "span_grams"))
+            grams_f = pool.submit(
+                lambda: span_gram_hashes(docs.join(survivors, "doc_id"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "span_grams"))
+            )
+            for f in (probes_f, buckets_f, grams_f):
+                f.result()
+        finally:
+            pool.shutdown(wait=True)
 
     return materialize_cached_tables(
         spark, prepared_cache_dir(sf_dir), build, INDEX_TABLES
