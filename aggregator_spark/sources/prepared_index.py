@@ -73,58 +73,66 @@ def cached_prepared_index(
 
         docs = load_testdata(spark, sf_dir, "documents")
         existing = docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
-        # the three index tables are INDEPENDENT writes (guide §2.6):
-        # probes is a function of the raw existing slice alone, so its
-        # job is submitted FIRST and overlaps the whole gate+dedup
-        # chain below; the bucket and gram tables are projections of
-        # the checkpointed survivor set and overlap each other at the
-        # end. Each write owns its table dir; failure semantics are
-        # unchanged (_ensure_built commits the generation only after
-        # every future resolves).
+        # the previous full run, replayed over the existing corpus
+        # only: quality keep-list -> fuzzy dedup among the survivors
+        # (corpus_prepare stages 1-2, llm_queries.corpus_prepare)
+        keep_ids = (
+            corpus_keep_flags(existing)
+            .filter("keep")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        ebuckets = cached_minhash_buckets(spark, sf_dir).filter(
+            F.col("doc_id") % NEW_BATCH_MOD != 0
+        )
+        fz = minhash_dedup_keep(
+            existing.join(keep_ids, "doc_id"),
+            threshold=JACCARD_THRESHOLD,
+            buckets=ebuckets.join(keep_ids, "doc_id", "semi"),
+        )
+        survivors = fz.filter("keep").select(
+            "doc_id"
+        ).localCheckpoint(eager=True)
+        # the three index tables are INDEPENDENT writes over
+        # parquet scans + the checkpoints materialized ABOVE —
+        # overlap them (guide §2.6). Concurrency starts only after
+        # every localCheckpoint has materialized: overlapping a job
+        # with another thread's checkpoint materialization loses
+        # local-checkpoint blocks under memory pressure
+        # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — observed r13 on the
+        # served-media views; the fold/compaction pools follow the
+        # same checkpoint-first discipline). Each write owns its
+        # table dir; _ensure_built commits the generation only after
+        # every future resolves, so failure semantics are unchanged.
+        # span_grams (r8): the survivor corpus's word-16-gram hash
+        # index — lets the batch job remove spans the ARCHIVE already
+        # holds, not just within-batch repeats; at 100 TB this table
+        # is the span analogue of the bucket index (stored bucketed
+        # by gh).
+        from aggregator_spark.operators.dedup import span_gram_hashes
+
         pool = ThreadPoolExecutor(max_workers=3)
         try:
-            probes_f = pool.submit(
-                lambda: benchmark_probes(existing)
-                .write.mode("overwrite")
-                .parquet(os.path.join(out, "probes"))
-            )
-            # the previous full run, replayed over the existing corpus
-            # only: quality keep-list -> fuzzy dedup among the
-            # survivors (corpus_prepare stages 1-2)
-            keep_ids = (
-                corpus_keep_flags(existing)
-                .filter("keep")
-                .select("doc_id")
-                .localCheckpoint(eager=True)
-            )
-            ebuckets = cached_minhash_buckets(spark, sf_dir).filter(
-                F.col("doc_id") % NEW_BATCH_MOD != 0
-            )
-            fz = minhash_dedup_keep(
-                existing.join(keep_ids, "doc_id"),
-                threshold=JACCARD_THRESHOLD,
-                buckets=ebuckets.join(keep_ids, "doc_id", "semi"),
-            )
-            survivors = fz.filter("keep").select(
-                "doc_id"
-            ).localCheckpoint(eager=True)
-            buckets_f = pool.submit(
-                lambda: ebuckets.join(survivors, "doc_id", "semi")
-                .write.mode("overwrite")
-                .parquet(os.path.join(out, "survivor_buckets"))
-            )
-            # the survivor corpus's word-16-gram hash index (r8): lets
-            # the batch job remove spans the ARCHIVE already holds, not
-            # just within-batch repeats — at 100 TB this table is the
-            # span analogue of the bucket index (store bucketed by gh)
-            from aggregator_spark.operators.dedup import span_gram_hashes
-
-            grams_f = pool.submit(
-                lambda: span_gram_hashes(docs.join(survivors, "doc_id"))
-                .write.mode("overwrite")
-                .parquet(os.path.join(out, "span_grams"))
-            )
-            for f in (probes_f, buckets_f, grams_f):
+            futures = [
+                pool.submit(
+                    lambda: benchmark_probes(existing)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out, "probes"))
+                ),
+                pool.submit(
+                    lambda: ebuckets.join(survivors, "doc_id", "semi")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out, "survivor_buckets"))
+                ),
+                pool.submit(
+                    lambda: span_gram_hashes(
+                        docs.join(survivors, "doc_id")
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out, "span_grams"))
+                ),
+            ]
+            for f in futures:
                 f.result()
         finally:
             pool.shutdown(wait=True)
