@@ -85,6 +85,12 @@ def connected_components(
         # carry the previous label through the projection so convergence
         # is a filter on the checkpointed result, not an extra join
         before = _persistent_ids(spark)
+        # LAZY checkpoint (r13, guide §1.2): the convergence count
+        # below materializes it, so each round is one job, not two;
+        # the previous round's blocks — which this step's lineage
+        # reads — are released only after materialization (they would
+        # otherwise occupy the block manager for the rest of the
+        # session and degrade queries run after this operator)
         stepped = (
             labels.join(nbr_min, labels.node == nbr_min.dst, "left")
             .select(
@@ -94,18 +100,14 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("prev_label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # the previous round's checkpoint blocks are now unreachable —
-        # release them eagerly instead of leaving them to occupy the
-        # block manager for the rest of the session (they degraded
-        # queries run AFTER this operator in the same session)
         new_ids = _persistent_ids(spark) - before
-        _unpersist_ids(spark, prev_ckpt_ids)
-        prev_ckpt_ids = new_ids
         changed = stepped.filter(
             F.col("label") != F.col("prev_label")
         ).count()
+        _unpersist_ids(spark, prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
         labels = stepped.select("node", "label")
         if changed == 0:
             break
@@ -199,17 +201,21 @@ def connected_components_star(
             F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
         ).withColumn("m", F.min("dst").over(w))
         before = _persistent_ids(spark)
+        # LAZY checkpoint: the convergence aggregate below is the
+        # materializing action, so each round runs ONE job (step +
+        # signature) instead of two (eager checkpoint, then a second
+        # job re-reading it for the signature) — r13, guide §1.2. The
+        # previous round's blocks are unpersisted only AFTER this
+        # round materializes (the step's lineage reads them).
         stepped = (
             om.select(dst.alias("src"), F.col("m").alias("dst"))
             .union(om.select("src", F.col("m").alias("dst")))
             .where(src != dst)
             .select(F.least(src, dst).alias("src"), F.greatest(src, dst).alias("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_ids = _persistent_ids(spark) - before
-        _unpersist_ids(spark, prev_ckpt_ids)
-        prev_ckpt_ids = new_ids
         edges = stepped
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),
@@ -217,6 +223,8 @@ def connected_components_star(
             # full-range xxhash64 values would, and ANSI mode errors)
             F.expr("bit_xor(xxhash64(src, dst))").alias("sig"),
         ).first()
+        _unpersist_ids(spark, prev_ckpt_ids)
+        prev_ckpt_ids = new_ids
         sig = (row["n"], row["sig"])
         if sig == prev_sig:
             break
