@@ -1081,12 +1081,24 @@ def _sqdist(a, b):
     )
 
 
+def _subdim(embeddings, vec_col: str, n_blocks: int) -> int:
+    """Sub-vector width = dims // n_blocks, probed from one row. The
+    composed PQ operators (encode + LUT + codebooks) share ONE probe
+    via their ``sub`` parameter instead of each paying a driver
+    head(1) job (r13, guide §1.2)."""
+    dims = embeddings.select(
+        F.size(_as_double(F.col(vec_col))).alias("d")
+    ).head(1)
+    return dims[0]["d"] // n_blocks
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     n_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    sub: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
     vector splits into ``n_blocks`` contiguous sub-vectors and each
@@ -1095,10 +1107,8 @@ def pq_codebooks(
     no-RNG seeding as ``kmeans_assign``. Returns (block, code, cvec) —
     an O(blocks × labels × subdim) relation, ALWAYS broadcast-sized
     regardless of corpus scale."""
-    dims = embeddings.select(
-        F.size(_as_double(F.col(vec_col))).alias("d")
-    ).head(1)
-    sub = dims[0]["d"] // n_blocks
+    if sub is None:
+        sub = _subdim(embeddings, vec_col, n_blocks)
     exploded = embeddings.select(
         F.col(label_col).alias("code"),
         F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"),
@@ -1123,6 +1133,7 @@ def pq_encode(
     vec_col: str = "embedding",
     label_col: str = "label",
     codebooks: DataFrame | None = None,
+    sub: int | None = None,
 ) -> DataFrame:
     """PQ encoding: each vector → ``n_blocks`` codes (nearest codeword
     per block under rounded L2, ties → lowest code). Returns (vec_id,
@@ -1136,14 +1147,12 @@ def pq_encode(
     rounded to 6 decimals BEFORE the argmin (the ``kmeans_assign``
     float-order discipline) so the winning code — and the DuckDB
     oracle comparison — is engine-independent."""
+    if sub is None:
+        sub = _subdim(embeddings, vec_col, n_blocks)
     if codebooks is None:
         codebooks = pq_codebooks(
-            embeddings, n_blocks, id_col, vec_col, label_col
+            embeddings, n_blocks, id_col, vec_col, label_col, sub=sub
         )
-    dims = embeddings.select(
-        F.size(_as_double(F.col(vec_col))).alias("d")
-    ).head(1)
-    sub = dims[0]["d"] // n_blocks
     blocks = scatter(
         embeddings.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
@@ -1177,6 +1186,7 @@ def _pq_lut(
     n_blocks: int,
     id_col: str,
     vec_col: str,
+    sub: int | None = None,
 ) -> DataFrame:
     """Per-query ADC lookup table: (query_id, block, code) → round-6
     squared sub-distance as decimal(30,6) — queries × blocks ×
@@ -1279,11 +1289,17 @@ def ann_topk_ivfpq(
         .select("query_id", "cell")
     )
 
-    cb = pq_codebooks(embeddings, n_blocks, id_col, vec_col, label_col)
+    sub = _subdim(embeddings, vec_col, n_blocks)
+    cb = pq_codebooks(
+        embeddings, n_blocks, id_col, vec_col, label_col, sub=sub
+    )
     codes = pq_encode(
-        embeddings, n_blocks, id_col, vec_col, label_col, codebooks=cb
+        embeddings, n_blocks, id_col, vec_col, label_col, codebooks=cb,
+        sub=sub,
     ).select(F.col(id_col).alias("neighbor_id"), "block", "code")
-    lut = _pq_lut(embeddings, cb, query_ids, n_blocks, id_col, vec_col)
+    lut = _pq_lut(
+        embeddings, cb, query_ids, n_blocks, id_col, vec_col, sub=sub
+    )
 
     routed = scatter(codes.join(cells, "neighbor_id")).join(
         F.broadcast(probes), "cell"
@@ -1329,11 +1345,17 @@ def pq_adc_topk(
     to 6 decimals and SUM as decimal(30,6) (the repo's float-sum
     discipline) so the block-order of the aggregation — and the
     DuckDB oracle — cannot perturb the ranking."""
-    cb = pq_codebooks(embeddings, n_blocks, id_col, vec_col, label_col)
-    codes = pq_encode(
-        embeddings, n_blocks, id_col, vec_col, label_col, codebooks=cb
+    sub = _subdim(embeddings, vec_col, n_blocks)
+    cb = pq_codebooks(
+        embeddings, n_blocks, id_col, vec_col, label_col, sub=sub
     )
-    lut = _pq_lut(embeddings, cb, query_ids, n_blocks, id_col, vec_col)
+    codes = pq_encode(
+        embeddings, n_blocks, id_col, vec_col, label_col, codebooks=cb,
+        sub=sub,
+    )
+    lut = _pq_lut(
+        embeddings, cb, query_ids, n_blocks, id_col, vec_col, sub=sub
+    )
     scored = (
         scatter(codes.select(F.col(id_col).alias("neighbor_id"), "block", "code"))
         .join(F.broadcast(lut), ["block", "code"])

@@ -69,13 +69,22 @@ def cached_bm25_index(
             os.path.join(out, "postings")
         )
         # stats derive from the postings JUST WRITTEN (read back, not
-        # recomputed from text — the same lineage a warehouse rollup has)
+        # recomputed from text — the same lineage a warehouse rollup
+        # has); the two rollups are independent reads of the stored
+        # table, so their jobs overlap (guide §2.6 — no checkpoints
+        # involved, plain parquet-in/parquet-out)
+        from aggregator_spark.parallel import run_jobs
+
         stored = spark.read.parquet(os.path.join(out, "postings"))
         dfreq, scalars = bm25_stats(stored)
-        dfreq.write.mode("overwrite").parquet(os.path.join(out, "dfreq"))
-        scalars.write.mode("overwrite").parquet(
-            os.path.join(out, "scalars")
-        )
+        run_jobs([
+            lambda: dfreq.write.mode("overwrite").parquet(
+                os.path.join(out, "dfreq")
+            ),
+            lambda: scalars.write.mode("overwrite").parquet(
+                os.path.join(out, "scalars")
+            ),
+        ])
 
     return materialize_cached_tables(
         spark, bm25_cache_dir(sf_dir), build, INDEX_TABLES
