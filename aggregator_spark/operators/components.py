@@ -22,12 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _persistent_ids(spark) -> set[int]:
-    ids = set()
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-    while it.hasNext():
-        ids.add(it.next()._1())
-    return ids
+def _ckpt_ids(df: DataFrame) -> set[int]:
+    """RDD ids persisted by ``df.localCheckpoint(...)`` — read directly
+    off the returned Dataset's ``LogicalRDD`` plan. The r12 form diffed
+    the GLOBAL persistent-RDD set before/after the checkpoint call,
+    which is thread-hostile: a concurrent driver thread's fresh
+    checkpoint lands in the diff and gets unpersisted by this loop's
+    cleanup (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — observed r13 when the
+    served-media views ran from a thread pool). Reading the id from the
+    plan makes cleanup own exactly its own blocks, so CC loops and
+    other checkpointing work may run on concurrent driver threads
+    (guide §2.6 job overlap)."""
+    return {df._jdf.queryExecution().logical().rdd().id()}
 
 
 def _unpersist_ids(spark, ids: set[int]) -> None:
@@ -56,7 +62,6 @@ def connected_components(
     # truncates lineage so each round plans against a materialized
     # leaf. (Found the hard way on a 50k-doc / 55k-pair stress run.)
     spark = pairs.sparkSession
-    before_sym = _persistent_ids(spark)
     sym = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -64,16 +69,15 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sym_ids = _persistent_ids(spark) - before_sym
+    sym_ids = _ckpt_ids(sym)
 
-    before = _persistent_ids(spark)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_ckpt_ids = _persistent_ids(spark) - before
+    prev_ckpt_ids = _ckpt_ids(labels)
 
     for _ in range(max_iterations):
         # every node's candidate label = min over neighbors' labels
@@ -84,7 +88,6 @@ def connected_components(
         )
         # carry the previous label through the projection so convergence
         # is a filter on the checkpointed result, not an extra join
-        before = _persistent_ids(spark)
         # LAZY checkpoint (r13, guide §1.2): the convergence count
         # below materializes it, so each round is one job, not two;
         # the previous round's blocks — which this step's lineage
@@ -102,7 +105,7 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        new_ids = _persistent_ids(spark) - before
+        new_ids = _ckpt_ids(stepped)
         changed = stepped.filter(
             F.col("label") != F.col("prev_label")
         ).count()
@@ -149,7 +152,6 @@ def connected_components_star(
     spark = pairs.sparkSession
     src, dst = F.col("src"), F.col("dst")
 
-    before = _persistent_ids(spark)
     edges0 = (
         pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
         .where(src != dst)
@@ -157,7 +159,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edge0_ckpt_ids = _persistent_ids(spark) - before
+    edge0_ckpt_ids = _ckpt_ids(edges0)
     edges = edges0
     # nodes of the original graph: the output contract (every input
     # node labeled) must survive star rewiring, which can drop a
@@ -200,7 +202,6 @@ def connected_components_star(
         om = large.select(
             F.greatest(src, dst).alias("src"), F.least(src, dst).alias("dst")
         ).withColumn("m", F.min("dst").over(w))
-        before = _persistent_ids(spark)
         # LAZY checkpoint: the convergence aggregate below is the
         # materializing action, so each round runs ONE job (step +
         # signature) instead of two (eager checkpoint, then a second
@@ -215,7 +216,7 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        new_ids = _persistent_ids(spark) - before
+        new_ids = _ckpt_ids(stepped)
         edges = stepped
         row = edges.agg(
             F.count(F.lit(1)).alias("n"),

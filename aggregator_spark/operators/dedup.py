@@ -606,16 +606,15 @@ def minhash_dedup_keep(
     component labels are materialized — the returned plan references
     only docs and the labels checkpoint."""
     from aggregator_spark.operators.components import (
-        _persistent_ids,
+        _ckpt_ids,
         _unpersist_ids,
         dedup_clusters,
     )
 
     spark = docs.sparkSession
-    before = _persistent_ids(spark)
     cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, buckets)
     cand = cand.localCheckpoint(eager=True)
-    tmp_ids = _persistent_ids(spark) - before
+    tmp_ids = _ckpt_ids(cand)
     edges = verified_jaccard_pairs(docs, cand, id_col, text_col, n, threshold)
     # dedup_clusters materializes the labels eagerly (checkpointed per
     # round) — after it returns, the candidate blocks are unreachable
@@ -662,16 +661,15 @@ def fuzzy_dedup_keep_union(
     corpus. Same eager-checkpoint discipline as minhash_dedup_keep:
     the LSH candidate table feeds three plan sides."""
     from aggregator_spark.operators.components import (
-        _persistent_ids,
+        _ckpt_ids,
         _unpersist_ids,
         dedup_clusters,
     )
 
     spark = docs.sparkSession
-    before = _persistent_ids(spark)
     cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, buckets)
     cand = cand.localCheckpoint(eager=True)
-    tmp_ids = _persistent_ids(spark) - before
+    tmp_ids = _ckpt_ids(cand)
     jac_edges = verified_jaccard_pairs(
         docs, cand, id_col, text_col, n, threshold
     ).select("doc_a", "doc_b")
