@@ -43,17 +43,29 @@ def q_served_media_near_dup(
     )
 
     root = cached_media_store(spark, sf_dir)
-    parts = [
-        served_image_near_dup(spark, root).select(
-            F.lit("image").alias("modality"), "doc_id", "component", "keep"
-        ),
-        served_audio_near_dup(spark, root).select(
-            F.lit("audio").alias("modality"), "doc_id", "component", "keep"
-        ),
-        served_video_near_dup(spark, root).select(
-            F.lit("video").alias("modality"), "doc_id", "component", "keep"
-        ),
-    ]
+    # the three views are independent and each runs the star-CC loop
+    # eagerly while building its plan — build them on driver threads so
+    # one modality's component rounds back-fill the executors idled by
+    # another's convergence tail (guide §2.6). Safe since r13's
+    # `_ckpt_ids`: each CC loop tracks its own checkpoint blocks off
+    # the LogicalRDD plan instead of diffing the global persistent set
+    # (the diff was why this overlap failed when first tried).
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = (
+        ("image", served_image_near_dup),
+        ("audio", served_audio_near_dup),
+        ("video", served_video_near_dup),
+    )
+
+    def build(item):
+        name, fn = item
+        return fn(spark, root).select(
+            F.lit(name).alias("modality"), "doc_id", "component", "keep"
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        parts = list(pool.map(build, builders))
     out = parts[0].unionByName(parts[1]).unionByName(parts[2])
     return out.orderBy("modality", "doc_id")
 
