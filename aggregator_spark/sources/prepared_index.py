@@ -73,52 +73,55 @@ def cached_prepared_index(
 
         docs = load_testdata(spark, sf_dir, "documents")
         existing = docs.filter(F.col("doc_id") % NEW_BATCH_MOD != 0)
-        # the previous full run, replayed over the existing corpus
-        # only: quality keep-list -> fuzzy dedup among the survivors
-        # (corpus_prepare stages 1-2, llm_queries.corpus_prepare)
-        keep_ids = (
-            corpus_keep_flags(existing)
-            .filter("keep")
-            .select("doc_id")
-            .localCheckpoint(eager=True)
-        )
-        ebuckets = cached_minhash_buckets(spark, sf_dir).filter(
-            F.col("doc_id") % NEW_BATCH_MOD != 0
-        )
-        fz = minhash_dedup_keep(
-            existing.join(keep_ids, "doc_id"),
-            threshold=JACCARD_THRESHOLD,
-            buckets=ebuckets.join(keep_ids, "doc_id", "semi"),
-        )
-        survivors = fz.filter("keep").select(
-            "doc_id"
-        ).localCheckpoint(eager=True)
-        # the three index tables are INDEPENDENT writes over
-        # parquet scans + the checkpoints materialized ABOVE —
-        # overlap them (guide §2.6). Concurrency starts only after
-        # every localCheckpoint has materialized: overlapping a job
-        # with another thread's checkpoint materialization loses
-        # local-checkpoint blocks under memory pressure
-        # (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — observed r13 on the
-        # served-media views; the fold/compaction pools follow the
-        # same checkpoint-first discipline). Each write owns its
-        # table dir; _ensure_built commits the generation only after
-        # every future resolves, so failure semantics are unchanged.
-        # span_grams (r8): the survivor corpus's word-16-gram hash
-        # index — lets the batch job remove spans the ARCHIVE already
-        # holds, not just within-batch repeats; at 100 TB this table
-        # is the span analogue of the bucket index (stored bucketed
-        # by gh).
+        # probes is a plain scan+filter+distinct of the raw existing
+        # slice — no checkpoint, no component loop — so its write can
+        # start NOW and overlap the whole serial gate→fuzzy chain
+        # below (guide §2.6; safe since r13's `_ckpt_ids` made every
+        # checkpointing loop track its own blocks instead of diffing
+        # the global persistent-RDD set)
         from aggregator_spark.operators.dedup import span_gram_hashes
 
         pool = ThreadPoolExecutor(max_workers=3)
         try:
+            probes_fut = pool.submit(
+                lambda: benchmark_probes(existing)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "probes"))
+            )
+            # the previous full run, replayed over the existing corpus
+            # only: quality keep-list -> fuzzy dedup among the
+            # survivors (corpus_prepare stages 1-2,
+            # llm_queries.corpus_prepare)
+            keep_ids = (
+                corpus_keep_flags(existing)
+                .filter("keep")
+                .select("doc_id")
+                .localCheckpoint(eager=True)
+            )
+            ebuckets = cached_minhash_buckets(spark, sf_dir).filter(
+                F.col("doc_id") % NEW_BATCH_MOD != 0
+            )
+            fz = minhash_dedup_keep(
+                existing.join(keep_ids, "doc_id"),
+                threshold=JACCARD_THRESHOLD,
+                buckets=ebuckets.join(keep_ids, "doc_id", "semi"),
+            )
+            survivors = fz.filter("keep").select(
+                "doc_id"
+            ).localCheckpoint(eager=True)
+            # survivor_buckets and span_grams are INDEPENDENT writes
+            # over parquet scans + the checkpoints materialized ABOVE —
+            # overlap them with each other and with the still-running
+            # probes write (guide §2.6). Each write owns its table dir;
+            # _ensure_built commits the generation only after every
+            # future resolves, so failure semantics are unchanged.
+            # span_grams (r8): the survivor corpus's word-16-gram hash
+            # index — lets the batch job remove spans the ARCHIVE
+            # already holds, not just within-batch repeats; at 100 TB
+            # this table is the span analogue of the bucket index
+            # (stored bucketed by gh).
             futures = [
-                pool.submit(
-                    lambda: benchmark_probes(existing)
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(out, "probes"))
-                ),
+                probes_fut,
                 pool.submit(
                     lambda: ebuckets.join(survivors, "doc_id", "semi")
                     .write.mode("overwrite")
