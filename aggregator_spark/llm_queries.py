@@ -527,13 +527,29 @@ def q_dedup_family_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile. One full-outer join of two pair relations orders smaller
     than the corpus, then a single global rollup (1 row)."""
     docs = load_testdata(spark, sf_dir, "documents")
-    cand = D.lsh_candidate_pairs(docs, buckets=_mh_buckets(spark, sf_dir))
+    # the LSH candidate checkpoint and the SimHash signature checkpoint
+    # (inside simhash_near_dup) are independent eager materializations —
+    # overlap them on driver threads (guide §2.6, the
+    # fuzzy_dedup_keep_union pattern; safe since r13's per-DataFrame
+    # checkpoint tracking)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cand_fut = pool.submit(
+            lambda: D.lsh_candidate_pairs(
+                docs, buckets=_mh_buckets(spark, sf_dir)
+            ).localCheckpoint(eager=True)
+        )
+        sim_fut = pool.submit(
+            lambda: D.simhash_near_dup(docs).select(
+                "doc_a", "doc_b", F.lit(1).alias("in_sim")
+            )
+        )
+        cand = cand_fut.result()
+        sim = sim_fut.result()
     jac = D.verified_jaccard_pairs(
-        docs, cand.localCheckpoint(eager=True), threshold=JACCARD_THRESHOLD
+        docs, cand, threshold=JACCARD_THRESHOLD
     ).select("doc_a", "doc_b", F.lit(1).alias("in_jac"))
-    sim = D.simhash_near_dup(docs).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_sim")
-    )
     both = jac.join(sim, ["doc_a", "doc_b"], "full_outer")
     return both.agg(
         F.count("in_jac").cast("long").alias("n_jaccard"),

@@ -659,7 +659,16 @@ def fuzzy_dedup_keep_union(
     SimHash pairs arrive already verified (JVM bit_count), and the
     union is a set-union of two pair relations orders smaller than the
     corpus. Same eager-checkpoint discipline as minhash_dedup_keep:
-    the LSH candidate table feeds three plan sides."""
+    the LSH candidate table feeds three plan sides.
+
+    The two families' eager materializations — the LSH candidate
+    checkpoint and the SimHash signature checkpoint inside
+    ``simhash_near_dup`` — are independent, so they run on concurrent
+    driver threads (guide §2.6; safe since r13's per-DataFrame
+    checkpoint tracking): the Python simhash pass back-fills executors
+    idled by the shingle→minhash convergence tail and vice versa."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from aggregator_spark.operators.components import (
         _ckpt_ids,
         _unpersist_ids,
@@ -667,15 +676,23 @@ def fuzzy_dedup_keep_union(
     )
 
     spark = docs.sparkSession
-    cand = lsh_candidate_pairs(docs, id_col, text_col, k, bands, n, buckets)
-    cand = cand.localCheckpoint(eager=True)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cand_fut = pool.submit(
+            lambda: lsh_candidate_pairs(
+                docs, id_col, text_col, k, bands, n, buckets
+            ).localCheckpoint(eager=True)
+        )
+        sim_fut = pool.submit(
+            lambda: simhash_near_dup(
+                docs, id_col, text_col, max_hamming
+            ).select("doc_a", "doc_b")
+        )
+        cand = cand_fut.result()
+        sim_edges = sim_fut.result()
     tmp_ids = _ckpt_ids(cand)
     jac_edges = verified_jaccard_pairs(
         docs, cand, id_col, text_col, n, threshold
     ).select("doc_a", "doc_b")
-    sim_edges = simhash_near_dup(docs, id_col, text_col, max_hamming).select(
-        "doc_a", "doc_b"
-    )
     edges = jac_edges.union(sim_edges).distinct()
     comp = dedup_clusters(docs, edges, id_col)
     _unpersist_ids(spark, tmp_ids)
