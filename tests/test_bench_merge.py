@@ -115,3 +115,32 @@ def test_degraded_regime_guard():
     assert degraded_regime_section(slow_rc, {}, False) is None
     # force overrules
     assert degraded_regime_section(slow_rc, clean_old, True) is None
+
+
+def test_bulk_env_ratio_tracks_bulk_not_tails():
+    from bench import bulk_env_ratio
+
+    # 60 shared keys: most degrade 1.04x, a few tiny keys blow up 1.4x
+    # (the r12 signature: sub-second keys are hypersensitive) and a few
+    # keys got legitimately FASTER from code changes — the median must
+    # read the bulk, not the tails
+    prior = {f"k{i}": 1.0 for i in range(60)}
+    now = {f"k{i}": 1.04 for i in range(60)}
+    for i in range(5):
+        now[f"k{i}"] = 1.40          # contended tiny keys
+    for i in range(5, 10):
+        now[f"k{i}"] = 0.60          # code-change improvements
+    assert bulk_env_ratio(prior, now) == 1.04
+
+
+def test_bulk_env_ratio_needs_enough_shared_keys():
+    from bench import bulk_env_ratio
+
+    prior = {f"k{i}": 1.0 for i in range(10)}
+    now = {f"k{i}": 1.2 for i in range(10)}
+    assert bulk_env_ratio(prior, now) is None          # < min_shared
+    assert bulk_env_ratio(prior, now, min_shared=10) == 1.2
+    # zero/missing prior keys are ignored, not divided by
+    prior["z"] = 0.0
+    now["z"] = 5.0
+    assert bulk_env_ratio(prior, now, min_shared=10) == 1.2
