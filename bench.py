@@ -20,22 +20,33 @@ import sys
 import time
 
 
+# dict-valued fields that belong to the PAYLOAD itself, not named
+# sections — everything else dict-valued is a section to preserve
+_PAYLOAD_DICT_FIELDS = ("queries", "run_conditions", "shuffle")
+
+
 def merge_detail(old: dict, detail: dict, section: str) -> dict:
     """Merge rules for BENCH_DETAIL.json (unit-tested without Spark —
     tests/test_bench_merge.py): a sectioned run (SPARK_GRAFT_DETAIL_KEY,
     e.g. the sf1/sf10 scaling points) stores its payload under
     old[section] and preserves everything else; a main run replaces the
-    top-level payload but carries over existing ``sf*`` SECTIONS (dict
-    values only — the scalar ``sf`` field of the payload itself is not
-    a section) so the driver's per-round run never erases the scaling
-    curve."""
+    top-level payload but carries over EVERY existing named section
+    (any dict-valued key that is not one of the payload's own dict
+    fields) so a full run never erases the scaling curve or the
+    round-history sections. (r13: the old rule kept only ``sf*``
+    sections, which silently dropped r12_main_payload/r13_* on every
+    main run — both optimization sessions had to hand-restore them.)"""
     if section:
         out = dict(old)
         out[section] = detail
         return out
     out = dict(detail)
     for k, v in old.items():
-        if k.startswith("sf") and isinstance(v, dict):
+        if (
+            isinstance(v, dict)
+            and k not in _PAYLOAD_DICT_FIELDS
+            and k not in out
+        ):
             out[k] = v
     return out
 

@@ -29,11 +29,21 @@ NEW_MAIN = {
 
 
 def test_main_run_replaces_payload_but_keeps_sections():
-    out = merge_detail(MAIN_OLD, NEW_MAIN, "")
+    old = dict(MAIN_OLD)
+    # r13: non-sf named sections (round history, parked runs) must
+    # survive a main run too — the sf*-only rule silently dropped
+    # r12_main_payload/r13_* on every main run
+    old["r12_main_payload"] = {"value": 120.0, "queries": {"a": 1.2}}
+    old["slow_regime_last"] = {"value": 150.0, "queries": {"a": 1.5}}
+    out = merge_detail(old, NEW_MAIN, "")
     assert out["value"] == 90.0
     assert out["queries"] == {"a": 0.9, "b": 0.5}
     assert out["sf1"] == MAIN_OLD["sf1"]
     assert out["sf10"] == MAIN_OLD["sf10"]
+    assert out["r12_main_payload"] == old["r12_main_payload"]
+    assert out["slow_regime_last"] == old["slow_regime_last"]
+    # the payload's own dict fields come from the NEW run, never old
+    assert out["queries"] != {"a": 1.0}
     # the payload's own scalar "sf" field is NOT treated as a section
     assert out["sf"] == 0.1
 
