@@ -19,6 +19,7 @@ whether the codec is real or fake.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 from functools import lru_cache
@@ -26,6 +27,34 @@ from functools import lru_cache
 import numpy as np
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# ---- decode-once-per-distinct-payload memo (r13, guide §4.3) -------
+# A crawl-shaped corpus re-delivers the SAME asset from thousands of
+# pages; every derived value here (signature, feature vector) is a
+# pure function of the payload bytes, so each Python worker pays one
+# decode per DISTINCT payload instead of one per arrival — the batch
+# analogue of the ingest store's first-seen contract. Keyed on
+# (derivation, md5(payload)) — md5-of-payload is already the store's
+# content identity (the fps relation). Values are small (signature
+# strings, float lists), never payloads or pixel arrays; the table
+# resets at 64k entries to bound worker memory. Workers are
+# single-threaded per task, so a plain dict is safe.
+_PAYLOAD_MEMO: dict[tuple, object] = {}
+_PAYLOAD_MEMO_MAX = 1 << 16
+
+
+def payload_memo(kind, payload: bytes, compute):
+    """Return ``compute()`` memoized under (kind, md5(payload));
+    ``kind`` is any hashable derivation tag (callers fold non-content
+    parameters like the video sample grid into it)."""
+    key = (kind, hashlib.md5(payload or b"").digest())
+    hit = _PAYLOAD_MEMO.get(key)
+    if hit is None:
+        if len(_PAYLOAD_MEMO) >= _PAYLOAD_MEMO_MAX:
+            _PAYLOAD_MEMO.clear()
+        hit = compute()
+        _PAYLOAD_MEMO[key] = hit
+    return hit
 
 
 class UnsupportedMediaError(NotImplementedError):

@@ -9,8 +9,26 @@ neighbors' labels; converged when no label changes. Rounds needed =
 graph diameter (near-dup graphs are shallow: mostly stars and short
 chains), each round is one shuffle on node id. This is the standard
 large-graph CC shape (cf. GraphFrames' label propagation) without any
-graph library dependency, and the driver only ever sees the
-changed-row COUNT, never the data.
+graph library dependency; on the distributed path the driver only
+ever sees the changed-row COUNT / convergence signature, never the
+data.
+
+Size-adaptive small-graph path (r13, guide §3.1's "pick the strategy
+by the data's measured size" — the autoBroadcastJoinThreshold
+pattern): after the exact-dup/signature contraction the component
+graph is often orders smaller than the corpus (distinct perceptual
+signatures, verified near-dup pairs). When the canonical edge set is
+at most ``AGGREGATOR_SPARK_CC_DRIVER_EDGES`` rows (default 131072 —
+~2 MB of id pairs, far under any driver's broadcast budget), both
+variants solve the components with a driver-side union-find instead
+of paying O(log² n) (star) / O(diameter) (propagate) Spark jobs of a
+few hundred ms each on a graph that fits in one task. The collect is
+bounded BY THE MEASURED COUNT, never speculative; above the threshold
+the distributed loops run unchanged — that is the 100 TB path, where
+the candidate graph is billions of edges. Labels are identical by
+construction (component = min reachable id on both paths; pinned in
+tests/test_components_small_path.py) and the result is checkpointed,
+so downstream plans see the same LogicalRDD leaf either way.
 
 The DuckDB oracle computes the same labels with a recursive CTE
 (transitive closure → min reachable id), cross-checking the iterative
@@ -19,7 +37,81 @@ dataflow against a declarative fixpoint.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F
+
+CC_DRIVER_EDGES_ENV = "AGGREGATOR_SPARK_CC_DRIVER_EDGES"
+_CC_DRIVER_EDGES_DEFAULT = 1 << 17
+
+
+def _cc_driver_max_edges(override: int | None = None) -> int:
+    """Edge-count ceiling for the driver union-find path. ``override``
+    (an explicit function argument) wins; else the env knob — the
+    scale-dependent setting stays parameterised per the round rules,
+    with a local-and-production-sane default."""
+    if override is not None:
+        return override
+    return int(
+        os.environ.get(CC_DRIVER_EDGES_ENV, str(_CC_DRIVER_EDGES_DEFAULT))
+    )
+
+
+def _driver_components(edges: DataFrame) -> DataFrame:
+    """Union-find over an ALREADY-MATERIALIZED, counted-small edge
+    relation: (src, dst) rows → (doc_id, component = min reachable id)
+    for every node appearing in an edge. The caller has verified the
+    row count is under the driver ceiling, so the collect is bounded
+    by construction. Output is eagerly checkpointed so downstream
+    join planning sees the same LogicalRDD leaf the distributed loops
+    produce (plan pins unchanged)."""
+    from pyspark.sql import types as T
+
+    spark = edges.sparkSession
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        s, d = row[0], row[1]
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rd] = rs
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        if r not in comp_min or node < comp_min[r]:
+            comp_min[r] = node
+    id_type = edges.schema.fields[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    out = spark.createDataFrame(
+        [(node, comp_min[find(node)]) for node in parent], schema
+    )
+    # createDataFrame parallelizes (an RDD scan with DEFAULT — large —
+    # stats), which would demote downstream label joins to sort-merge;
+    # the loops' checkpointed labels carry honest small stats and
+    # broadcast at this size. The hint is size-safe BY CONSTRUCTION:
+    # this path only runs when the edge count measured under the
+    # driver ceiling (labels ≤ 2×edges rows of two ids — a few MB at
+    # most), and the distributed path above the ceiling carries no
+    # hint.
+    return F.broadcast(out.localCheckpoint(eager=True))
 
 
 def _ckpt_ids(df: DataFrame) -> set[int]:
@@ -49,10 +141,15 @@ def connected_components(
     left_col: str = "doc_a",
     right_col: str = "doc_b",
     max_iterations: int = 25,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) undirected edges → (doc_id, component) with
     component = min doc_id reachable. Only nodes appearing in ``pairs``
-    are returned (callers union in singletons if needed)."""
+    are returned (callers union in singletons if needed).
+
+    ``driver_max_edges`` overrides the small-graph ceiling (module
+    docstring); pass 0 to force the distributed loop (the cross-check
+    and stress tests do)."""
     edges = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
@@ -70,6 +167,14 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     sym_ids = _ckpt_ids(sym)
+
+    # size-adaptive path (module docstring): sym carries both
+    # directions, so the ceiling is doubled to keep the two variants'
+    # thresholds equivalent in CANONICAL edges
+    if sym.count() <= 2 * _cc_driver_max_edges(driver_max_edges):
+        out = _driver_components(sym)
+        _unpersist_ids(spark, sym_ids)
+        return out
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -128,6 +233,7 @@ def connected_components_star(
     left_col: str = "doc_a",
     right_col: str = "doc_b",
     max_iterations: int = 30,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -160,6 +266,15 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     edge0_ckpt_ids = _ckpt_ids(edges0)
+
+    # size-adaptive path (module docstring): the canonical edge count
+    # is measured on the materialized checkpoint (a metadata-cheap
+    # job), so the collect below is bounded by construction
+    if edges0.count() <= _cc_driver_max_edges(driver_max_edges):
+        out = _driver_components(edges0)
+        _unpersist_ids(spark, edge0_ckpt_ids)
+        return out
+
     edges = edges0
     # nodes of the original graph: the output contract (every input
     # node labeled) must survive star rewiring, which can drop a

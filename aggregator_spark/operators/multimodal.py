@@ -85,16 +85,29 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
         from aggregator_spark.operators.codecs import (
             decode_png,
             image_features,
+            payload_memo,
         )
+
+        def img_feats(payload: bytes):
+            px = decode_png(payload)
+            return (
+                int(px.shape[0]),
+                int(px.shape[1]),
+                image_features(px, FEATURE_DIM),
+            )
 
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "features": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_png(payload)
+                # decode once per DISTINCT payload per worker (r13,
+                # guide §4.3 — see codecs.payload_memo)
+                h, w, feats = payload_memo(
+                    "imgfeat", payload, lambda: img_feats(payload)
+                )
                 out["media_id"].append(mid)
-                out["height"].append(px.shape[0])
-                out["width"].append(px.shape[1])
-                out["features"].append(image_features(px, FEATURE_DIM))
+                out["height"].append(h)
+                out["width"].append(w)
+                out["features"].append(feats)
             yield pd.DataFrame(out)
 
     def fake_fn(batches: Iterator) -> Iterator:
@@ -227,13 +240,21 @@ def extract_audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
         from aggregator_spark.operators.codecs import (
             audio_features,
             decode_wav,
+            payload_memo,
         )
+
+        def au_feats(payload: bytes):
+            rate, _, samples = decode_wav(payload)
+            return audio_features(samples, rate, FEATURE_DIM)
 
         for pdf in batches:
             out = {"media_id": [], "duration_ms": [], "rms": [], "mfcc": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, _, samples = decode_wav(payload)
-                dur, rms, bands = audio_features(samples, rate, FEATURE_DIM)
+                # decode once per DISTINCT payload per worker (r13,
+                # guide §4.3 — see codecs.payload_memo)
+                dur, rms, bands = payload_memo(
+                    "aufeat", payload, lambda: au_feats(payload)
+                )
                 out["media_id"].append(mid)
                 out["duration_ms"].append(dur)
                 out["rms"].append(rms)
@@ -274,13 +295,24 @@ def image_dhash(df: DataFrame) -> DataFrame:
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from aggregator_spark.operators.codecs import decode_png, dhash64
+        from aggregator_spark.operators.codecs import (
+            decode_png,
+            dhash64,
+            payload_memo,
+        )
 
         for pdf in batches:
             out = {"media_id": [], "dhash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 out["media_id"].append(mid)
-                out["dhash"].append(dhash64(decode_png(payload)))
+                # decode once per DISTINCT payload per worker (r13,
+                # guide §4.3 — see codecs.payload_memo)
+                out["dhash"].append(
+                    payload_memo(
+                        "dhash", payload,
+                        lambda: dhash64(decode_png(payload)),
+                    )
+                )
             yield pd.DataFrame(out)
 
     return df.filter(df.kind == "image").mapInPandas(
@@ -384,14 +416,22 @@ def audio_fp64(df: DataFrame) -> DataFrame:
         from aggregator_spark.operators.codecs import (
             audio_fingerprint64,
             decode_wav,
+            payload_memo,
         )
+
+        def fp(payload: bytes) -> str:
+            rate, _, samples = decode_wav(payload)
+            return audio_fingerprint64(samples, rate)
 
         for pdf in batches:
             out = {"media_id": [], "afp": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, _, samples = decode_wav(payload)
                 out["media_id"].append(mid)
-                out["afp"].append(audio_fingerprint64(samples, rate))
+                # decode once per DISTINCT payload per worker (r13,
+                # guide §4.3 — see codecs.payload_memo)
+                out["afp"].append(
+                    payload_memo("afp", payload, lambda: fp(payload))
+                )
             yield pd.DataFrame(out)
 
     return df.filter(df.kind == "audio").mapInPandas(
@@ -426,22 +466,36 @@ def video_frame_dhash(df: DataFrame, every_ms: int = 500) -> DataFrame:
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from aggregator_spark.operators.codecs import decode_avi, dhash64
+        from aggregator_spark.operators.codecs import (
+            decode_avi,
+            dhash64,
+            payload_memo,
+        )
+
+        def frame_hashes(payload: bytes) -> list[tuple[int, str]]:
+            us_per_frame, frames = decode_avi(payload)
+            duration_ms = len(frames) * us_per_frame // 1000
+            n = max(1, int(duration_ms // every_ms))
+            rows = []
+            for i in range(n):
+                ts_ms = i * every_ms
+                fidx = min(len(frames) - 1, ts_ms * 1000 // us_per_frame)
+                rows.append((int(fidx), dhash64(frames[fidx])))
+            return rows
 
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "fhash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                us_per_frame, frames = decode_avi(payload)
-                duration_ms = len(frames) * us_per_frame // 1000
-                n = max(1, int(duration_ms // every_ms))
-                for i in range(n):
-                    ts_ms = i * every_ms
-                    fidx = min(
-                        len(frames) - 1, ts_ms * 1000 // us_per_frame
-                    )
+                # demux once per DISTINCT payload per worker (r13,
+                # guide §4.3 — see codecs.payload_memo; the key folds
+                # every_ms since the sample grid shapes the rows)
+                for fidx, fh in payload_memo(
+                    ("vfh", every_ms), payload,
+                    lambda: frame_hashes(payload),
+                ):
                     out["media_id"].append(mid)
-                    out["frame_index"].append(int(fidx))
-                    out["fhash"].append(dhash64(frames[fidx]))
+                    out["frame_index"].append(fidx)
+                    out["fhash"].append(fh)
             yield pd.DataFrame(out)
 
     return df.filter(df.kind == "video").mapInPandas(
@@ -547,6 +601,34 @@ def media_decode_all(df: DataFrame, every_ms: int = 500) -> DataFrame:
             image_features,
         )
 
+        from aggregator_spark.operators.codecs import payload_memo
+
+        def decode_one(kind: str, payload: bytes):
+            w = h = dur = rms = feats = dh = afp = fhashes = None
+            if kind == "image":
+                px = decode_png(payload)
+                h, w = int(px.shape[0]), int(px.shape[1])
+                feats = image_features(px, FEATURE_DIM)
+                dh = dhash64(px)
+            elif kind == "audio":
+                rate, _, samples = decode_wav(payload)
+                dur, rms, feats = audio_features(
+                    samples, rate, FEATURE_DIM
+                )
+                afp = audio_fingerprint64(samples, rate)
+            elif kind == "video":
+                us_per_frame, frames = decode_avi(payload)
+                duration_ms = len(frames) * us_per_frame // 1000
+                n = max(1, int(duration_ms // every_ms))
+                fhashes = []
+                for i in range(n):
+                    ts_ms = i * every_ms
+                    fidx = min(
+                        len(frames) - 1, ts_ms * 1000 // us_per_frame
+                    )
+                    fhashes.append(dhash64(frames[fidx]))
+            return (w, h, dur, rms, feats, dh, afp, fhashes)
+
         cols = (
             "media_id", "kind", "width", "height", "duration_ms",
             "rms", "features", "dhash", "afp", "fhashes",
@@ -556,30 +638,14 @@ def media_decode_all(df: DataFrame, every_ms: int = 500) -> DataFrame:
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                w = h = dur = rms = feats = dh = afp = fhashes = None
-                if kind == "image":
-                    px = decode_png(payload)
-                    h, w = int(px.shape[0]), int(px.shape[1])
-                    feats = image_features(px, FEATURE_DIM)
-                    dh = dhash64(px)
-                elif kind == "audio":
-                    rate, _, samples = decode_wav(payload)
-                    dur, rms, feats = audio_features(
-                        samples, rate, FEATURE_DIM
-                    )
-                    afp = audio_fingerprint64(samples, rate)
-                elif kind == "video":
-                    us_per_frame, frames = decode_avi(payload)
-                    duration_ms = len(frames) * us_per_frame // 1000
-                    n = max(1, int(duration_ms // every_ms))
-                    fhashes = []
-                    for i in range(n):
-                        ts_ms = i * every_ms
-                        fidx = min(
-                            len(frames) - 1, ts_ms * 1000 // us_per_frame
-                        )
-                        fhashes.append(dhash64(frames[fidx]))
-                row = (mid, kind, w, h, dur, rms, feats, dh, afp, fhashes)
+                # the fold feeds FIRST-SEEN payloads, so within one
+                # wave this memo is mostly cold — it exists so the
+                # decode is shared with the single-purpose passes in
+                # the same worker (r13, codecs.payload_memo)
+                row = (mid, kind) + payload_memo(
+                    ("all", every_ms, kind), payload,
+                    lambda: decode_one(kind, payload),
+                )
                 for c, v in zip(cols, row):
                     out[c].append(v)
             yield pd.DataFrame(out)

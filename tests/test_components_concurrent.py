@@ -87,18 +87,24 @@ def test_concurrent_cc_loops_are_isolated(spark):
     ]
     before = _persistent_set(spark)
 
+    # driver_max_edges=0 forces the DISTRIBUTED loops: these pins are
+    # about the iterative machinery's checkpoint bookkeeping, which the
+    # r13 small-graph union-find path (taken by default at this scale)
+    # would bypass entirely
     def run_star(edges):
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         return {
             r["doc_id"]: r["component"]
-            for r in connected_components_star(df).collect()
+            for r in connected_components_star(
+                df, driver_max_edges=0
+            ).collect()
         }
 
     def run_prop(edges):
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         return {
             r["doc_id"]: r["component"]
-            for r in connected_components(df).collect()
+            for r in connected_components(df, driver_max_edges=0).collect()
         }
 
     with ThreadPoolExecutor(max_workers=4) as pool:

@@ -70,7 +70,7 @@ def test_components_equal_union_find(edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
         r["doc_id"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_max_edges=0).collect()
     }
 
     parent: dict[int, int] = {}
@@ -112,7 +112,7 @@ def test_star_components_equal_union_find(edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {
         r["doc_id"]: r["component"]
-        for r in connected_components_star(df).collect()
+        for r in connected_components_star(df, driver_max_edges=0).collect()
     }
 
     parent: dict[int, int] = {}
@@ -142,7 +142,7 @@ def test_star_components_deep_chain():
     spark = _get_spark()
     chain = [(i, i + 1) for i in range(200)]
     df = spark.createDataFrame(chain, "doc_a long, doc_b long")
-    rows = connected_components_star(df).collect()
+    rows = connected_components_star(df, driver_max_edges=0).collect()
     assert len(rows) == 201
     assert all(r["component"] == 0 for r in rows)
 

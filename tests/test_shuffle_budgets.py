@@ -106,7 +106,12 @@ EXCHANGE_PINS = {
     "simhash_near_dup": (2, 3),
     # r9: fuzzy components (checkpointed sub-plan) + quality join +
     # per-component window
-    "dedup_keep_best": (4, 1),
+    # r13 small-graph CC: the size-gated driver union-find returns
+    # broadcast-hinted labels (bounded by the edge ceiling), so the
+    # component-label joins flip SMJ -> BHJ: -2 Exchange +1 Broadcast
+    # per label join. Above the ceiling the distributed loop labels
+    # join exactly as before (hint only exists on the small path).
+    "dedup_keep_best": (2, 2),
     "doc_chunks": (1, 0),         # scatter only, no agg shuffle
     "pack_sequences": (2, 0),
     "mix_waterfill": (2, 0),      # corpus -> strata agg -> windows
@@ -169,7 +174,8 @@ EXCHANGE_PINS = {
     # the verified-Jaccard SMJ residue + simhash edge union + final
     # label join. contamination_by_source: the decontaminate fragment
     # (probe broadcast out / flags back) + doc join + |sources|-row agg.
-    "dedup_fuzzy_keep_union": (3, 0),
+    # r13 small-graph CC broadcast labels (see dedup_keep_best)
+    "dedup_fuzzy_keep_union": (1, 1),
     # +1 Exchange r13: gram_stream's scatter before the Arrow gram
     # pass (no-op at real scale, see span_rewrite_incremental)
     "contamination_by_source": (6, 3),
@@ -208,7 +214,10 @@ EXCHANGE_PINS = {
     # summary carry (single-level — lengths are discrete) + the carry
     # join broadcast at sf0.001 (threshold-governed). warclite: the
     # custom-source scan -> two-phase agg (countDistinct).
-    "corpus_prepare_ppl_e2e": (15, 6),  # r13 span-rewrite window+single-pass
+    # r13 small-graph CC broadcast labels: the fuzzy stage's label
+    # join and its two downstream consumers flip SMJ -> BHJ
+    # (-6 Exchange +3 Broadcast; see dedup_keep_best)
+    "corpus_prepare_ppl_e2e": (9, 9),  # r13 span-rewrite window+single-pass
     "priority_sample_per_source": (4, 1),
     "lang_id_confusion": (2, 1),
     "length_percentiles_exact": (4, 1),
@@ -225,7 +234,7 @@ EXCHANGE_PINS = {
     # plus the SimHash candidate family (banded self-join + verify)
     # over the same survivors; broadcasts are the survivor-id/carry
     # joins (threshold-governed at sf0.001)
-    "corpus_prepare_union_e2e": (15, 6),  # r13 span-rewrite window+single-pass
+    "corpus_prepare_union_e2e": (9, 9),  # r13 small-graph CC (see ppl_e2e)
     # r11 third wave: cell assignment + codebook/code aggs + routing
     # windows; the BroadcastNestedLoopJoin is the deliberate 10-row
     # centroid fan-out (kmeans_assign's shape), never a shuffled
@@ -239,7 +248,7 @@ EXCHANGE_PINS = {
     # exchanges — the ppl lesson again); the e2e matches the other
     # keep_ids-seam pipelines' shape
     "dsir_gate": (10, 0),
-    "corpus_prepare_dsir_e2e": (15, 6),  # r13 span-rewrite window+single-pass
+    "corpus_prepare_dsir_e2e": (9, 9),  # r13 small-graph CC (see ppl_e2e)
     # r11 sixth wave: token agg + first-occurrence agg + 20-row spine
     # windows (heaps); two bounded-rank NTILE branches + the interleave
     # join (zorder) — broadcasts are the max/carry relations
@@ -259,8 +268,9 @@ EXCHANGE_PINS = {
     "image_dhash": (1, 0),
     "audio_fingerprint": (1, 0),
     "image_near_dup_pairs": (2, 3),
-    "image_near_dup_keep": (3, 2),
-    "audio_near_dup_keep": (3, 2),
+    # r13 small-graph CC broadcast labels (see dedup_keep_best)
+    "image_near_dup_keep": (1, 3),
+    "audio_near_dup_keep": (1, 3),  # r13 small-graph CC (see above)
     # video keep: fh/components checkpointed out; visible = hub agg +
     # edge SMJ + final sort over the label join. r13 window-min CC:
     # one fewer exchange; the tiny label relation now broadcasts
