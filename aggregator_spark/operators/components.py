@@ -22,9 +22,11 @@ at most ``AGGREGATOR_SPARK_CC_DRIVER_EDGES`` rows (default 131072 —
 ~2 MB of id pairs, far under any driver's broadcast budget), both
 variants solve the components with a driver-side union-find instead
 of paying O(log² n) (star) / O(diameter) (propagate) Spark jobs of a
-few hundred ms each on a graph that fits in one task. The collect is
-bounded BY THE MEASURED COUNT, never speculative; above the threshold
-the distributed loops run unchanged — that is the 100 TB path, where
+few hundred ms each on a graph that fits in one task. The size gate
+and the fetch are ONE ``limit(ceiling + 1).collect()`` job on the
+materialized edge checkpoint — the driver holds at most ceiling + 1
+rows at ANY graph size, never speculative; above the threshold the
+distributed loops run unchanged — that is the 100 TB path, where
 the candidate graph is billions of edges. Labels are identical by
 construction (component = min reachable id on both paths; pinned in
 tests/test_components_small_path.py) and the result is checkpointed,
@@ -57,18 +59,19 @@ def _cc_driver_max_edges(override: int | None = None) -> int:
     )
 
 
-def _driver_components(edges: DataFrame) -> DataFrame:
-    """Union-find over an ALREADY-MATERIALIZED, counted-small edge
-    relation: (src, dst) rows → (doc_id, component = min reachable id)
-    for every node appearing in an edge. The caller has verified the
-    row count is under the driver ceiling, so the collect is bounded
-    by construction. Output is eagerly checkpointed so downstream
+def _driver_components(edges: DataFrame, rows: list) -> DataFrame:
+    """Union-find over the collected (src, dst) ``rows`` of an edge
+    relation → (doc_id, component = min reachable id) for every node
+    appearing in an edge; ``edges`` supplies the id type only. The
+    caller probed the materialized edge checkpoint with
+    ``limit(ceiling + 1)`` — ONE bounded job that is both the size
+    gate and the collect — so the driver never holds more than
+    ceiling + 1 rows. Output is eagerly checkpointed so downstream
     join planning sees the same LogicalRDD leaf the distributed loops
-    produce (plan pins unchanged)."""
+    produce (plan pins unchanged), plus the broadcast hint below."""
     from pyspark.sql import types as T
 
     spark = edges.sparkSession
-    rows = edges.collect()
     parent: dict = {}
 
     def find(x):
@@ -170,11 +173,16 @@ def connected_components(
 
     # size-adaptive path (module docstring): sym carries both
     # directions, so the ceiling is doubled to keep the two variants'
-    # thresholds equivalent in CANONICAL edges
-    if sym.count() <= 2 * _cc_driver_max_edges(driver_max_edges):
-        out = _driver_components(sym)
-        _unpersist_ids(spark, sym_ids)
-        return out
+    # thresholds equivalent in CANONICAL edges. limit(2m+1).collect()
+    # on the materialized checkpoint is ONE job that both sizes and
+    # fetches the graph, bounded by construction either way.
+    m2 = 2 * _cc_driver_max_edges(driver_max_edges)
+    if m2 > 0:
+        probe = sym.limit(m2 + 1).collect()
+        if len(probe) <= m2:
+            out = _driver_components(sym, probe)
+            _unpersist_ids(spark, sym_ids)
+            return out
 
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -267,13 +275,17 @@ def connected_components_star(
     )
     edge0_ckpt_ids = _ckpt_ids(edges0)
 
-    # size-adaptive path (module docstring): the canonical edge count
-    # is measured on the materialized checkpoint (a metadata-cheap
-    # job), so the collect below is bounded by construction
-    if edges0.count() <= _cc_driver_max_edges(driver_max_edges):
-        out = _driver_components(edges0)
-        _unpersist_ids(spark, edge0_ckpt_ids)
-        return out
+    # size-adaptive path (module docstring): limit(m+1).collect() on
+    # the materialized checkpoint is ONE job that both sizes and
+    # fetches the graph — the driver holds at most ceiling + 1 rows
+    # by construction, at ANY graph size
+    m = _cc_driver_max_edges(driver_max_edges)
+    if m > 0:
+        probe = edges0.limit(m + 1).collect()
+        if len(probe) <= m:
+            out = _driver_components(edges0, probe)
+            _unpersist_ids(spark, edge0_ckpt_ids)
+            return out
 
     edges = edges0
     # nodes of the original graph: the output contract (every input

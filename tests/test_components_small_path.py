@@ -72,9 +72,9 @@ def test_threshold_gate(spark, monkeypatch):
     calls = []
     real = comp_mod._driver_components
 
-    def spy(edges):
-        calls.append(1)
-        return real(edges)
+    def spy(edges, rows):
+        calls.append(len(rows))
+        return real(edges, rows)
 
     monkeypatch.setattr(comp_mod, "_driver_components", spy)
     edges = GRAPHS["chain"]  # 25 canonical edges
@@ -93,7 +93,7 @@ def test_env_knob_and_override(spark, monkeypatch):
     monkeypatch.setattr(
         comp_mod,
         "_driver_components",
-        lambda e: (calls.append(1), real(e))[1],
+        lambda e, rows: (calls.append(1), real(e, rows))[1],
     )
     df = spark.createDataFrame(GRAPHS["star"], "doc_a long, doc_b long")
     monkeypatch.setenv(CC_DRIVER_EDGES_ENV, "0")
