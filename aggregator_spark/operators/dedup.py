@@ -141,23 +141,44 @@ def shingle_pair_overlap(pairs: DataFrame) -> DataFrame:
     pair measure (Jaccard, capped Jaccard, containment, candidate
     verification): from (doc_id, shingle) rows, the co-occurring pairs
     with intersection and set sizes — (doc_a < doc_b, n_common, na,
-    nb). Pairs with zero common shingles never appear (sparse join)."""
-    sizes = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = pairs.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = pairs.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    nb). Pairs with zero common shingles never appear (sparse join).
+
+    Plan shape (r13, guide §1.2/§2.3): the input subtree (an Arrow
+    shingle pass, often behind a semi-join or df-cap) is consumed
+    ONCE — per-doc set sizes attach in place via a window over doc_id
+    instead of a separate groupBy+join-back subtree, and the a/b sides
+    of the self-join are canonically identical projections of that one
+    stream, so their exchange is planned once and reused. The previous
+    three-consumer form (sizes + a + b) re-ran the whole shingle
+    subtree three times per query. The self-join key is
+    ``xxhash64(shingle)`` — 8 bytes on the wire instead of the ~50-byte
+    n-word strings (a 64-bit collision would merge two unrelated grams
+    inside one doc pair: negligible at any scale and absent at the
+    oracle-checked SFs — the ``dup_span_stats`` precedent)."""
+    hashed = pairs.select("doc_id", F.xxhash64("shingle").alias("sh"))
+    withn = hashed.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = withn.select(
+        F.col("doc_id").alias("doc_a"),
+        "sh",
+        F.col("n_shingles").alias("na"),
+    )
+    b = withn.select(
+        F.col("doc_id").alias("doc_b"),
+        "sh",
+        F.col("n_shingles").alias("nb"),
+    )
+    return (
+        a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
-    )
-    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def ngram_jaccard_pairs(

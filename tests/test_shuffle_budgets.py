@@ -149,7 +149,11 @@ EXCHANGE_PINS = {
     # corpus_drift_js: token aggregate checkpointed (fact scanned
     # once); residual aggs + vocab join + scalar/total broadcasts.
     "ngram_novelty": (5, 2),
-    "minhash_est_accuracy": (15, 5),
+    # r13 session 5: shingle_pair_overlap consumes its input subtree
+    # ONCE (window sizes over doc_id + hashed self-join key) — the
+    # sizes groupBy+join-back subtrees and their exchanges are gone
+    # from the verify residue ((15,5)→(9,3))
+    "minhash_est_accuracy": (9, 3),
     "corpus_drift_js": (4, 3),
     # r9 line-dedup family: segment df agg (count_distinct two-phase)
     # + per-doc rebuild; the boiler-set and final doc joins broadcast
@@ -181,8 +185,10 @@ EXCHANGE_PINS = {
     "contamination_by_source": (6, 3),
     # family overlap: both families' full verify pipelines live in ONE
     # plan (nothing checkpointed out except the LSH candidates) — the
-    # SMJ verify chain + simhash band join + the full-outer merge
-    "dedup_family_overlap": (16, 6),
+    # SMJ verify chain + simhash band join + the full-outer merge.
+    # r13 session 5: (16,6)→(10,4) — shingle_pair_overlap's window
+    # rewrite drops the sizes subtree + its two join-back exchanges
+    "dedup_family_overlap": (10, 4),
     # continuous percentile: two-level carry = local-rank + fine/coarse
     # summary shuffles + carry joins (broadcast at sf0.001 —
     # threshold-governed, summary-sized)
