@@ -73,7 +73,7 @@ def _build(spark: SparkSession, scratch: str, doc_ids: list[int]) -> None:
     from aggregator_spark.sources.warclite import write_warclite
     from aggregator_spark.streaming.warclite_ingest_stream import (
         compact_media,
-        run_warclite_ingest_stream,
+        warclite_ingest_session,
     )
 
     landing = os.path.join(scratch, "landing")
@@ -83,16 +83,25 @@ def _build(spark: SparkSession, scratch: str, doc_ids: list[int]) -> None:
         [d for d in doc_ids if (d // _WAVE_BLOCK) % 2 == 0],
         [d for d in doc_ids if (d // _WAVE_BLOCK) % 2 == 1],
     )
-    for i, wave in enumerate(w for w in waves if w):
-        write_warclite(
-            os.path.join(landing, f"w{i}.wlc"),
-            (store_row(d) for d in sorted(wave)),
-        )
-        run_warclite_ingest_stream(spark, landing, root)
-        if i == 0:
-            # wave 2 must fold against COMPACTED signature bases —
-            # the steady-state shape of a long-lived store
-            compact_media(spark, root)
+    # ONE long-lived ingest query drains both waves (r13 session 5:
+    # query/reader startup paid once; batch boundaries and store bytes
+    # identical to the per-wave one-shot form — pinned in
+    # tests/test_streaming_warclite_ingest.py). Containers are written
+    # OUTSIDE the landing dir and renamed in atomically: the live
+    # query polls while we write, and must never list a half-written
+    # container.
+    with warclite_ingest_session(spark, landing, root) as drain:
+        for i, wave in enumerate(w for w in waves if w):
+            tmp = os.path.join(scratch, f"w{i}.wlc.tmp")
+            write_warclite(tmp, (store_row(d) for d in sorted(wave)))
+            os.replace(tmp, os.path.join(landing, f"w{i}.wlc"))
+            drain()
+            if i == 0:
+                # wave 2 must fold against COMPACTED signature bases —
+                # the steady-state shape of a long-lived store; the
+                # query is idle between drains, so compaction sees the
+                # same quiesced store as the stopped-query form
+                compact_media(spark, root)
     with open(os.path.join(scratch, "_STORE_SUCCESS"), "w") as f:
         f.write("ok")
 
