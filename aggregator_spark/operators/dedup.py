@@ -883,13 +883,23 @@ def ngram_novelty(
     corpus document frequency 1 (novel_frac NULL for docs shorter than
     n tokens). See ``llm_queries.q_ngram_novelty`` for the full scale
     rationale: the corpus-wide gram relation is aggregated once with
-    ``min(doc_id)`` as the df==1 attribution and never joined back."""
+    ``min(doc_id)`` as the df==1 attribution and never joined back.
+
+    Plan shape (r13 session 5, the change-17 pattern): the shingle
+    subtree is consumed ONCE — per-doc gram counts attach via a window
+    over doc_id (whose exchange both consumers then read; the df
+    aggregation re-exchanges by the 8-byte ``xxhash64(shingle)`` key
+    instead of the gram string), so the Arrow shingle pass runs once
+    per query instead of once per consumer."""
     pairs = doc_shingles(docs, id_col, text_col, n)
-    per_doc = pairs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams_raw")
+    withn = pairs.select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    ).withColumn(
+        "n_grams_raw", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
+    per_doc = withn.select("doc_id", "n_grams_raw").distinct()
     novel = (
-        pairs.groupBy("shingle")
+        withn.groupBy("sh")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.min("doc_id").alias("doc_id"),
