@@ -951,8 +951,17 @@ def semantic_dedup(
     worker. Cosines are rounded to 6 decimals before the threshold
     compare so the keep set is float-order-independent
     (oracle-stable)."""
-    assign = kmeans_assign(embeddings, id_col, vec_col, label_col).select(
-        F.col(id_col), F.col("assigned").alias("cluster")
+    # the (id, cluster) assignment is referenced by every downstream
+    # consumer (the per-cluster drop worker, the final keep labels,
+    # and the capacity sizes when max_cluster is set) — without the
+    # checkpoint each consumer re-runs the Arrow reassignment pass
+    # over the full embedding table (r13 session 5; the keep-ids
+    # checkpoint precedent). Ints only, batch-proportional, never
+    # vectors.
+    assign = (
+        kmeans_assign(embeddings, id_col, vec_col, label_col)
+        .select(F.col(id_col), F.col("assigned").alias("cluster"))
+        .localCheckpoint(eager=True)
     )
     base = embeddings.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("vec")
