@@ -30,7 +30,7 @@ from __future__ import annotations
 import glob
 import os
 import struct
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterable
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -98,6 +98,64 @@ class _Split(InputPartition):
         self.n_records = n_records
 
 
+# Arrow emission cap: a split's records accumulate into one RecordBatch
+# up to this many payload bytes, then flush — bounds task memory to
+# ~one batch even when records_per_split × payload size is large
+_ARROW_BATCH_BYTES = 16 * 1024 * 1024
+
+
+def read_split_batches(path: str, offset: int, n_records: int):
+    """Read one offset-indexed split as pyarrow RecordBatches (r14,
+    guide §4.1: batches cross the Python→JVM boundary as Arrow instead
+    of pickled row tuples). Measured FLAT at fixture scale (warm scans
+    0.48–0.68 s both forms, text and media containers) — kept because
+    the Arrow binary column is one contiguous buffer + offsets, the
+    documented right shape for multi-MB crawl payloads, where per-row
+    pickling pays per-object overhead the fixture's ~KB payloads hide.
+    Shared by the batch reader and the streaming landing reader.
+    Flushes a batch every ``_ARROW_BATCH_BYTES`` of accumulated
+    payload so peak memory is one batch, not one split."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("mime", pa.string()),
+            ("payload", pa.binary()),
+        ]
+    )
+    ids: list[int] = []
+    mimes: list[str] = []
+    payloads: list[bytes] = []
+
+    def flush():
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(mimes, pa.string()),
+                pa.array(payloads, pa.binary()),
+            ],
+            schema=schema,
+        )
+
+    acc = 0
+    with open(path, "rb") as f:
+        f.seek(offset)
+        for _ in range(n_records):
+            doc_id, mlen = struct.unpack(">qH", f.read(10))
+            mime = f.read(mlen).decode()
+            (plen,) = struct.unpack(">I", f.read(4))
+            ids.append(doc_id)
+            mimes.append(mime)
+            payloads.append(f.read(plen))
+            acc += plen + mlen + 12
+            if acc >= _ARROW_BATCH_BYTES:
+                yield flush()
+                ids, mimes, payloads, acc = [], [], [], 0
+    if ids:
+        yield flush()
+
+
 class WarcliteReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
@@ -128,14 +186,10 @@ class WarcliteReader(DataSourceReader):
                 out.append(_Split(p, chunk[0], len(chunk)))
         return out
 
-    def read(self, split: _Split) -> Iterator[tuple]:
-        with open(split.path, "rb") as f:
-            f.seek(split.offset)
-            for _ in range(split.n_records):
-                doc_id, mlen = struct.unpack(">qH", f.read(10))
-                mime = f.read(mlen).decode()
-                (plen,) = struct.unpack(">I", f.read(4))
-                yield (doc_id, mime, f.read(plen))
+    def read(self, split: _Split):
+        yield from read_split_batches(
+            split.path, split.offset, split.n_records
+        )
 
 
 class WarcliteDataSource(DataSource):
