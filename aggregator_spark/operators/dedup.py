@@ -155,8 +155,27 @@ def shingle_pair_overlap(pairs: DataFrame) -> DataFrame:
     n-word strings (a 64-bit collision would merge two unrelated grams
     inside one doc pair: negligible at any scale and absent at the
     oracle-checked SFs — the ``dup_span_stats`` precedent)."""
+    # r14 (VERDICT r13 what's-wrong #2): the doc_id exchange under the
+    # window is an EXPLICIT repartition at the session's
+    # shuffle.partitions (the deploy's scale knob) rather than a
+    # planner-inserted one. The hashed stream is only ~3 MB at sf0.1,
+    # so AQE's byte-based coalescing (1 MB minPartitionSize floor)
+    # squeezed it to 3 post-shuffle tasks — and EVERYTHING downstream
+    # (window count, the pair join's probe, the fan-out, both
+    # aggregations) runs inside those stages, so 3 coalesced tasks
+    # serialized work the exchange's bytes under-represent by orders
+    # of magnitude. Pinning this one exchange keeps the whole tail at
+    # full parallelism; the join itself stays STRATEGY-FREE (broadcast
+    # at probe scale per AQE/static size estimates — where the probe
+    # side then needs no exchange at all and the final agg runs in
+    # place because hashpartitioning(doc_id) already clusters
+    # (doc_a, doc_b) — and sort-merge at corpus scale, where the sh
+    # exchanges reappear sized by real bytes).
+    n_exch = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     hashed = pairs.select("doc_id", F.xxhash64("shingle").alias("sh"))
-    withn = hashed.withColumn(
+    withn = hashed.repartition(n_exch, "doc_id").withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     a = withn.select(
