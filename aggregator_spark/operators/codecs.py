@@ -34,20 +34,23 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # pure function of the payload bytes, so each Python worker pays one
 # decode per DISTINCT payload instead of one per arrival — the batch
 # analogue of the ingest store's first-seen contract. Keyed on
-# (derivation, md5(payload)) — md5-of-payload is already the store's
-# content identity (the fps relation). Values are small (signature
-# strings, float lists), never payloads or pixel arrays; the table
-# resets at 64k entries to bound worker memory. Workers are
-# single-threaded per task, so a plain dict is safe.
+# (derivation, blake2b-128(payload)): the memo key never needs to
+# match the store's fp values (md5 there is a documented identity
+# contract), so it uses a collision-resistant digest — two crafted
+# distinct payloads cannot be made to share a cached decode (r14,
+# ADVICE). Values are small (signature strings, float lists), never
+# payloads or pixel arrays; the table resets at 64k entries to bound
+# worker memory. Workers are single-threaded per task, so a plain
+# dict is safe.
 _PAYLOAD_MEMO: dict[tuple, object] = {}
 _PAYLOAD_MEMO_MAX = 1 << 16
 
 
 def payload_memo(kind, payload: bytes, compute):
-    """Return ``compute()`` memoized under (kind, md5(payload));
+    """Return ``compute()`` memoized under (kind, blake2b(payload));
     ``kind`` is any hashable derivation tag (callers fold non-content
     parameters like the video sample grid into it)."""
-    key = (kind, hashlib.md5(payload or b"").digest())
+    key = (kind, hashlib.blake2b(payload or b"", digest_size=16).digest())
     hit = _PAYLOAD_MEMO.get(key)
     if hit is None:
         if len(_PAYLOAD_MEMO) >= _PAYLOAD_MEMO_MAX:

@@ -51,7 +51,10 @@ def _cc_driver_max_edges(override: int | None = None) -> int:
     """Edge-count ceiling for the driver union-find path. ``override``
     (an explicit function argument) wins; else the env knob — the
     scale-dependent setting stays parameterised per the round rules,
-    with a local-and-production-sane default."""
+    with a local-and-production-sane default. The knob governs DRIVER
+    memory only: the executor-side broadcast hint on the resulting
+    labels stays bounded by the fixed default regardless of this
+    setting (see _driver_components)."""
     if override is not None:
         return override
     return int(
@@ -109,12 +112,18 @@ def _driver_components(edges: DataFrame, rows: list) -> DataFrame:
     # createDataFrame parallelizes (an RDD scan with DEFAULT — large —
     # stats), which would demote downstream label joins to sort-merge;
     # the loops' checkpointed labels carry honest small stats and
-    # broadcast at this size. The hint is size-safe BY CONSTRUCTION:
-    # this path only runs when the edge count measured under the
-    # driver ceiling (labels ≤ 2×edges rows of two ids — a few MB at
-    # most), and the distributed path above the ceiling carries no
-    # hint.
-    return F.broadcast(out.localCheckpoint(eager=True))
+    # broadcast at this size. The hint is bounded by the FIXED default
+    # ceiling, not the env knob (r14, ADVICE): raising
+    # AGGREGATOR_SPARK_CC_DRIVER_EDGES is a driver-memory setting and
+    # must not silently force proportionally larger executor
+    # broadcasts — above the fixed bound the labels go unhinted and
+    # the planner sizes the join itself (labels ≤ 2×edges rows of two
+    # ids, so the hinted relation is a few MB at most). The
+    # distributed path above the driver ceiling carries no hint.
+    out = out.localCheckpoint(eager=True)
+    if len(rows) <= _CC_DRIVER_EDGES_DEFAULT:
+        out = F.broadcast(out)
+    return out
 
 
 def _ckpt_ids(df: DataFrame) -> set[int]:

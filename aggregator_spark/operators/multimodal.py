@@ -466,32 +466,22 @@ def video_frame_dhash(df: DataFrame, every_ms: int = 500) -> DataFrame:
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from aggregator_spark.operators.codecs import (
-            decode_avi,
-            dhash64,
-            payload_memo,
+        from aggregator_spark.operators.codecs import payload_memo
+        from aggregator_spark.operators.multimodal import (
+            _vfh_frame_hashes,
         )
-
-        def frame_hashes(payload: bytes) -> list[tuple[int, str]]:
-            us_per_frame, frames = decode_avi(payload)
-            duration_ms = len(frames) * us_per_frame // 1000
-            n = max(1, int(duration_ms // every_ms))
-            rows = []
-            for i in range(n):
-                ts_ms = i * every_ms
-                fidx = min(len(frames) - 1, ts_ms * 1000 // us_per_frame)
-                rows.append((int(fidx), dhash64(frames[fidx])))
-            return rows
 
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "fhash": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 # demux once per DISTINCT payload per worker (r13,
                 # guide §4.3 — see codecs.payload_memo; the key folds
-                # every_ms since the sample grid shapes the rows)
+                # every_ms since the sample grid shapes the rows;
+                # the sampling fn is shared with media_decode_all so
+                # the entries interchange — r14, ADVICE)
                 for fidx, fh in payload_memo(
                     ("vfh", every_ms), payload,
-                    lambda: frame_hashes(payload),
+                    lambda: _vfh_frame_hashes(payload, every_ms),
                 ):
                     out["media_id"].append(mid)
                     out["frame_index"].append(fidx)
@@ -574,6 +564,87 @@ MEDIA_DECODE_ALL_SCHEMA = T.StructType(
 )
 
 
+def _vfh_frame_hashes(payload: bytes, every_ms: int) -> list:
+    """(frame_index, dhash) per sampled instant — the ONE sampling
+    implementation shared by ``video_frame_dhash`` and
+    ``media_decode_all`` (so their ``("vfh", every_ms)`` memo entries
+    are interchangeable by construction)."""
+    from aggregator_spark.operators.codecs import decode_avi, dhash64
+
+    us_per_frame, frames = decode_avi(payload)
+    duration_ms = len(frames) * us_per_frame // 1000
+    n = max(1, int(duration_ms // every_ms))
+    rows = []
+    for i in range(n):
+        ts_ms = i * every_ms
+        fidx = min(len(frames) - 1, ts_ms * 1000 // us_per_frame)
+        rows.append((int(fidx), dhash64(frames[fidx])))
+    return rows
+
+
+def _decode_all_one(kind: str, payload: bytes, every_ms: int) -> tuple:
+    """media_decode_all's per-payload decode. Each derived piece is
+    memoized under the SAME key its single-purpose pass uses
+    ("imgfeat"/"dhash"/"aufeat"/"afp"/("vfh", every_ms)), so a worker
+    that already ran one of those passes reuses its decode here and
+    vice versa (r14, ADVICE — the r13 form keyed the whole row under
+    ('all', ...), which never matched). The raw decode itself is
+    shared across cold pieces through the lazy ``cell``. Module-level
+    so tests/test_multimodal_fused.py can pin the key interchange
+    in-process."""
+    from aggregator_spark.operators.codecs import (
+        audio_features,
+        audio_fingerprint64,
+        decode_png,
+        decode_wav,
+        dhash64,
+        image_features,
+        payload_memo,
+    )
+
+    w = h = dur = rms = feats = dh = afp = fhashes = None
+    cell: list = []
+    if kind == "image":
+        def px():
+            if not cell:
+                cell.append(decode_png(payload))
+            return cell[0]
+
+        def img_feats():
+            p = px()
+            return (
+                int(p.shape[0]),
+                int(p.shape[1]),
+                image_features(p, FEATURE_DIM),
+            )
+
+        h, w, feats = payload_memo("imgfeat", payload, img_feats)
+        dh = payload_memo("dhash", payload, lambda: dhash64(px()))
+    elif kind == "audio":
+        def wav():
+            if not cell:
+                rate, _, samples = decode_wav(payload)
+                cell.append((samples, rate))
+            return cell[0]
+
+        dur, rms, feats = payload_memo(
+            "aufeat", payload,
+            lambda: audio_features(*wav(), FEATURE_DIM),
+        )
+        afp = payload_memo(
+            "afp", payload, lambda: audio_fingerprint64(*wav())
+        )
+    elif kind == "video":
+        fhashes = [
+            fh
+            for _, fh in payload_memo(
+                ("vfh", every_ms), payload,
+                lambda: _vfh_frame_hashes(payload, every_ms),
+            )
+        ]
+    return (w, h, dur, rms, feats, dh, afp, fhashes)
+
+
 def media_decode_all(df: DataFrame, every_ms: int = 500) -> DataFrame:
     """ONE decode per payload, every derived value in the same pass
     (r13, guide §1.2/§4: the ingest store's fold previously ran
@@ -591,43 +662,11 @@ def media_decode_all(df: DataFrame, every_ms: int = 500) -> DataFrame:
     def fn(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from aggregator_spark.operators.codecs import (
-            audio_features,
-            audio_fingerprint64,
-            decode_avi,
-            decode_png,
-            decode_wav,
-            dhash64,
-            image_features,
+        from aggregator_spark.operators.multimodal import _decode_all_one
+
+        decode_one = lambda kind, payload: _decode_all_one(  # noqa: E731
+            kind, payload, every_ms
         )
-
-        from aggregator_spark.operators.codecs import payload_memo
-
-        def decode_one(kind: str, payload: bytes):
-            w = h = dur = rms = feats = dh = afp = fhashes = None
-            if kind == "image":
-                px = decode_png(payload)
-                h, w = int(px.shape[0]), int(px.shape[1])
-                feats = image_features(px, FEATURE_DIM)
-                dh = dhash64(px)
-            elif kind == "audio":
-                rate, _, samples = decode_wav(payload)
-                dur, rms, feats = audio_features(
-                    samples, rate, FEATURE_DIM
-                )
-                afp = audio_fingerprint64(samples, rate)
-            elif kind == "video":
-                us_per_frame, frames = decode_avi(payload)
-                duration_ms = len(frames) * us_per_frame // 1000
-                n = max(1, int(duration_ms // every_ms))
-                fhashes = []
-                for i in range(n):
-                    ts_ms = i * every_ms
-                    fidx = min(
-                        len(frames) - 1, ts_ms * 1000 // us_per_frame
-                    )
-                    fhashes.append(dhash64(frames[fidx]))
-            return (w, h, dur, rms, feats, dh, afp, fhashes)
 
         cols = (
             "media_id", "kind", "width", "height", "duration_ms",
@@ -639,13 +678,11 @@ def media_decode_all(df: DataFrame, every_ms: int = 500) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 # the fold feeds FIRST-SEEN payloads, so within one
-                # wave this memo is mostly cold — it exists so the
+                # wave these memos are mostly cold — they exist so the
                 # decode is shared with the single-purpose passes in
-                # the same worker (r13, codecs.payload_memo)
-                row = (mid, kind) + payload_memo(
-                    ("all", every_ms, kind), payload,
-                    lambda: decode_one(kind, payload),
-                )
+                # the same worker, per derivation key (r13 memo, r14
+                # per-derivation keying — codecs.payload_memo)
+                row = (mid, kind) + decode_one(kind, payload)
                 for c, v in zip(cols, row):
                     out[c].append(v)
             yield pd.DataFrame(out)

@@ -119,3 +119,34 @@ def test_empty_pairs(spark):
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components_star(df).collect() == []
     assert connected_components(df).collect() == []
+
+
+def test_broadcast_hint_bounded_by_fixed_default(spark, monkeypatch):
+    """r14 ADVICE: the broadcast hint on driver-computed labels is
+    gated on the FIXED default edge bound, not the env knob — raising
+    AGGREGATOR_SPARK_CC_DRIVER_EDGES (a driver-memory setting) must
+    not force proportionally larger executor broadcasts."""
+    import aggregator_spark.operators.components as comp_mod
+
+    edges = spark.createDataFrame(
+        GRAPHS["chain"], "doc_a long, doc_b long"
+    )
+    rows = GRAPHS["chain"]
+
+    def hinted(df) -> bool:
+        return "ResolvedHint" in (
+            df._jdf.queryExecution().analyzed().toString()
+        )
+
+    # under the fixed bound: hinted
+    assert hinted(comp_mod._driver_components(edges, rows))
+    # knob raised far above the row count changes nothing (still
+    # under the fixed bound)
+    monkeypatch.setenv(CC_DRIVER_EDGES_ENV, str(1 << 24))
+    assert hinted(comp_mod._driver_components(edges, rows))
+    # above the fixed bound (shrunk for the test): no hint, labels
+    # identical
+    monkeypatch.setattr(comp_mod, "_CC_DRIVER_EDGES_DEFAULT", 4)
+    out = comp_mod._driver_components(edges, rows)
+    assert not hinted(out)
+    assert _labels(out) == {i: 0 for i in range(26)}

@@ -109,3 +109,74 @@ def test_store_kind_residues():
             assert k == "audio"
         else:
             assert k == "video"
+
+
+def _payload_of(kind: str) -> bytes:
+    for d in range(0, 16):
+        m, k, p = store_row(d)
+        if k == kind:
+            return bytes(p)
+    raise AssertionError(f"no {kind} fixture row")
+
+
+def test_decode_memo_keys_interchange():
+    """r14 ADVICE: media_decode_all memoizes each derived piece under
+    the SAME key its single-purpose pass uses, so a worker that ran
+    either side reuses the other's decode. Pinned in-process (no
+    Spark): run the fused decode on a cleared memo, then prove every
+    single-purpose key is populated with the correct value; then seed
+    sentinels under the single-purpose keys and prove the fused
+    decode reads them."""
+    from aggregator_spark.operators import codecs
+    from aggregator_spark.operators.multimodal import _decode_all_one
+
+    img, aud, vid = _payload_of("image"), _payload_of("audio"), _payload_of("video")
+
+    def boom():
+        raise AssertionError("memo entry missing — key mismatch")
+
+    # fused → single-purpose direction
+    codecs._PAYLOAD_MEMO.clear()
+    w, h, _, _, feats, dh, _, _ = _decode_all_one("image", img, 500)
+    _, _, dur, rms, afeats, _, afp, _ = _decode_all_one("audio", aud, 500)
+    fh = _decode_all_one("video", vid, 500)[7]
+    assert codecs.payload_memo("imgfeat", img, boom) == (h, w, feats)
+    assert codecs.payload_memo("dhash", img, boom) == dh
+    assert codecs.payload_memo("aufeat", aud, boom) == (dur, rms, afeats)
+    assert codecs.payload_memo("afp", aud, boom) == afp
+    assert [x for _, x in codecs.payload_memo(("vfh", 500), vid, boom)] == fh
+
+    # values are the real codec outputs, not memo artifacts
+    px = codecs.decode_png(img)
+    assert dh == codecs.dhash64(px)
+    assert (h, w) == (int(px.shape[0]), int(px.shape[1]))
+    rate, _, samples = codecs.decode_wav(aud)
+    assert afp == codecs.audio_fingerprint64(samples, rate)
+
+    # single-purpose → fused direction (seeded sentinels are read)
+    codecs._PAYLOAD_MEMO.clear()
+    assert codecs.payload_memo("dhash", img, lambda: "SENTINEL-DH") == "SENTINEL-DH"
+    assert _decode_all_one("image", img, 500)[5] == "SENTINEL-DH"
+    assert codecs.payload_memo("afp", aud, lambda: "SENTINEL-FP") == "SENTINEL-FP"
+    assert _decode_all_one("audio", aud, 500)[6] == "SENTINEL-FP"
+
+
+def test_decode_all_one_decodes_once_when_cold(monkeypatch):
+    """Two cold image pieces (features + dhash) share ONE PNG decode
+    inside the fused per-payload decode."""
+    from aggregator_spark.operators import codecs
+    from aggregator_spark.operators.multimodal import _decode_all_one
+
+    img = _payload_of("image")
+    calls = {"n": 0}
+    real = codecs.decode_png
+
+    def counting(payload):
+        calls["n"] += 1
+        return real(payload)
+
+    monkeypatch.setattr(codecs, "decode_png", counting)
+    codecs._PAYLOAD_MEMO.clear()
+    _decode_all_one("image", img, 500)
+    assert calls["n"] == 1
+    codecs._PAYLOAD_MEMO.clear()
